@@ -1,0 +1,109 @@
+"""Domain configuration for the KG-construction pipeline.
+
+Mirrors the reference's domain-config shape (similarity thresholds, lexical
+blocking, name-variant equivalence groups, merge-evidence windows) from
+/root/reference/configs/guantanamo/config.yaml:13-84 and the resolution chain
+in /root/reference/src/config_loader.py:107-126 — re-expressed as a plain
+dataclass so executors can broadcast it cheaply.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# Per-type cosine-similarity merge thresholds
+# (reference: configs/guantanamo/config.yaml:17-22).
+DEFAULT_SIMILARITY_THRESHOLDS: dict[str, float] = {
+    "default": 0.75,
+    "people": 0.82,
+    "organizations": 0.78,
+    "locations": 0.80,
+    "events": 0.76,
+}
+
+# Gray-band dispute routing constants (reference: src/constants.py:30-33).
+GRAY_BAND_WIDTH = 0.05
+GRAY_BAND_CONFIDENCE_CUTOFF = 0.7
+
+# Canonical-name swap margin (reference: src/engine/mergers.py:255-260).
+CANONICAL_SWAP_MARGIN = 0.3
+
+# Blocking limits (reference: configs/guantanamo/config.yaml:23-26).
+BLOCKING_MAX_CANDIDATES = 50
+
+# Evidence-text build (reference: configs/guantanamo/config.yaml:80-84).
+EVIDENCE_MAX_CHARS = 1500
+EVIDENCE_WINDOW_CHARS = 240
+EVIDENCE_MAX_WINDOWS = 3
+
+# Profile QC (reference: src/constants.py:36-38).
+PROFILE_QC_MIN_TEXT_LENGTH = 100
+PROFILE_QC_MIN_TAG_COUNT = 2
+QC_MIN_NAME_LENGTH = 3
+
+ENTITY_TYPES = ("people", "organizations", "locations", "events")
+
+# Equivalence groups: config-driven synonym sets
+# (reference: configs/guantanamo/config.yaml:27-47).
+DEFAULT_EQUIVALENCE_GROUPS: dict[str, list[list[str]]] = {
+    "organizations": [
+        ["Department of Defense", "Defense Department", "DoD", "Pentagon"],
+        ["Department of Justice", "Justice Department", "DoJ"],
+        ["Department of Homeland Security", "Homeland Security", "DHS"],
+        ["Department of State", "State Department"],
+        ["Immigration and Customs Enforcement", "ICE"],
+        ["Customs and Border Protection", "CBP"],
+        ["Central Intelligence Agency", "CIA"],
+        ["Federal Bureau of Investigation", "FBI"],
+        ["National Security Agency", "NSA"],
+        ["Defense Intelligence Agency", "DIA"],
+        ["Joint Task Force Guantanamo", "JTF-GTMO", "JTF GTMO"],
+        ["American Civil Liberties Union", "ACLU"],
+        ["International Committee of the Red Cross", "ICRC", "Red Cross"],
+        ["United Nations", "UN", "U.N."],
+    ],
+    "locations": [
+        [
+            "Guantanamo Bay",
+            "Guantanamo",
+            "GTMO",
+            "Naval Station Guantanamo Bay",
+            "Guantanamo Bay Naval Base",
+        ],
+        ["United States", "U.S.", "US"],
+    ],
+}
+
+
+@dataclass(frozen=True)
+class DomainConfig:
+    """Pipeline configuration for one domain (broadcastable)."""
+
+    domain: str = "guantanamo"
+    similarity_thresholds: dict[str, float] = field(
+        default_factory=lambda: dict(DEFAULT_SIMILARITY_THRESHOLDS)
+    )
+    equivalence_groups: dict[str, list[list[str]]] = field(
+        default_factory=lambda: {
+            k: [list(g) for g in v] for k, v in DEFAULT_EQUIVALENCE_GROUPS.items()
+        }
+    )
+    blocking_max_candidates: int = BLOCKING_MAX_CANDIDATES
+    gray_band_width: float = GRAY_BAND_WIDTH
+    gray_band_confidence_cutoff: float = GRAY_BAND_CONFIDENCE_CUTOFF
+    canonical_swap_margin: float = CANONICAL_SWAP_MARGIN
+    evidence_max_chars: int = EVIDENCE_MAX_CHARS
+    evidence_window_chars: int = EVIDENCE_WINDOW_CHARS
+    evidence_max_windows: int = EVIDENCE_MAX_WINDOWS
+    embedding_dim: int = 256
+
+    def threshold_for(self, entity_type: str) -> float:
+        """Resolution chain: per-type → default → 0.75
+        (reference: src/config_loader.py:107-126)."""
+        t = self.similarity_thresholds
+        return t.get(entity_type, t.get("default", 0.75))
+
+
+def get_default_config() -> DomainConfig:
+    return DomainConfig()

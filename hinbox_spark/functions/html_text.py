@@ -1,0 +1,167 @@
+"""Boilerplate-stripped text extraction — the byte-identical per-url invariant.
+
+Reproduces the observable output of the reference extraction algorithm
+(/root/reference/scripts/get_miami_herald_articles.py:219-249, which uses
+BeautifulSoup(content, "html.parser")):
+
+  1. container = first of <article>, <div class="article-body">, <main>,
+     <div class="container"> — each searched over the whole document in that
+     precedence order;
+  2. title = first <h1> anywhere, else first <header>; .text.strip()
+     (.text = concatenation of all descendant text nodes, no separator);
+  3. paragraphs = container.find_all(["p", "div.paragraph"]) — note the
+     "div.paragraph" item is a literal (never-matching) tag name in bs4, so
+     this is exactly the descendant <p> elements in document order;
+  4. content = "\n\n".join(p.text.strip() for p in paragraphs if p.text.strip()
+     and not p.text.strip().startswith("Advertisement"));
+  5. no <p> descendants → container.get_text(separator="\n\n", strip=True):
+     every descendant text node stripped, empties dropped, joined by "\n\n".
+
+bs4 is not available in this environment, so the same semantics are
+implemented on the stdlib html.parser building a minimal DOM. The pipeline
+calls `extract_series` inside a vectorized pandas UDF (Arrow batches); the
+function itself is pure Python per document — HTML parsing is inherently
+per-document work and stays off the JVM.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+import pandas as pd
+
+# Elements that never take content (HTML5 void elements).
+_VOID = frozenset(
+    ("area", "base", "br", "col", "embed", "hr", "img", "input",
+     "link", "meta", "param", "source", "track", "wbr")
+)
+
+
+class _Node:
+    __slots__ = ("tag", "classes", "children")
+
+    def __init__(self, tag: str, classes: tuple[str, ...] = ()):
+        self.tag = tag
+        self.classes = classes
+        self.children: list[object] = []  # _Node | str
+
+    def iter_nodes(self):
+        """Descendant elements, document order (self excluded)."""
+        for child in self.children:
+            if isinstance(child, _Node):
+                yield child
+                yield from child.iter_nodes()
+
+    def iter_text(self):
+        """Descendant text nodes, document order."""
+        for child in self.children:
+            if isinstance(child, _Node):
+                yield from child.iter_text()
+            else:
+                yield child
+
+    def text(self) -> str:
+        return "".join(self.iter_text())
+
+    def get_text(self, separator: str = "", strip: bool = False) -> str:
+        parts = (t.strip() for t in self.iter_text()) if strip else self.iter_text()
+        return separator.join(p for p in parts if p) if strip else separator.join(parts)
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = _Node("[document]")
+        self._stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        classes: tuple[str, ...] = ()
+        for k, v in attrs:
+            if k == "class" and v:
+                classes = tuple(v.split())
+        node = _Node(tag, classes)
+        self._stack[-1].children.append(node)
+        if tag not in _VOID:
+            self._stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        self.handle_starttag(tag, attrs)
+        if tag not in _VOID:
+            self._stack.pop()
+
+    def handle_endtag(self, tag):
+        # Close the nearest open element with this tag (tolerant of
+        # mis-nesting, like html.parser-backed bs4).
+        for i in range(len(self._stack) - 1, 0, -1):
+            if self._stack[i].tag == tag:
+                del self._stack[i:]
+                return
+
+    def handle_data(self, data):
+        if data:
+            self._stack[-1].children.append(data)
+
+
+def _parse(html: str) -> _Node:
+    builder = _TreeBuilder()
+    builder.feed(html)
+    builder.close()
+    return builder.root
+
+
+def _find_first(root: _Node, tag: str, cls: str | None = None) -> _Node | None:
+    for node in root.iter_nodes():
+        if node.tag == tag and (cls is None or cls in node.classes):
+            return node
+    return None
+
+
+def extract_title_and_text(html: str) -> tuple[str, str]:
+    """Extract (title, content) per the reference algorithm.
+
+    Returns ("", "") when no recognized container exists (the reference
+    returns None and the article is skipped).
+    """
+    root = _parse(html or "")
+
+    container = (
+        _find_first(root, "article")
+        or _find_first(root, "div", "article-body")
+        or _find_first(root, "main")
+        or _find_first(root, "div", "container")
+    )
+    if container is None:
+        return "", ""
+
+    title_node = _find_first(root, "h1") or _find_first(root, "header")
+    title_text = title_node.text().strip() if title_node is not None else ""
+
+    paragraphs = [n for n in container.iter_nodes() if n.tag == "p"]
+    if paragraphs:
+        parts = []
+        for p in paragraphs:
+            t = p.text().strip()
+            if t and not t.startswith("Advertisement"):
+                parts.append(t)
+        content_text = "\n\n".join(parts)
+    else:
+        content_text = container.get_text(separator="\n\n", strip=True)
+
+    return title_text, content_text
+
+
+def extract_series(html: pd.Series) -> pd.DataFrame:
+    """Vectorized wrapper: Series[bytes|str] → DataFrame(title, text)."""
+    titles: list[str] = []
+    texts: list[str] = []
+    for raw in html:
+        if raw is None:
+            titles.append("")
+            texts.append("")
+            continue
+        if isinstance(raw, (bytes, bytearray)):
+            raw = bytes(raw).decode("utf-8", errors="replace")
+        title, text = extract_title_and_text(raw)
+        titles.append(title)
+        texts.append(text)
+    return pd.DataFrame({"title": titles, "text": texts})

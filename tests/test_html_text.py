@@ -1,0 +1,102 @@
+"""Byte-identical text extraction invariant (T1).
+
+Exercises every branch of the reference algorithm
+(/root/reference/scripts/get_miami_herald_articles.py:219-249): container
+precedence, h1/header title, paragraph join rules, Advertisement drop,
+empty-paragraph drop, and the get_text fallback.
+"""
+
+import pandas as pd
+
+from hinbox_spark.functions.html_text import extract_series, extract_title_and_text
+
+
+def test_article_container_with_paragraphs():
+    html = (
+        "<html><body><h1> Big News </h1>"
+        "<article><p>First para.</p><p>  </p>"
+        "<p>Advertisement - buy now</p><p>Second para.</p></article>"
+        "</body></html>"
+    )
+    title, text = extract_title_and_text(html)
+    assert title == "Big News"
+    assert text == "First para.\n\nSecond para."
+
+
+def test_container_precedence_article_first():
+    html = (
+        "<div class='article-body'><p>From div.</p></div>"
+        "<article><p>From article.</p></article>"
+    )
+    _, text = extract_title_and_text(html)
+    # <article> wins even though it appears later in the document
+    assert text == "From article."
+
+
+def test_article_body_div():
+    html = "<div class='article-body extra'><p>Body text.</p></div>"
+    _, text = extract_title_and_text(html)
+    assert text == "Body text."
+
+
+def test_main_container():
+    html = "<main><p>Main text.</p></main>"
+    _, text = extract_title_and_text(html)
+    assert text == "Main text."
+
+
+def test_container_div():
+    html = "<div class='container'><p>Container text.</p></div>"
+    _, text = extract_title_and_text(html)
+    assert text == "Container text."
+
+
+def test_no_container_returns_empty():
+    html = "<div class='other'><p>Orphan.</p></div>"
+    title, text = extract_title_and_text(html)
+    assert title == "" and text == ""
+
+
+def test_header_title_fallback():
+    html = "<header>Header Title</header><article><p>X.</p></article>"
+    title, _ = extract_title_and_text(html)
+    assert title == "Header Title"
+
+
+def test_h1_beats_header():
+    html = "<header>H</header><h1>Real Title</h1><article><p>X.</p></article>"
+    title, _ = extract_title_and_text(html)
+    assert title == "Real Title"
+
+
+def test_no_paragraph_fallback_get_text():
+    html = "<article><div>Line one</div><div>  Line two  </div></article>"
+    _, text = extract_title_and_text(html)
+    # get_text(separator="\n\n", strip=True): strip each text node, drop
+    # empties, join with \n\n
+    assert text == "Line one\n\nLine two"
+
+
+def test_nested_markup_inside_paragraph():
+    html = "<article><p>Hello <b>bold</b> world &amp; more.</p></article>"
+    _, text = extract_title_and_text(html)
+    assert text == "Hello bold world & more."
+
+
+def test_paragraph_inside_nested_div():
+    html = "<article><div><div><p>Deep para.</p></div></div></article>"
+    _, text = extract_title_and_text(html)
+    assert text == "Deep para."
+
+
+def test_vectorized_series_with_bytes():
+    htmls = pd.Series(
+        [
+            b"<article><h1>T</h1><p>A.</p></article>",
+            None,
+            "<main><p>B.</p></main>",
+        ]
+    )
+    out = extract_series(htmls)
+    assert list(out["text"]) == ["A.", "", "B."]
+    assert out["title"][0] == "T"
