@@ -76,6 +76,45 @@ DEFAULT_EQUIVALENCE_GROUPS: dict[str, list[list[str]]] = {
 }
 
 
+# Curated domain entities (deterministic stand-in for the reference's
+# configs/{domain}/categories/*.yaml + prompt gazetteers): canonical name →
+# (category, surface variants). Used by both mention detection and the
+# synthetic fixture generator.
+DOMAIN_PEOPLE: list[str] = [
+    "Mohammed Al-Qahtani", "Omar Khadr", "Carol Rosenberg", "James Mitchell",
+    "Gina Haspel", "Lloyd Austin", "Avril Haines", "Mark Martins",
+    "Susan Crawford", "David Hicks", "John Bellinger", "Harvey Rishikof",
+]
+
+DOMAIN_ORGS: dict[str, tuple[str, list[str]]] = {
+    "Department of Defense": ("government", ["Department of Defense", "Defense Department", "DoD", "Pentagon"]),
+    "Department of Justice": ("government", ["Department of Justice", "Justice Department", "DoJ"]),
+    "Department of Homeland Security": ("government", ["Department of Homeland Security", "Homeland Security", "DHS"]),
+    "Immigration and Customs Enforcement": ("government", ["Immigration and Customs Enforcement", "ICE"]),
+    "Central Intelligence Agency": ("government", ["Central Intelligence Agency", "CIA"]),
+    "Federal Bureau of Investigation": ("government", ["Federal Bureau of Investigation", "FBI"]),
+    "American Civil Liberties Union": ("ngo", ["American Civil Liberties Union", "ACLU"]),
+    "International Committee of the Red Cross": ("ngo", ["International Committee of the Red Cross", "ICRC", "Red Cross"]),
+    "United Nations": ("international", ["United Nations", "UN"]),
+    "Joint Task Force Guantanamo": ("military", ["Joint Task Force Guantanamo", "JTF-GTMO"]),
+    "National Security Agency": ("government", ["National Security Agency", "NSA"]),
+    "Southern Command": ("military", ["Southern Command"]),
+}
+
+DOMAIN_LOCS: dict[str, tuple[str, list[str]]] = {
+    "Guantanamo Bay": ("base", ["Guantanamo Bay", "Guantanamo", "GTMO"]),
+    "United States": ("country", ["United States"]),
+    "Camp Delta": ("facility", ["Camp Delta"]),
+    "Camp Justice": ("facility", ["Camp Justice"]),
+    "Havana": ("city", ["Havana"]),
+    "Washington": ("city", ["Washington"]),
+    "Miami": ("city", ["Miami"]),
+    "Kandahar": ("city", ["Kandahar"]),
+    "Bagram Airfield": ("base", ["Bagram Airfield"]),
+    "Caribbean Sea": ("region", ["Caribbean Sea"]),
+}
+
+
 @dataclass(frozen=True)
 class DomainConfig:
     """Pipeline configuration for one domain (broadcastable)."""

@@ -1,0 +1,217 @@
+"""Stage 5: clusters → canonical entities + (subj, pred, obj) edge triples.
+
+Canonical-name selection generalizes the reference's pairwise 5-layer pick
+(/root/reference/src/engine/mergers.py:231-274, 962-998) to whole clusters:
+cluster_canonical_score = base score + containment bonus + full-form-over-
+acronym bonus, argmax per cluster with deterministic tie-breaks — order-free
+where the reference was merge-order-dependent.
+
+Output surfaces:
+- `entities`: one row per cluster with the reference-shaped payload
+  (canonical name/type, aliases, alternative_names, articles provenance,
+  extraction_timestamp = min over members — mergers.py:1158-1165).
+- `edges`: the graded (subj, pred, obj) triple table (FIXTURES.md §5) with
+  url/warc_ts provenance and spark_partition_id() lineage.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from hinbox_spark.functions.names import cluster_canonical_score, normalize_for_match
+
+
+def build_clusters(
+    mentions: DataFrame,
+    nodes: DataFrame,
+    labels: DataFrame,
+    articles: DataFrame,
+) -> DataFrame:
+    """Attach cluster_id + article metadata (warc_ts, title) to every
+    mention via its node key. One join on url, one on the node key — both
+    co-partitioned hash joins."""
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def _match_key(s: pd.Series) -> pd.Series:
+        return s.map(normalize_for_match)
+
+    m = mentions.withColumn("match_key", _match_key(F.col("name")))
+    n = nodes.select("entity_type", "match_key", "type_attr", "start_date", "node_id")
+    keyed = m.join(
+        n,
+        (m["entity_type"] == n["entity_type"])
+        & (m["match_key"] == n["match_key"])
+        & (m["type"] == n["type_attr"])
+        & (m["start_date"] == n["start_date"]),
+    ).select(m["*"], n["node_id"], n["type_attr"])
+    keyed = keyed.join(
+        articles.select("url", "warc_ts", "title"), "url"
+    )
+    return keyed.join(labels, "node_id")
+
+
+def canonical_names(
+    mention_clusters: DataFrame,
+) -> DataFrame:
+    """Per cluster: pick the canonical (name, type, start_date) by
+    cluster-level scoring with deterministic tie-breaks (score desc, then
+    mention count desc, then name asc)."""
+
+    member_names = (
+        mention_clusters.groupBy("cluster_id", "entity_type", "name", "type_attr", "start_date")
+        .agg(F.count("*").alias("n_mentions"))
+    )
+
+    def _pick(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        names = pdf["name"].tolist()
+        scores = [cluster_canonical_score(n, names) for n in names]
+        pdf = pdf.assign(score=scores)
+        pdf = pdf.sort_values(
+            ["score", "n_mentions", "name"], ascending=[False, False, True]
+        )
+        top = pdf.iloc[0]
+        others = pdf.iloc[1:]
+        return pd.DataFrame(
+            {
+                "cluster_id": [key[0]],
+                "entity_type": [key[1]],
+                "canonical_name": [top["name"]],
+                "canonical_type": [top["type_attr"]],
+                "canonical_start_date": [top["start_date"]],
+                "alt_names": [sorted(set(others["name"]))],
+                "alt_types": [sorted(set(others["type_attr"]))],
+                "alt_start_dates": [sorted(set(others["start_date"]))],
+            }
+        )
+
+    schema = (
+        "cluster_id string, entity_type string, canonical_name string, "
+        "canonical_type string, canonical_start_date string, "
+        "alt_names array<string>, alt_types array<string>, "
+        "alt_start_dates array<string>"
+    )
+    return member_names.groupBy("cluster_id", "entity_type").applyInPandas(_pick, schema)
+
+
+def build_entities(
+    mention_clusters: DataFrame, canon: DataFrame
+) -> DataFrame:
+    """entities table: cluster aggregation of provenance + aliases (J12).
+
+    entity_id = sha2(entity_type || canonical key) — content-addressed, so
+    stable across runs (idempotent resume)."""
+    agg = (
+        mention_clusters
+        .groupBy("cluster_id")
+        .agg(
+            F.array_sort(
+                F.array_distinct(F.collect_list(F.struct("url", "warc_ts", "title")))
+            ).alias("articles"),
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("aliases")))).alias(
+                "mention_aliases"
+            ),
+            F.array_sort(F.array_distinct(F.collect_list("name"))).alias("all_names"),
+            F.min("warc_ts").alias("extraction_timestamp"),
+            F.count("*").alias("n_mentions"),
+            F.countDistinct("url").alias("n_articles"),
+        )
+    )
+
+    return (
+        canon.join(agg, "cluster_id")
+        .withColumn(
+            "entity_id",
+            F.sha2(
+                F.concat_ws(
+                    "|",
+                    "entity_type",
+                    "canonical_name",
+                    "canonical_type",
+                    "canonical_start_date",
+                ),
+                256,
+            ),
+        )
+        .withColumn(
+            "aliases",
+            F.array_sort(
+                F.array_distinct(F.concat("mention_aliases", "alt_names"))
+            ),
+        )
+        .drop("mention_aliases")
+    )
+
+
+def build_edge_triples(
+    mention_clusters: DataFrame, entities: DataFrame
+) -> DataFrame:
+    """(subj, pred, obj) triples with provenance + per-partition lineage.
+
+    Predicates: mentioned_in (entity → url), alias_of (surface variant →
+    canonical), has_type (entity → category). The partition_id column is the
+    per-partition lineage counter the north_rule requires.
+    """
+    ent = entities.select(
+        "cluster_id", "entity_id", "canonical_name", "canonical_type"
+    )
+    mc = mention_clusters.join(ent, "cluster_id")
+
+    mentioned_in = mc.select(
+        F.col("entity_id").alias("subj"),
+        F.lit("mentioned_in").alias("pred"),
+        F.col("url").alias("obj"),
+        "url",
+        "warc_ts",
+    ).dropDuplicates(["subj", "obj"])
+
+    alias_of = (
+        mc.filter(F.col("name") != F.col("canonical_name"))
+        .select(
+            F.col("name").alias("subj"),
+            F.lit("alias_of").alias("pred"),
+            F.col("entity_id").alias("obj"),
+            "url",
+            "warc_ts",
+        )
+        .dropDuplicates(["subj", "obj"])
+    )
+
+    has_type = (
+        mc.filter(F.col("canonical_type") != "")
+        .select(
+            F.col("entity_id").alias("subj"),
+            F.lit("has_type").alias("pred"),
+            F.col("canonical_type").alias("obj"),
+            "url",
+            "warc_ts",
+        )
+        .dropDuplicates(["subj", "obj"])
+    )
+
+    mc_art = mc.select("url", "warc_ts", "entity_id", "entity_type")
+    events = mc_art.filter(F.col("entity_type") == "events").select(
+        F.col("url"), F.col("entity_id").alias("event_id")
+    )
+    participants = (
+        mc_art.filter(F.col("entity_type").isin("people", "organizations"))
+        .join(events, "url")
+        .select(
+            F.col("entity_id").alias("subj"),
+            F.lit("co_mentioned_with").alias("pred"),
+            F.col("event_id").alias("obj"),
+            "url",
+            F.col("warc_ts"),
+        )
+        .dropDuplicates(["subj", "obj"])
+    )
+
+    edges = (
+        mentioned_in.unionByName(alias_of)
+        .unionByName(has_type)
+        .unionByName(participants)
+        .withColumn("partition_id", F.spark_partition_id())
+    )
+    return edges

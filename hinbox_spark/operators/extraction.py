@@ -1,0 +1,189 @@
+"""Stage 1-2: pages → articles → typed mentions (Spark operators).
+
+Spark-first design: the only Python work is the per-document HTML parse and
+the NER span scan, both inherently per-row; they run inside vectorized
+pandas UDFs / mapInPandas so batches move over Arrow. Everything relational
+(filters, dedup, QC flags, metrics) is JVM-side column expressions so
+Catalyst keeps pushdown/pruning/codegen.
+
+Reference parity:
+- text extraction T1 (scripts/get_miami_herald_articles.py:219-249),
+- empty-content filter F3 (src/process_and_extract.py:567-569),
+- extraction QC X4: required fields, NFC normalization, within-article
+  exact-key dedup (src/utils/quality_controls.py:218-306),
+- within-article variant collapse X5 (quality_controls.py:127-215),
+- mention-in-text validation F5 (quality_controls.py:323-425).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType, BooleanType, StringType, StructField, StructType,
+)
+
+from hinbox_spark.functions.html_text import extract_series
+from hinbox_spark.functions.names import (
+    names_likely_same, normalize_display, normalize_for_match,
+    score_canonical_name,
+)
+from hinbox_spark.functions.ner import Gazetteer, extract_mentions_from_text
+
+_EXTRACT_SCHEMA = StructType(
+    [StructField("title", StringType()), StructField("text", StringType())]
+)
+
+MENTION_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("entity_type", StringType(), False),
+        StructField("name", StringType(), False),
+        StructField("type", StringType(), True),
+        StructField("description", StringType(), True),
+        StructField("start_date", StringType(), True),
+        StructField("end_date", StringType(), True),
+        StructField("is_fuzzy_date", BooleanType(), True),
+        StructField("aliases", ArrayType(StringType()), True),
+    ]
+)
+
+
+def extract_articles(pages: DataFrame, lang: str = "en") -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) → articles(url, warc_ts, title,
+    text, content_hash).
+
+    Uses the pre-extracted `text` column when non-empty, else runs the
+    byte-identical extraction UDF over `html`. The lang filter and the
+    empty-content filter (F3) are JVM-side and push down to the scan.
+    """
+
+    @F.pandas_udf(_EXTRACT_SCHEMA)
+    def _extract(html: pd.Series) -> pd.DataFrame:
+        return extract_series(html)
+
+    out = (
+        pages.filter(F.col("lang") == lang)
+        .withColumn("_ex", _extract(F.col("html")))
+        .select(
+            "url",
+            "warc_ts",
+            F.when(
+                F.length(F.trim(F.col("text"))) > 0, F.col("text")
+            ).otherwise(F.col("_ex.text")).alias("text"),
+            F.col("_ex.title").alias("title"),
+        )
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .withColumn("content_hash", F.sha2(F.col("text"), 256))
+    )
+    return out
+
+
+def extract_mentions(articles: DataFrame, gazetteer: Gazetteer) -> DataFrame:
+    """articles → mentions (one row per validated typed mention).
+
+    mapInPandas (not explode-of-UDF-array) so the cardinality change happens
+    inside the Arrow batch without materializing nested arrays. Within-article
+    QC (X4 exact dedup + X5 variant collapse) runs in the same pass — it is
+    intra-document work, so it costs no shuffle.
+    """
+    gaz_lookup = gazetteer.lookup  # plain dict → serialized into the closure
+
+    def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gaz = Gazetteer()
+        gaz.lookup = gaz_lookup
+        for pdf in batches:
+            rows: list[dict] = []
+            for url, text in zip(pdf["url"], pdf["text"]):
+                raw = extract_mentions_from_text(text or "", gaz)
+                rows.extend(_qc_article(url, text or "", raw))
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in MENTION_SCHEMA.fields],
+            )
+
+    return articles.mapInPandas(_scan, MENTION_SCHEMA)
+
+
+def _qc_article(url: str, text: str, raw: list[dict]) -> list[dict]:
+    """Within-article QC: required fields, NFC normalize, exact-key dedup,
+    variant collapse, mention-in-text validation (X4/X5/F5)."""
+    out: list[dict] = []
+    seen: set[tuple] = set()
+
+    required = {
+        "people": ("name",),
+        "organizations": ("name",),
+        "locations": ("name",),
+        "events": ("name", "description", "type", "start_date"),
+    }
+
+    for m in raw:
+        etype = m["entity_type"]
+        # required-field drop (X4a)
+        if any(not m.get(f) for f in required.get(etype, ("name",))):
+            continue
+        name = normalize_display(m["name"])
+        if not name:
+            continue
+        # dedup key mirrors the reference identity model (mergers.py:114-139)
+        if etype == "people":
+            key = (etype, normalize_for_match(name))
+        elif etype == "events":
+            key = (etype, normalize_for_match(name), m.get("start_date") or "")
+        else:
+            key = (etype, normalize_for_match(name), m.get("type") or "")
+        if key in seen:
+            continue
+        seen.add(key)
+        # F5: hallucination guard — the surface must appear in the text
+        if name.lower() not in text.lower():
+            continue
+        out.append(
+            {
+                "url": url,
+                "entity_type": etype,
+                "name": name,
+                "type": m.get("type") or "",
+                "description": m.get("description") or "",
+                "start_date": m.get("start_date") or "",
+                "end_date": m.get("end_date") or "",
+                "is_fuzzy_date": bool(m.get("is_fuzzy_date")),
+                "aliases": [],
+            }
+        )
+
+    # X5: within-article variant collapse (same entity_type, pairwise
+    # names_likely_same; keep higher canonical score, absorb into aliases).
+    # n per article is tiny, so the O(n²) is intra-row and shuffle-free.
+    collapsed: list[dict] = []
+    absorbed: set[int] = set()
+    for i in range(len(out)):
+        if i in absorbed:
+            continue
+        keeper = out[i]
+        if keeper["entity_type"] in ("organizations", "locations"):
+            for j in range(i + 1, len(out)):
+                if j in absorbed:
+                    continue
+                other = out[j]
+                if other["entity_type"] != keeper["entity_type"]:
+                    continue
+                if names_likely_same(
+                    keeper["name"], other["name"], keeper["entity_type"]
+                ):
+                    absorbed.add(j)
+                    winner, loser = keeper, other
+                    if score_canonical_name(other["name"]) > score_canonical_name(
+                        keeper["name"]
+                    ):
+                        winner, loser = other, keeper
+                    winner["aliases"] = sorted(
+                        set(winner["aliases"]) | {loser["name"]} | set(loser["aliases"])
+                    )
+                    keeper = winner
+        collapsed.append(keeper)
+    return collapsed

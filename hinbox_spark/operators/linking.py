@@ -1,0 +1,372 @@
+"""Stage 3: mention nodes → verified same-entity candidate pairs.
+
+Re-expresses the reference's sequential lexical-blocking + cosine + LLM
+match-check loop (/root/reference/src/engine/mergers.py:276-521, 808-951) as
+set-oriented blocking JOINS over *distinct mention keys* — the candidate
+space is distinct names, not mentions, so pair generation cost scales with
+vocabulary, not corpus:
+
+  B1 exact normalized-key equi-join  (identity — handled by keying)
+  B2 equivalence-group broadcast join (config synonyms, J5/SC11)
+  B3 acronym equi-join: long-form emits compute_acronym(name), short form
+     emits its cleaned letters; equal key = verified acronym_matches (SC4/SC5)
+  B4 token-blocking join + word-boundary containment verify (SC6), with a
+     document-frequency cap on blocking tokens so hot tokens can't quadratic
+     (the skew story: a "guantanamo" token would otherwise be a mega-key)
+  B5 evidence-embedding cosine over blocked pairs + per-type threshold (J6),
+     gray-band routing to a review queue (J9)
+
+Guards (J7, people-conservatism from name_variants.py:249-257) are edge
+filters BEFORE connected components — one bad edge would glue two clusters,
+so precision here is what holds P≥0.95.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType, BooleanType, DoubleType, FloatType, StringType,
+)
+
+from hinbox_spark.config import DomainConfig
+from hinbox_spark.functions.embeddings import cosine, embed_text
+from hinbox_spark.functions.names import (
+    ACRONYM_STOPWORDS, compute_acronym, is_acronym_form, is_low_quality_name,
+    is_name_contained, normalize_for_match,
+)
+
+# blocking tokens appearing in more than this many distinct names are
+# dropped (non-discriminative; prevents quadratic hot buckets at scale)
+TOKEN_DF_CAP = 1000
+
+
+def mention_nodes(mentions: DataFrame) -> DataFrame:
+    """Distinct linkable keys: one node per (entity_type, match_key, type,
+    start_date). node_id is a content hash — stable across runs/partitions."""
+
+    @F.pandas_udf(StringType())
+    def _match_key(s: pd.Series) -> pd.Series:
+        return s.map(normalize_for_match)
+
+    nodes = (
+        mentions.select(
+            "entity_type",
+            "name",
+            F.col("type").alias("type_attr"),
+            "start_date",
+        )
+        .withColumn("match_key", _match_key(F.col("name")))
+        .groupBy("entity_type", "match_key", "type_attr", "start_date")
+        .agg(F.min("name").alias("name"))  # deterministic display pick
+        .withColumn(
+            "node_id",
+            F.sha2(
+                F.concat_ws(
+                    "", "entity_type", "match_key", "type_attr", "start_date"
+                ),
+                256,
+            ),
+        )
+    )
+    return nodes
+
+
+def _pairs_equivalence(nodes: DataFrame, cfg: DomainConfig) -> DataFrame:
+    """B2: nodes sharing a config equivalence group (broadcast join)."""
+    spark = nodes.sparkSession
+    rows = []
+    for etype, groups in cfg.equivalence_groups.items():
+        for gid, group in enumerate(groups):
+            for member in group:
+                rows.append((etype, normalize_for_match(member), f"{etype}:{gid}"))
+    if not rows:
+        return _empty_pairs(spark)
+    groups_df = spark.createDataFrame(rows, ["entity_type", "match_key", "group_id"])
+
+    tagged = nodes.join(
+        F.broadcast(groups_df), ["entity_type", "match_key"], "inner"
+    ).select("group_id", "node_id")
+    a, b = tagged.alias("a"), tagged.alias("b")
+    return (
+        a.join(b, (F.col("a.group_id") == F.col("b.group_id"))
+               & (F.col("a.node_id") < F.col("b.node_id")))
+        .select(
+            F.col("a.node_id").alias("src"),
+            F.col("b.node_id").alias("dst"),
+            F.lit("equivalence").alias("reason"),
+        )
+    )
+
+
+def _pairs_acronym(nodes: DataFrame) -> DataFrame:
+    """B3: acronym-form node ⇄ long-form node with matching derived acronym.
+    Join key equality reproduces acronym_matches (name_variants.py:103-122)
+    by construction. People never acronym-match (reference conservatism)."""
+
+    @F.pandas_udf(StringType())
+    def _derived(s: pd.Series) -> pd.Series:
+        return s.map(lambda n: (compute_acronym(n) or "") if not is_acronym_form(n) else "")
+
+    @F.pandas_udf(StringType())
+    def _short_letters(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda n: n.replace(".", "").replace(" ", "").strip().upper()
+            if is_acronym_form(n)
+            else ""
+        )
+
+    non_people = nodes.filter(F.col("entity_type") != "people")
+    longs = (
+        non_people.withColumn("acr_key", _derived(F.col("name")))
+        .filter(F.col("acr_key") != "")
+        .select("entity_type", "acr_key", F.col("node_id").alias("long_id"))
+    )
+    shorts = (
+        non_people.withColumn("acr_key", _short_letters(F.col("name")))
+        .filter(F.col("acr_key") != "")
+        .select("entity_type", "acr_key", F.col("node_id").alias("short_id"))
+    )
+    return (
+        longs.join(shorts, ["entity_type", "acr_key"])
+        .filter(F.col("long_id") != F.col("short_id"))
+        .select(
+            F.least("long_id", "short_id").alias("src"),
+            F.greatest("long_id", "short_id").alias("dst"),
+            F.lit("acronym").alias("reason"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def _pairs_containment(nodes: DataFrame) -> DataFrame:
+    """B4: token-blocking + word-boundary containment verification.
+
+    Each non-people node emits its significant match-tokens as blocking keys;
+    a self-join on (entity_type, token) proposes pairs; a vectorized verify
+    applies is_name_contained. A df-cap drops hot tokens (skew guard) — at
+    100 TB the cap is what keeps the self-join from going quadratic on
+    stop-like tokens; dropped tokens are recoverable through the other
+    blocking families.
+    """
+    non_people = nodes.filter(F.col("entity_type") != "people")
+
+    tokens = non_people.select(
+        "entity_type",
+        "node_id",
+        "name",
+        F.explode(F.split(F.col("match_key"), " ")).alias("token"),
+    ).filter(
+        (F.length("token") >= 4) & ~F.col("token").isin(*ACRONYM_STOPWORDS)
+    )
+
+    hot = (
+        tokens.groupBy("entity_type", "token")
+        .agg(F.countDistinct("node_id").alias("df"))
+        .filter(F.col("df") > TOKEN_DF_CAP)
+        .select("entity_type", "token")
+    )
+    tokens = tokens.join(hot, ["entity_type", "token"], "left_anti")
+
+    a, b = tokens.alias("a"), tokens.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.entity_type") == F.col("b.entity_type"))
+            & (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.node_id") < F.col("b.node_id")),
+        )
+        .select(
+            F.col("a.node_id").alias("src"),
+            F.col("b.node_id").alias("dst"),
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+
+    @F.pandas_udf(BooleanType())
+    def _contained(na: pd.Series, nb: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(na, nb):
+            short, long_ = (x, y) if len(str(x)) <= len(str(y)) else (y, x)
+            out.append(
+                is_name_contained(short, long_)
+                and not is_low_quality_name(short)
+                and not is_low_quality_name(long_)
+            )
+        return pd.Series(out, dtype=bool)
+
+    return (
+        cand.filter(_contained(F.col("name_a"), F.col("name_b")))
+        .select("src", "dst", F.lit("containment").alias("reason"))
+    )
+
+
+def node_evidence_embeddings(
+    nodes: DataFrame, mentions: DataFrame, articles: DataFrame, cfg: DomainConfig
+) -> DataFrame:
+    """J1+J2: per-node evidence embedding.
+
+    Evidence text per (mention, article): up to `evidence_max_windows`
+    context windows of `evidence_window_chars` around case-insensitive hits
+    of the name (reference mergers.py:577-705), truncated to
+    `evidence_max_chars`. Node embedding = element-wise mean of its mention
+    evidence vectors (deterministic hashed 3-gram encoder).
+    """
+    win = cfg.evidence_window_chars // 2
+    max_w = cfg.evidence_max_windows
+    max_c = cfg.evidence_max_chars
+    dim = cfg.embedding_dim
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def _evidence_vec(name: pd.Series, text: pd.Series) -> pd.Series:
+        vecs = []
+        for n, t in zip(name, text):
+            t = t or ""
+            low_t, low_n = t.lower(), str(n or "").lower()
+            windows: list[str] = []
+            start = 0
+            last_end = -1
+            while len(windows) < max_w:
+                idx = low_t.find(low_n, start)
+                if idx < 0:
+                    break
+                lo, hi = max(0, idx - win), min(len(t), idx + len(low_n) + win)
+                if lo > last_end:  # non-overlapping
+                    windows.append(t[lo:hi])
+                    last_end = hi
+                start = idx + len(low_n)
+            evidence = (" ... ".join(windows) if windows else t[: max_c])[:max_c]
+            evidence = f"{n}: {evidence}"
+            vecs.append(embed_text(evidence, dim).tolist())
+        return pd.Series(vecs)
+
+    mention_vecs = (
+        mentions.join(articles.select("url", "text"), "url")
+        .withColumn("vec", _evidence_vec(F.col("name"), F.col("text")))
+        .select("entity_type", "name", "vec")
+    )
+
+    @F.pandas_udf(StringType())
+    def _match_key(s: pd.Series) -> pd.Series:
+        return s.map(normalize_for_match)
+
+    mention_vecs = mention_vecs.withColumn("match_key", _match_key(F.col("name")))
+
+    # element-wise mean per node: explode positions would shuffle dim×rows;
+    # instead aggregate zipped sums JVM-side via F.aggregate on collect_list
+    # of small per-key groups — node fan-in is bounded (mentions of one
+    # name), so applyInPandas per key stays cheap and shuffle is one round.
+    def _mean(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        arr = np.array(pdf["vec"].tolist(), dtype=np.float64).mean(axis=0)
+        return pd.DataFrame(
+            {
+                "entity_type": [key[0]],
+                "match_key": [key[1]],
+                "vec": [arr.astype("float32").tolist()],
+            }
+        )
+
+    node_vecs = mention_vecs.groupBy("entity_type", "match_key").applyInPandas(
+        _mean, "entity_type string, match_key string, vec array<float>"
+    )
+    return nodes.join(node_vecs, ["entity_type", "match_key"], "left").select(
+        "node_id", "entity_type", "vec"
+    )
+
+
+def candidate_pairs(nodes: DataFrame, cfg: DomainConfig) -> DataFrame:
+    """Union of the deterministic blocking families (B2-B4)."""
+    return (
+        _pairs_equivalence(nodes, cfg)
+        .unionByName(_pairs_acronym(nodes))
+        .unionByName(_pairs_containment(nodes))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def score_pairs(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    node_vecs: DataFrame,
+    cfg: DomainConfig,
+) -> tuple[DataFrame, DataFrame]:
+    """J6-J9: verify candidate pairs → (accepted_edges, review_queue).
+
+    Deterministic bypass reasons (equivalence/acronym/containment — already
+    verified) are accepted outright unless a guard fires. Cosine-scored
+    pairs accept at ≥ τ(type); the τ±gray band defers to the review queue
+    (reference constants.py:30-33) instead of merging.
+    """
+    spark = pairs.sparkSession
+
+    n_meta = nodes.select("node_id", "entity_type", "name")
+    v = node_vecs.select("node_id", "vec")
+
+    enriched = (
+        pairs.join(n_meta.withColumnRenamed("node_id", "src")
+                   .withColumnRenamed("name", "name_src"), "src")
+        .join(
+            n_meta.select(
+                F.col("node_id").alias("dst"), F.col("name").alias("name_dst")
+            ),
+            "dst",
+        )
+        .join(v.withColumnRenamed("node_id", "src").withColumnRenamed("vec", "vec_src"), "src", "left")
+        .join(v.withColumnRenamed("node_id", "dst").withColumnRenamed("vec", "vec_dst"), "dst", "left")
+    )
+
+    @F.pandas_udf(DoubleType())
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [cosine(x if x is not None else [], y if y is not None else [])
+             for x, y in zip(a, b)],
+            dtype="float64",
+        )
+
+    @F.pandas_udf(BooleanType())
+    def _low_quality_pair(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [is_low_quality_name(x) or is_low_quality_name(y) for x, y in zip(a, b)],
+            dtype=bool,
+        )
+
+    thresholds = cfg.similarity_thresholds
+    tau_expr = F.coalesce(
+        *[
+            F.when(F.col("entity_type") == k, F.lit(v))
+            for k, v in thresholds.items()
+            if k != "default"
+        ],
+        F.lit(thresholds.get("default", 0.75)),
+    )
+
+    scored = (
+        enriched.withColumn("sim", _cos(F.col("vec_src"), F.col("vec_dst")))
+        .withColumn("tau", tau_expr)
+        .withColumn("guard_lq", _low_quality_pair(F.col("name_src"), F.col("name_dst")))
+    )
+
+    deterministic = F.col("reason").isin("equivalence", "acronym", "containment")
+    in_gray = (F.abs(F.col("sim") - F.col("tau")) <= cfg.gray_band_width)
+
+    accepted = scored.filter(
+        ~F.col("guard_lq")
+        & (deterministic | ((F.col("sim") >= F.col("tau")) & ~in_gray))
+    ).select("src", "dst", "entity_type", "reason", "sim")
+
+    review = scored.filter(
+        ~deterministic & in_gray & ~F.col("guard_lq")
+    ).select(
+        "src", "dst", "entity_type", "name_src", "name_dst", "sim", "tau",
+        F.lit("defer").alias("decision"),
+    )
+    return accepted, review
+
+
+def _empty_pairs(spark) -> DataFrame:
+    return spark.createDataFrame([], "src string, dst string, reason string")

@@ -1,0 +1,153 @@
+"""End-to-end KG-construction pipeline with stage-boundary checkpoints.
+
+Stages (each materializes a parquet table = checkpoint; a rerun anti-joins
+inputs against completed work — the reference's processing_status.json
+skip-if-unchanged semantics at src/utils/processing_status.py:17-93 and
+src/process_and_extract.py:545-565, re-expressed as tables):
+
+  articles   pages → extracted text          (partitioned narrow, no shuffle)
+  mentions   articles → typed mentions       (mapInPandas, no shuffle)
+  nodes      distinct mention keys           (1 shuffle on key)
+  pairs      blocking joins                  (shuffles on blocking keys)
+  clusters   connected components            (iterative, O(log n) shuffles)
+  entities   canonical entities              (1 shuffle on cluster_id)
+  edges      (subj, pred, obj) triples
+  profiles   versioned profiles + grounding
+  review     gray-band deferred pairs
+  metrics    per-stage, per-partition counters (north_rule lineage)
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hinbox_spark.config import DomainConfig, get_default_config
+from hinbox_spark.functions.ner import default_gazetteer
+from hinbox_spark.operators.canonicalize import (
+    build_clusters, build_edge_triples, build_entities, canonical_names,
+)
+from hinbox_spark.operators.clustering import connected_components
+from hinbox_spark.operators.extraction import extract_articles, extract_mentions
+from hinbox_spark.operators.linking import (
+    candidate_pairs, mention_nodes, node_evidence_embeddings, score_pairs,
+)
+from hinbox_spark.operators.profiles import build_profiles, ground_profiles
+
+STAGES = (
+    "articles", "mentions", "entities", "edges", "profiles", "review", "metrics",
+)
+
+
+def _table_path(base: str, name: str) -> str:
+    return os.path.join(base, name)
+
+
+def _done(base: str, name: str) -> bool:
+    return os.path.exists(os.path.join(_table_path(base, name), "_SUCCESS"))
+
+
+def _write(df: DataFrame, base: str, name: str, partition_cols: list[str] | None = None):
+    if df.isEmpty():
+        # an empty write emits no schema-bearing part file → unreadable
+        # table; force one empty part file so the checkpoint stays readable
+        df = df.repartition(1)
+        partition_cols = None
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(_table_path(base, name))
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    output_dir: str,
+    cfg: DomainConfig | None = None,
+    resume: bool = True,
+) -> dict[str, DataFrame]:
+    """Run all stages; stages whose output table already exists are skipped
+    when resume=True (checkpoint/resume at stage boundaries)."""
+    cfg = cfg or get_default_config()
+    gaz = default_gazetteer()
+    os.makedirs(output_dir, exist_ok=True)
+
+    metrics: list[tuple[str, str, int]] = []
+
+    # ── stage 1: articles ──
+    if not (resume and _done(output_dir, "articles")):
+        articles = extract_articles(pages)
+        _write(articles, output_dir, "articles")
+    articles = spark.read.parquet(_table_path(output_dir, "articles"))
+
+    # ── stage 2: mentions ──
+    if not (resume and _done(output_dir, "mentions")):
+        mentions = extract_mentions(articles, gaz)
+        _write(mentions, output_dir, "mentions", ["entity_type"])
+    mentions = spark.read.parquet(_table_path(output_dir, "mentions"))
+
+    # ── stages 3-5: linking → clustering → canonicalization ──
+    if not (resume and _done(output_dir, "entities") and _done(output_dir, "edges")
+            and _done(output_dir, "review")):
+        nodes = mention_nodes(mentions).cache()
+        pairs = candidate_pairs(nodes, cfg)
+        node_vecs = node_evidence_embeddings(nodes, mentions, articles, cfg)
+        accepted, review = score_pairs(pairs, nodes, node_vecs, cfg)
+        _write(review, output_dir, "review")
+
+        labels = connected_components(
+            nodes.select("node_id"), accepted.select("src", "dst")
+        )
+        mention_clusters = build_clusters(mentions, nodes, labels, articles).cache()
+        canon = canonical_names(mention_clusters)
+        entities = build_entities(mention_clusters, canon)
+        _write(entities, output_dir, "entities", ["entity_type"])
+        entities = spark.read.parquet(_table_path(output_dir, "entities"))
+
+        edges = build_edge_triples(mention_clusters, entities)
+        _write(edges, output_dir, "edges", ["pred"])
+
+        # ── stage 6: profiles + grounding ──
+        profiles = build_profiles(mention_clusters, entities)
+        profiles = ground_profiles(profiles, articles)
+        _write(profiles, output_dir, "profiles")
+        mention_clusters.unpersist()
+        nodes.unpersist()
+
+    entities = spark.read.parquet(_table_path(output_dir, "entities"))
+    edges = spark.read.parquet(_table_path(output_dir, "edges"))
+    profiles = spark.read.parquet(_table_path(output_dir, "profiles"))
+    review = spark.read.parquet(_table_path(output_dir, "review"))
+
+    # ── metrics table: per-stage / per-partition counters ──
+    if not (resume and _done(output_dir, "metrics")):
+        def _stage_counts(df: DataFrame, stage: str) -> DataFrame:
+            return (
+                df.withColumn("partition_id", F.spark_partition_id())
+                .groupBy("partition_id")
+                .agg(F.count("*").alias("rows"))
+                .withColumn("stage", F.lit(stage))
+                .select("stage", "partition_id", "rows")
+            )
+
+        m = (
+            _stage_counts(articles, "articles")
+            .unionByName(_stage_counts(mentions, "mentions"))
+            .unionByName(_stage_counts(entities, "entities"))
+            .unionByName(_stage_counts(edges, "edges"))
+            .unionByName(_stage_counts(profiles, "profiles"))
+            .unionByName(_stage_counts(review, "review"))
+        )
+        _write(m, output_dir, "metrics")
+
+    return {
+        "articles": articles,
+        "mentions": spark.read.parquet(_table_path(output_dir, "mentions")),
+        "entities": entities,
+        "edges": edges,
+        "profiles": profiles,
+        "review": review,
+        "metrics": spark.read.parquet(_table_path(output_dir, "metrics")),
+    }

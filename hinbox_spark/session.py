@@ -40,6 +40,7 @@ def get_spark(
         # AQE converts to broadcast at runtime when sizes allow.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.host", "127.0.0.1")
     )
     return builder.getOrCreate()

@@ -1,0 +1,167 @@
+"""End-to-end pipeline golden test: synthetic corpus → full pipeline →
+P/R ≥ 0.95 against planted gold mentions/links (BASELINE.json target), plus
+checkpoint/resume identity.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from hinbox_spark.functions.names import normalize_for_match
+from hinbox_spark.pipeline import run_pipeline
+from hinbox_spark.sources.pages_gen import pages_dataframe
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, tmp_path_factory):
+    out_dir = str(tmp_path_factory.mktemp("kg_out"))
+    pages, gold = pages_dataframe(spark, n_pages=120, seed=42)
+    tables = run_pipeline(spark, pages, out_dir, resume=False)
+    return tables, gold, out_dir, pages
+
+
+def test_mention_extraction_pr(pipeline_out):
+    tables, gold, _, _ = pipeline_out
+    pred = {
+        (r["url"], r["entity_type"], normalize_for_match(r["name"]))
+        for r in tables["mentions"].collect()
+    }
+    # gold surfaces may be collapsed into a keeper's aliases by X5, so
+    # count a gold mention as found if its surface OR an alias row matches
+    alias_pred = set()
+    for r in tables["mentions"].collect():
+        for a in r["aliases"] or []:
+            alias_pred.add((r["url"], r["entity_type"], normalize_for_match(a)))
+    found = pred | alias_pred
+
+    gold_set = {
+        (g.url, g.entity_type, normalize_for_match(g.surface)) for g in gold
+    }
+    tp = len(gold_set & found)
+    recall = tp / len(gold_set)
+    precision = len(pred & (gold_set | alias_pred)) / len(pred) if pred else 0
+    assert recall >= 0.95, f"recall {recall}"
+    assert precision >= 0.95, f"precision {precision}"
+
+
+def test_linking_clusters_variants(pipeline_out):
+    """All planted surface variants of one canonical entity must land in the
+    same cluster (entity row), and distinct canonicals must not merge."""
+    tables, gold, _, _ = pipeline_out
+    ents = tables["entities"].collect()
+
+    # map each gold (type, surface) → canonical
+    gold_map = {}
+    for g in gold:
+        gold_map.setdefault((g.entity_type, normalize_for_match(g.surface)), set()).add(
+            g.canonical
+        )
+
+    # map surface → entity_id from entities (canonical + aliases + alt names)
+    surf_to_entity = {}
+    for e in ents:
+        variants = {e["canonical_name"], *(e["aliases"] or []), *(e["alt_names"] or [])}
+        for v in variants:
+            surf_to_entity.setdefault(
+                (e["entity_type"], normalize_for_match(v)), set()
+            ).add(e["entity_id"])
+
+    pair_total = 0
+    pair_correct = 0
+    # for every gold canonical with ≥2 surfaces: all surfaces same entity_id
+    by_canonical: dict[tuple, set] = {}
+    for (etype, surf), canonicals in gold_map.items():
+        for c in canonicals:
+            by_canonical.setdefault((etype, c), set()).add(surf)
+    for (etype, canonical), surfaces in by_canonical.items():
+        eids = set()
+        for s in surfaces:
+            eids |= surf_to_entity.get((etype, s), set())
+        pair_total += 1
+        if len(eids) == 1:
+            pair_correct += 1
+    assert pair_total > 0
+    assert pair_correct / pair_total >= 0.95, (
+        f"cluster purity {pair_correct}/{pair_total}"
+    )
+
+    # no over-merge: two different canonical orgs never share an entity row
+    canon_names = {}
+    for e in ents:
+        if e["entity_type"] != "organizations":
+            continue
+        canon_names.setdefault(e["entity_id"], set()).add(e["canonical_name"])
+    # each gold canonical maps to exactly one entity_id
+    org_gold = {c for (t, c) in by_canonical if t == "organizations"}
+    eid_by_canonical = {}
+    over_merged = 0
+    for c in org_gold:
+        eids = surf_to_entity.get(("organizations", normalize_for_match(c)), set())
+        for eid in eids:
+            if eid in eid_by_canonical and eid_by_canonical[eid] != c:
+                over_merged += 1
+            eid_by_canonical[eid] = c
+    assert over_merged == 0, f"{over_merged} over-merged org clusters"
+
+
+def test_canonical_name_selection(pipeline_out):
+    """Full forms must beat acronyms/aliases as canonical names."""
+    tables, _, _, _ = pipeline_out
+    orgs = {
+        e["canonical_name"]
+        for e in tables["entities"].filter(F.col("entity_type") == "organizations").collect()
+    }
+    # acronym-only canonical names should not exist for known entities
+    assert "DoD" not in orgs
+    assert "ICE" not in orgs
+    assert "DHS" not in orgs
+
+
+def test_edges_shape_and_provenance(pipeline_out):
+    tables, _, _, _ = pipeline_out
+    edges = tables["edges"]
+    preds = {r["pred"] for r in edges.select("pred").distinct().collect()}
+    assert "mentioned_in" in preds
+    assert "alias_of" in preds
+    assert "has_type" in preds
+    assert edges.filter(F.col("url").isNull()).count() == 0
+    assert edges.filter(F.col("partition_id").isNull()).count() == 0
+
+
+def test_profiles_grounded(pipeline_out):
+    tables, _, _, _ = pipeline_out
+    profiles = tables["profiles"]
+    n = profiles.count()
+    assert n > 0
+    # every profile has citations and high grounding (deterministic build)
+    bad = profiles.filter(
+        (F.col("total_claims") == 0) | (F.col("grounding_score") < 0.99)
+    ).count()
+    assert bad == 0
+    # version numbering dense from 1..current_version
+    row = profiles.orderBy(F.desc("current_version")).first()
+    nums = [v["version_number"] for v in row["versions"]]
+    assert nums == list(range(1, row["current_version"] + 1))
+
+
+def test_resume_identity(pipeline_out, spark):
+    """Re-running with resume=True must not recompute or change outputs."""
+    tables, _, out_dir, pages = pipeline_out
+    before = sorted(
+        (r["subj"], r["pred"], r["obj"]) for r in tables["edges"].collect()
+    )
+    tables2 = run_pipeline(spark, pages, out_dir, resume=True)
+    after = sorted(
+        (r["subj"], r["pred"], r["obj"]) for r in tables2["edges"].collect()
+    )
+    assert before == after
+
+
+def test_metrics_per_partition(pipeline_out):
+    tables, _, _, _ = pipeline_out
+    m = tables["metrics"]
+    stages = {r["stage"] for r in m.select("stage").distinct().collect()}
+    assert {"articles", "mentions", "entities", "edges"} <= stages
+    total_mentions = (
+        m.filter(F.col("stage") == "mentions").agg(F.sum("rows")).first()[0]
+    )
+    assert total_mentions == tables["mentions"].count()
