@@ -1,0 +1,545 @@
+"""Driver-contract query registry: Spark DataFrame implementations paired
+with DuckDB oracle SQL (see __spark_entry__.py).
+
+Each entry exercises an operator family from SURVEY.md §2 on the driver's
+testdata tables. Column names and types are aliased identically on both
+sides; double aggregates are rounded so accumulation-order differences
+between engines can't flip the value hash.
+
+Scale discipline: every query is expressed declaratively (Catalyst owns the
+physical plan); dimension-table joins stay broadcastable; window top-k uses
+deterministic tie-breaks; nothing collects on the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ── TPC-H-ish relational family (SURVEY §2.7 A1-A2, §2.3 F-family) ──
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2: scan + filter pushdown + hash aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1999-12-31").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                             AS sum_qty,
+       round(sum(l_extendedprice), 2)                        AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)     AS sum_disc_price,
+       round(avg(l_quantity), 4)                             AS avg_qty,
+       round(avg(l_discount), 4)                             AS avg_disc,
+       count(*)                                              AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-12-31'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way join (dims broadcastable) + aggregate (TPC-H Q5 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+ORACLE_REVENUE_BY_NATION = """
+SELECT n_name AS nation,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY n_name
+"""
+
+
+def q_top_orders_building(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + deterministic top-k (TPC-H Q3 shape, O2)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_TOP_ORDERS = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window argmax with deterministic tie-break (O3/J6-argmax shape)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_custkey").alias("top_custkey"),
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+    )
+
+
+ORACLE_TOP_CUSTOMER = """
+SELECT n_name AS nation, c_custkey AS top_custkey, round(c_acctbal, 2) AS acctbal
+FROM (
+  SELECT n_name, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+) WHERE rn = 1
+"""
+
+
+def q_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-wins key collapse (A6): latest order per customer."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.col("o_orderdate").alias("latest_orderdate"),
+        )
+    )
+
+
+ORACLE_LATEST_ORDER = """
+SELECT o_custkey AS custkey, o_orderkey AS latest_orderkey,
+       o_orderdate AS latest_orderdate
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join — the checkpoint/resume primitive (F2/S7)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))
+    )
+
+
+ORACLE_NO_ORDERS = """
+SELECT c_custkey AS custkey, c_name AS name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct filter-chip values (A9)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_mktsegment").alias("segment"))
+        .distinct()
+    )
+
+
+ORACLE_SEGMENTS = "SELECT DISTINCT c_mktsegment AS segment FROM customer"
+
+
+# ── events family (SC17 dates, O2 top-k, SC12 json) ──
+
+
+def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+ORACLE_EVENTS_DAILY = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_events_top3_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        e.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "rank", "event_id", F.round("value", 2).alias("value"))
+    )
+
+
+ORACLE_EVENTS_TOP3 = """
+SELECT event_type, rank, event_id, round(value, 2) AS value
+FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id ASC) AS rank
+  FROM events
+)
+WHERE rank <= 3
+"""
+
+
+def q_events_json_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON prop extraction (the props sidecar-blob pattern, S5/SC12)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+    )
+
+
+ORACLE_EVENTS_JSON = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+FROM events
+GROUP BY event_type
+"""
+
+
+# ── documents family (text analysis + dedup, SURVEY training-data ops) ──
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per language (whitespace tokenizer)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(toks).alias("total_tokens"),
+            F.round(F.avg(toks), 4).alias("avg_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+ORACLE_DOC_TOKENS = """
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+def q_doc_prefix_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint dedup: md5 over the first 8 tokens → duplicate groups
+    (exact-dedup shape; the prefix makes collisions exist in synthetic data)."""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 8)))
+    return (
+        d.withColumn("fingerprint", fp)
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+ORACLE_DOC_FP_DUPS = """
+SELECT md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fingerprint,
+       count(*) AS n_docs,
+       min(doc_id) AS keeper_doc_id
+FROM documents
+GROUP BY 1
+HAVING count(*) > 1
+"""
+
+
+def q_doc_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio per document (bucketed)."""
+    d = _t(spark, sf_dir, "documents")
+    ratio = F.expr(
+        "size(filter(split(text, ' '), x -> x IN ('the', 'a'))) "
+        "/ CAST(size(split(text, ' ')) AS DOUBLE)"
+    )
+    return (
+        d.withColumn("stop_ratio", F.round(ratio, 4))
+        .withColumn("bucket", F.floor(F.col("stop_ratio") * 20).cast("long"))
+        .groupBy("lang", "bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+ORACLE_DOC_STOPWORDS = """
+SELECT lang,
+       CAST(floor(round(len(list_filter(string_split(text, ' '),
+                                        x -> x IN ('the', 'a')))
+             / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) * 20) AS BIGINT)
+         AS bucket,
+       count(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+def q_doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-family voting over the text, compared
+    against the labeled lang column (accuracy-style confusion counts)."""
+    d = _t(spark, sf_dir, "documents")
+    # the synthetic corpus is english word-soup for every lang label, so the
+    # heuristic is exercised for plumbing parity: predicted = 'en' when
+    # english stopwords appear, else 'other'
+    pred = F.when(
+        F.expr("size(filter(split(text, ' '), x -> x IN ('the','a','of','and'))) > 0"),
+        F.lit("en"),
+    ).otherwise(F.lit("other"))
+    return (
+        d.withColumn("pred_lang", pred)
+        .groupBy(F.col("lang").alias("label_lang"), "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+ORACLE_DOC_LANGID = """
+SELECT lang AS label_lang,
+       CASE WHEN len(list_filter(string_split(text, ' '),
+                                 x -> x IN ('the','a','of','and'))) > 0
+            THEN 'en' ELSE 'other' END AS pred_lang,
+       count(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+# ── embeddings family (similarity search) ──
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norms via JVM-side higher-order aggregate (no Python)."""
+    e = _t(spark, sf_dir, "embeddings")
+    norm = F.expr(
+        "round(sqrt(aggregate(embedding, 0.0D,"
+        " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4)"
+    )
+    return e.select("vec_id", "label", norm.alias("l2_norm"))
+
+
+ORACLE_EMB_NORMS = """
+SELECT vec_id, label,
+       round(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
+FROM embeddings
+"""
+
+
+def q_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vectors (vec_id < 5).
+
+    Spark plan: broadcast the 5 query vectors against the full table,
+    JVM-side dot product via zip_with/aggregate (no Python in the hot path),
+    window top-k with deterministic tie-break.
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    cand = e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    dot = F.expr(
+        "aggregate(zip_with(qvec, embedding, (a, b) ->"
+        " CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+    )
+    nq = F.expr(
+        "sqrt(aggregate(qvec, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))"
+    )
+    nc = F.expr(
+        "sqrt(aggregate(embedding, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(q)
+        .crossJoin(cand)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", dot / (nq * nc))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos_sim"))
+    )
+
+
+ORACLE_KNN = """
+SELECT query_id, rank, neighbor_id, cos_sim
+FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(
+             list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+             list_transform(c.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos_sim,
+         row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(
+                 list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                 list_transform(c.embedding, x -> CAST(x AS DOUBLE))) DESC,
+             c.vec_id ASC) AS rank
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 5
+)
+WHERE rank <= 5
+"""
+
+
+def q_label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (element-wise mean over array column) — the
+    grouped vector aggregation used for node evidence embeddings (J2)."""
+    e = _t(spark, sf_dir, "embeddings")
+    # element-wise sum via explode with position, then mean — pure JVM
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "x"))
+    return (
+        ex.groupBy("label", "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 4).alias("centroid_norm"),
+            F.count("*").alias("dim"),
+        )
+    )
+
+
+ORACLE_CENTROID = """
+SELECT label,
+       round(sqrt(sum(m * m)), 4) AS centroid_norm,
+       count(*) AS dim
+FROM (
+  SELECT label, pos, avg(CAST(x AS DOUBLE)) AS m
+  FROM (SELECT label, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings)
+  GROUP BY label, pos
+)
+GROUP BY label
+"""
+
+
+# ── registry ──
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "top_orders_building": q_top_orders_building,
+    "top_customer_per_nation": q_top_customer_per_nation,
+    "latest_order_per_customer": q_latest_order_per_customer,
+    "customers_without_orders": q_customers_without_orders,
+    "distinct_segments": q_distinct_segments,
+    "events_daily": q_events_daily,
+    "events_top3_per_type": q_events_top3_per_type,
+    "events_json_k": q_events_json_k,
+    "doc_token_stats": q_doc_token_stats,
+    "doc_prefix_fingerprint_dups": q_doc_prefix_fingerprint_dups,
+    "doc_stopword_ratio": q_doc_stopword_ratio,
+    "doc_language_id": q_doc_language_id,
+    "embedding_norms": q_embedding_norms,
+    "knn_top5": q_knn_top5,
+    "label_centroid_norms": q_label_centroid_norms,
+}
+
+ORACLE_QUERIES: dict[str, str] = {
+    "pricing_summary": ORACLE_PRICING,
+    "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
+    "top_orders_building": ORACLE_TOP_ORDERS,
+    "top_customer_per_nation": ORACLE_TOP_CUSTOMER,
+    "latest_order_per_customer": ORACLE_LATEST_ORDER,
+    "customers_without_orders": ORACLE_NO_ORDERS,
+    "distinct_segments": ORACLE_SEGMENTS,
+    "events_daily": ORACLE_EVENTS_DAILY,
+    "events_top3_per_type": ORACLE_EVENTS_TOP3,
+    "events_json_k": ORACLE_EVENTS_JSON,
+    "doc_token_stats": ORACLE_DOC_TOKENS,
+    "doc_prefix_fingerprint_dups": ORACLE_DOC_FP_DUPS,
+    "doc_stopword_ratio": ORACLE_DOC_STOPWORDS,
+    "doc_language_id": ORACLE_DOC_LANGID,
+    "embedding_norms": ORACLE_EMB_NORMS,
+    "knn_top5": ORACLE_KNN,
+    "label_centroid_norms": ORACLE_CENTROID,
+}
