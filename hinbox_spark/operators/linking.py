@@ -41,6 +41,9 @@ from hinbox_spark.functions.names import (
 # dropped (non-discriminative; prevents quadratic hot buckets at scale)
 TOKEN_DF_CAP = 1000
 
+# deterministic per-node evidence sample size (hot-entity skew guard)
+EVIDENCE_MENTIONS_PER_NODE = 8
+
 
 def mention_nodes(mentions: DataFrame) -> DataFrame:
     """Distinct linkable keys: one node per (entity_type, match_key, type,
@@ -214,6 +217,12 @@ def node_evidence_embeddings(
     of the name (reference mergers.py:577-705), truncated to
     `evidence_max_chars`. Node embedding = element-wise mean of its mention
     evidence vectors (deterministic hashed 3-gram encoder).
+
+    Skew guard: hot entities can have millions of mentions; the evidence
+    mean converges long before that, so per node we keep a deterministic
+    sample of `EVIDENCE_MENTIONS_PER_NODE` mentions (ordered by a content
+    hash, not input order — stable across partitionings). This bounds both
+    the Python work and the groupBy fan-in.
     """
     win = cfg.evidence_window_chars // 2
     max_w = cfg.evidence_max_windows
@@ -243,17 +252,27 @@ def node_evidence_embeddings(
             vecs.append(embed_text(evidence, dim).tolist())
         return pd.Series(vecs)
 
-    mention_vecs = (
-        mentions.join(articles.select("url", "text"), "url")
-        .withColumn("vec", _evidence_vec(F.col("name"), F.col("text")))
-        .select("entity_type", "name", "vec")
-    )
-
     @F.pandas_udf(StringType())
     def _match_key(s: pd.Series) -> pd.Series:
         return s.map(normalize_for_match)
 
-    mention_vecs = mention_vecs.withColumn("match_key", _match_key(F.col("name")))
+    from pyspark.sql import Window
+
+    sample_w = Window.partitionBy("entity_type", "match_key").orderBy(
+        F.xxhash64("url", "name")
+    )
+    sampled = (
+        mentions.withColumn("match_key", _match_key(F.col("name")))
+        .withColumn("_rn", F.row_number().over(sample_w))
+        .filter(F.col("_rn") <= EVIDENCE_MENTIONS_PER_NODE)
+        .drop("_rn")
+    )
+
+    mention_vecs = (
+        sampled.join(articles.select("url", "text"), "url")
+        .withColumn("vec", _evidence_vec(F.col("name"), F.col("text")))
+        .select("entity_type", "match_key", "vec")
+    )
 
     # element-wise mean per node: explode positions would shuffle dim×rows;
     # instead aggregate zipped sums JVM-side via F.aggregate on collect_list
@@ -349,7 +368,7 @@ def score_pairs(
         enriched.withColumn("sim", _cos(F.col("vec_src"), F.col("vec_dst")))
         .withColumn("tau", tau_expr)
         .withColumn("guard_lq", _low_quality_pair(F.col("name_src"), F.col("name_dst")))
-    )
+    ).localCheckpoint(eager=False)  # accepted + review both derive from it
 
     deterministic = F.col("reason").isin("equivalence", "acronym", "containment")
     in_gray = (F.abs(F.col("sim") - F.col("tau")) <= cfg.gray_band_width)

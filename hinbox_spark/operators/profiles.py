@@ -42,16 +42,37 @@ PROFILE_SCHEMA = (
 )
 
 
+# deterministic cap on articles folded into one profile — a mega-entity
+# (millions of mentioning pages) must not produce an unbounded profile row;
+# total coverage is still reported via entities.n_articles and edge triples
+PROFILE_ARTICLES_CAP = 20
+
+
 def build_profiles(mention_clusters: DataFrame, entities: DataFrame) -> DataFrame:
-    """Grouped profile assembly: one applyInPandas over cluster_id."""
+    """Grouped profile assembly: one applyInPandas over cluster_id.
+
+    Input is pre-reduced to one row per (cluster, url), earliest
+    PROFILE_ARTICLES_CAP articles per cluster — so group sizes are bounded
+    regardless of entity popularity."""
+    from pyspark.sql import Window
+
     ent = entities.select(
         "cluster_id", "entity_id", "entity_type", "canonical_name",
-        "canonical_type", "aliases",
+        "canonical_type", "aliases", "all_names", "n_articles",
     )
-    rows = (
-        mention_clusters.select(
-            "cluster_id", "url", "warc_ts", "name", "description", "start_date"
+    per_article = (
+        mention_clusters.groupBy("cluster_id", "url")
+        .agg(
+            F.min("warc_ts").alias("warc_ts"),
+            F.max("description").alias("description"),
+            F.max("start_date").alias("start_date"),
         )
+    )
+    rank = Window.partitionBy("cluster_id").orderBy("warc_ts", "url")
+    rows = (
+        per_article.withColumn("_rn", F.row_number().over(rank))
+        .filter(F.col("_rn") <= PROFILE_ARTICLES_CAP)
+        .drop("_rn")
         .join(ent, "cluster_id")
     )
 
@@ -61,14 +82,15 @@ def build_profiles(mention_clusters: DataFrame, entities: DataFrame) -> DataFram
         etype = pdf["entity_type"].iloc[0]
         cname = pdf["canonical_name"].iloc[0]
         ctype = pdf["canonical_type"].iloc[0]
-        raw_aliases = pdf["aliases"].iloc[0]
-        aliases = [
-            a
-            for a in (list(raw_aliases) if raw_aliases is not None else [])
-            if a != cname
-        ]
+        n_articles_total = int(pdf["n_articles"].iloc[0])
 
-        urls = list(dict.fromkeys(pdf["url"]))  # first-seen order
+        def _aslist(v):
+            return list(v) if v is not None else []
+
+        aliases = [a for a in _aslist(pdf["aliases"].iloc[0]) if a != cname]
+        all_names = _aslist(pdf["all_names"].iloc[0])
+
+        urls = list(dict.fromkeys(pdf["url"]))  # earliest-first (pre-capped)
         noun = {
             "people": "person",
             "organizations": "organization",
@@ -76,7 +98,7 @@ def build_profiles(mention_clusters: DataFrame, entities: DataFrame) -> DataFram
             "events": "event",
         }[etype]
 
-        lines = [f"### Overview", ]
+        lines = ["### Overview"]
         first_url = urls[0]
         kind = f"{ctype} {noun}".strip() if ctype else noun
         lines.append(f"{cname} is a {kind} referenced in the corpus.^[{first_url}]")
@@ -92,27 +114,25 @@ def build_profiles(mention_clusters: DataFrame, entities: DataFrame) -> DataFram
             for d, u in zip(descs[:3], urls[:3]):
                 lines.append(f"{d}^[{u}]")
         lines.append("### Coverage")
-        for u in urls:
+        for u in urls[:10]:
             lines.append(f"Mentioned in {u}.^[{u}]")
+        lines.append(
+            f"Referenced in {n_articles_total} article(s) in total.^[{first_url}]"
+        )
         text = "\n".join(lines)
 
         tags = sorted({t for t in (ctype, noun) if t})
-        confidence = max(0.0, min(1.0, 0.5 + 0.05 * len(urls)))
+        confidence = max(0.0, min(1.0, 0.5 + 0.05 * n_articles_total))
 
-        versions = []
-        seen_urls: list[str] = []
-        for vn, (_, row) in enumerate(
-            pdf.drop_duplicates("url").iterrows(), start=1
-        ):
-            seen_urls.append(row["url"])
-            versions.append(
-                {
-                    "version_number": vn,
-                    "text": f"{cname}: profile over {len(seen_urls)} article(s).",
-                    "trigger_url": row["url"],
-                    "created_at": row["warc_ts"],
-                }
-            )
+        versions = [
+            {
+                "version_number": vn,
+                "text": f"{cname}: profile over {vn} article(s).",
+                "trigger_url": row["url"],
+                "created_at": row["warc_ts"],
+            }
+            for vn, (_, row) in enumerate(pdf.iterrows(), start=1)
+        ]
 
         flags = []
         if len(text) < PROFILE_QC_MIN_TEXT_LENGTH:
@@ -135,7 +155,7 @@ def build_profiles(mention_clusters: DataFrame, entities: DataFrame) -> DataFram
                 "current_version": [len(versions)],
                 "versions": [versions],
                 "qc_flags": [flags],
-                "name_variants": [sorted({cname, *aliases, *pdf["name"]})],
+                "name_variants": [sorted({cname, *aliases, *all_names})],
             }
         )
 
@@ -153,6 +173,10 @@ def ground_profiles(profiles: DataFrame, articles: DataFrame) -> DataFrame:
     @F.pandas_udf("array<string>")
     def _citations(text: pd.Series) -> pd.Series:
         return text.map(lambda t: CITATION_RE.findall(t or ""))
+
+    # the report self-joins profiles; checkpoint so the applyInPandas
+    # assembly runs once, not three times
+    profiles = profiles.localCheckpoint(eager=False)
 
     cited = (
         profiles.select(

@@ -50,15 +50,31 @@ def _done(base: str, name: str) -> bool:
 
 
 def _write(df: DataFrame, base: str, name: str, partition_cols: list[str] | None = None):
-    if df.isEmpty():
-        # an empty write emits no schema-bearing part file → unreadable
-        # table; force one empty part file so the checkpoint stays readable
-        df = df.repartition(1)
-        partition_cols = None
+    path = _table_path(base, name)
+    if "partition_id" not in df.columns:
+        # write-time lineage: the partition that produced each row is
+        # persisted, so the metrics stage never re-derives it
+        df = df.withColumn("partition_id", F.spark_partition_id())
     w = df.write.mode("overwrite")
     if partition_cols:
         w = w.partitionBy(*partition_cols)
-    w.parquet(_table_path(base, name))
+    w.parquet(path)
+    # an all-empty write emits no schema-bearing part file → unreadable
+    # table; detect from the output listing (free) and rewrite one empty
+    # part file carrying the schema
+    has_part = any(
+        f.startswith("part-") for f in os.listdir(path)
+    ) or any(
+        f2.startswith("part-")
+        for f in os.listdir(path)
+        if os.path.isdir(os.path.join(path, f))
+        for f2 in os.listdir(os.path.join(path, f))
+    )
+    if not has_part:
+        # write an empty single-file table from a literal (no plan recompute)
+        df.sparkSession.createDataFrame([], df.schema).repartition(1).write.mode(
+            "overwrite"
+        ).parquet(path)
 
 
 def run_pipeline(
@@ -121,12 +137,13 @@ def run_pipeline(
     profiles = spark.read.parquet(_table_path(output_dir, "profiles"))
     review = spark.read.parquet(_table_path(output_dir, "review"))
 
-    # ── metrics table: per-stage / per-partition counters ──
+    # ── metrics table: per-stage / per-partition lineage counters ──
+    # partition_id is persisted at write time by _write, so this is one
+    # column-pruned scan per table, unioned into a single job
     if not (resume and _done(output_dir, "metrics")):
         def _stage_counts(df: DataFrame, stage: str) -> DataFrame:
             return (
-                df.withColumn("partition_id", F.spark_partition_id())
-                .groupBy("partition_id")
+                df.groupBy("partition_id")
                 .agg(F.count("*").alias("rows"))
                 .withColumn("stage", F.lit(stage))
                 .select("stage", "partition_id", "rows")

@@ -502,6 +502,123 @@ GROUP BY label
 """
 
 
+def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (dedup family, brute variant — the LSH
+    scale path is operators/ann.lsh_topk, self-checked in tests)."""
+    from hinbox_spark.operators.dedup import embedding_cosine_near_duplicates
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_cosine_near_duplicates(emb, threshold=0.45)
+
+
+ORACLE_EMB_NEAR_DUP = """
+SELECT vec_a, vec_b, round(cos, 6) AS cos_sim
+FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                                list_transform(b.embedding, x -> CAST(x AS DOUBLE))) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+WHERE cos >= 0.45
+"""
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (length/stopword/punct heuristic) per lang."""
+    from hinbox_spark.functions.textstats import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("q", quality_score("text"))
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+            F.count(F.when(F.col("q") >= 0.5, 1)).alias("n_good"),
+        )
+    )
+
+
+ORACLE_DOC_QUALITY = """
+WITH scored AS (
+  SELECT lang,
+         round(
+           least(length(text) / 500.0, 1.0) * 0.4
+           + least((len(list_filter(string_split(text, ' '),
+                     x -> x IN ('the','and','of','to','in','a','is','that')))
+                    / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE)) * 4,
+                   1.0) * 0.4
+           + greatest(0.0, 1.0 - (length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+                    / CAST(greatest(length(text), 1) AS DOUBLE)) * 5) * 0.2,
+         4) AS q
+  FROM documents
+)
+SELECT lang, round(avg(q), 4) AS avg_quality,
+       CAST(count(*) FILTER (WHERE q >= 0.5) AS BIGINT) AS n_good
+FROM scored GROUP BY lang
+"""
+
+
+def q_doc_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish sub-word unit counting per lang (JVM regex ops)."""
+    from hinbox_spark.functions.textstats import wordpiece_count
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(F.sum(wordpiece_count("text")).alias("total_wordpieces"))
+    )
+
+
+ORACLE_DOC_WORDPIECE = """
+SELECT lang,
+       CAST(sum(
+         len(string_split(text, ' '))
+         + CAST(floor(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / 4.0) AS BIGINT)
+         + length(regexp_replace(text, '[A-Za-z\\s]', '', 'g'))
+       ) AS BIGINT) AS total_wordpieces
+FROM documents
+GROUP BY lang
+"""
+
+
+def q_doc_langid_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-family-voting language ID vs the labeled lang column."""
+    from hinbox_spark.functions.textstats import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("pred", lang_id("text"))
+        .groupBy(F.col("lang").alias("label_lang"), "pred")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+ORACLE_DOC_LANGID_VOTES = """
+WITH votes AS (
+  SELECT lang,
+    len(list_filter(string_split(lower(text), ' '),
+        x -> x IN ('the','and','of','to','in','a','is','that'))) AS v_en,
+    len(list_filter(string_split(lower(text), ' '),
+        x -> x IN ('el','la','de','que','y','en','un','es'))) AS v_es,
+    len(list_filter(string_split(lower(text), ' '),
+        x -> x IN ('le','la','de','et','les','des','en','un'))) AS v_fr,
+    len(list_filter(string_split(lower(text), ' '),
+        x -> x IN ('der','die','und','das','von','zu','mit','ist'))) AS v_de
+  FROM documents
+), labeled AS (
+  SELECT lang,
+    CASE WHEN v_en = greatest(v_en, v_es, v_fr, v_de) AND greatest(v_en, v_es, v_fr, v_de) > 0 THEN 'en'
+         WHEN v_es = greatest(v_en, v_es, v_fr, v_de) AND greatest(v_en, v_es, v_fr, v_de) > 0 THEN 'es'
+         WHEN v_fr = greatest(v_en, v_es, v_fr, v_de) AND greatest(v_en, v_es, v_fr, v_de) > 0 THEN 'fr'
+         WHEN v_de = greatest(v_en, v_es, v_fr, v_de) AND greatest(v_en, v_es, v_fr, v_de) > 0 THEN 'de'
+         ELSE 'und' END AS pred
+  FROM votes
+)
+SELECT lang AS label_lang, pred, count(*) AS n_docs
+FROM labeled GROUP BY 1, 2
+"""
+
+
 # ── registry ──
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -522,6 +639,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_norms": q_embedding_norms,
     "knn_top5": q_knn_top5,
     "label_centroid_norms": q_label_centroid_norms,
+    "emb_near_dup_pairs": q_emb_near_dup_pairs,
+    "doc_quality": q_doc_quality,
+    "doc_wordpiece": q_doc_wordpiece,
+    "doc_langid_votes": q_doc_langid_votes,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -542,4 +663,8 @@ ORACLE_QUERIES: dict[str, str] = {
     "embedding_norms": ORACLE_EMB_NORMS,
     "knn_top5": ORACLE_KNN,
     "label_centroid_norms": ORACLE_CENTROID,
+    "emb_near_dup_pairs": ORACLE_EMB_NEAR_DUP,
+    "doc_quality": ORACLE_DOC_QUALITY,
+    "doc_wordpiece": ORACLE_DOC_WORDPIECE,
+    "doc_langid_votes": ORACLE_DOC_LANGID_VOTES,
 }

@@ -1,0 +1,72 @@
+"""Dedup family: exact, MinHash-LSH, SimHash, embedding cosine."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from hinbox_spark.operators.dedup import (
+    embedding_cosine_near_duplicates,
+    exact_duplicates,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the band plays a "
+    "merry tune in the town square and people gather to watch the show "
+    "under the evening sky with lanterns glowing softly over the crowd"
+)
+NEAR = BASE.replace("merry tune", "happy tune")  # one token differs
+FAR = (
+    "completely different subject matter entirely about quantum physics "
+    "and the behaviour of particles in superconducting materials at very "
+    "low temperatures measured carefully by experimental apparatus"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE), (1, BASE),          # exact duplicates
+        (2, NEAR),                      # near duplicate of 0/1
+        (3, FAR), (4, "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    out = exact_duplicates(docs).collect()
+    assert len(out) == 1
+    assert out[0]["n_docs"] == 2 and out[0]["keeper_doc_id"] == 0
+
+
+def test_minhash_finds_near_dup(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_near_duplicates(docs, jaccard_threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0   # exact pair
+    assert (0, 2) in pairs and pairs[(0, 2)] >= 0.5   # near pair
+    assert all(3 not in p and 4 not in p for p in pairs)  # far/short excluded
+
+
+def test_simhash_finds_near_dup(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_duplicates(docs, max_hamming=8).collect()
+    }
+    assert pairs.get((0, 1)) == 0
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 8
+    assert (0, 3) not in pairs
+
+
+def test_embedding_near_dups(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),   # near 0
+        (2, [0.0, 1.0, 0.0, 0.0]),    # orthogonal
+        (3, [0.0, 0.0, 0.0, 0.0]),    # zero vector must not divide by zero
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {(r["vec_a"], r["vec_b"]) for r in
+           embedding_cosine_near_duplicates(emb, threshold=0.95).collect()}
+    assert out == {(0, 1)}
