@@ -35,7 +35,7 @@ HEADLINE = [
     "label_centroid_norms",
 ]
 
-KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "1200"))
+KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "20000"))
 
 
 def _force(df) -> None:
@@ -63,12 +63,20 @@ def main() -> None:
         _force(fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
-    # KG pipeline throughput: synthetic corpus → full pipeline
+    # KG pipeline throughput: distributed synthetic corpus → full pipeline.
+    # A small warm-up run compiles the whole-stage-codegen classes so the
+    # measured run reflects data work, not per-plan JIT (see BENCH.md).
     from hinbox_spark.pipeline import run_pipeline
-    from hinbox_spark.sources.pages_gen import pages_dataframe
+    from hinbox_spark.sources.pages_gen import pages_dataframe_distributed
 
-    pages, _ = pages_dataframe(spark, KG_PAGES, seed=42)
-    pages = pages.cache()
+    warm = pages_dataframe_distributed(spark, 400, seed=7, partitions=8)
+    run_pipeline(spark, warm, tempfile.mkdtemp(prefix="bench_warm_"), resume=False)
+
+    pages_dir = tempfile.mkdtemp(prefix="bench_pages_")
+    pages_dataframe_distributed(
+        spark, KG_PAGES, seed=42, partitions=4 * cpus
+    ).write.mode("overwrite").parquet(pages_dir)
+    pages = spark.read.parquet(pages_dir)
     n_pages = pages.count()
     out_dir = tempfile.mkdtemp(prefix="bench_kg_")
     t0 = time.time()
