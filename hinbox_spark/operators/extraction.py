@@ -108,6 +108,69 @@ def extract_mentions(articles: DataFrame, gazetteer: Gazetteer) -> DataFrame:
     return articles.mapInPandas(_scan, MENTION_SCHEMA)
 
 
+EXTRACTOR_VERSION = 2  # bump to invalidate the extraction cache (S8 parity)
+
+
+def extract_mentions_cached(
+    articles: DataFrame,
+    gazetteer: Gazetteer,
+    cache_path: str,
+    version: int = EXTRACTOR_VERSION,
+) -> DataFrame:
+    """S8: extraction sidecar cache re-expressed as a table.
+
+    The reference caches per-article LLM extractions in sharded JSON files
+    keyed by sha256 of every output-affecting input
+    (src/utils/extraction_cache.py:88-157). Here the key is
+    (content_hash, extractor_version): mention rows are stored
+    url-independent and re-attached by hash, so N duplicate pages cost one
+    extraction. Flow: left-anti join articles→cache = misses; extract
+    misses; append them to the cache; hits come straight from the cache
+    join. Version bump = logical invalidation (old rows filtered, not
+    deleted — same as the reference's version-dir scheme).
+    """
+    import os
+
+    spark = articles.sparkSession
+    mention_cols = [f.name for f in MENTION_SCHEMA.fields if f.name != "url"]
+
+    cache_exists = os.path.exists(os.path.join(cache_path, "_SUCCESS"))
+    if cache_exists:
+        cache = spark.read.parquet(cache_path).filter(
+            F.col("extractor_version") == version
+        )
+    else:
+        cache = None
+
+    # one representative article per distinct content_hash is extracted
+    distinct_content = articles.dropDuplicates(["content_hash"]).select(
+        "url", "text", "content_hash"
+    )
+    if cache is not None:
+        misses = distinct_content.join(
+            cache.select("content_hash").distinct(), "content_hash", "left_anti"
+        )
+    else:
+        misses = distinct_content
+
+    new_rows = (
+        extract_mentions(misses, gazetteer)
+        .join(misses.select("url", "content_hash"), "url")
+        .select("content_hash", *mention_cols)
+        .withColumn("extractor_version", F.lit(version))
+    )
+    new_rows.write.mode("append").parquet(cache_path)
+
+    cache_all = spark.read.parquet(cache_path).filter(
+        F.col("extractor_version") == version
+    )
+    # re-attach urls: every article (incl. duplicates) gets the mentions of
+    # its content hash
+    return articles.select("url", "content_hash").join(
+        cache_all, "content_hash"
+    ).select("url", *mention_cols)
+
+
 def _qc_article(url: str, text: str, raw: list[dict]) -> list[dict]:
     """Within-article QC: required fields, NFC normalize, exact-key dedup,
     variant collapse, mention-in-text validation (X4/X5/F5)."""

@@ -44,6 +44,10 @@ TOKEN_DF_CAP = 1000
 # deterministic per-node evidence sample size (hot-entity skew guard)
 EVIDENCE_MENTIONS_PER_NODE = 8
 
+# minimum char-3-gram name Jaccard for a cosine-path merge (the string
+# feature of the deterministic match-check, J8)
+NAME_JACCARD_MIN = 0.5
+
 
 def mention_nodes(mentions: DataFrame) -> DataFrame:
     """Distinct linkable keys: one node per (entity_type, match_key, type,
@@ -207,6 +211,72 @@ def _pairs_containment(nodes: DataFrame) -> DataFrame:
     )
 
 
+def _pairs_minhash_names(nodes: DataFrame) -> DataFrame:
+    """B5: MinHash-LSH over character-3-gram shingles of the match key —
+    proposes near-duplicate-name pairs (typos, transliteration drift) that
+    the exact/acronym/containment families can't see. These pairs carry
+    reason='lsh' and are NOT accepted deterministically: they must pass the
+    evidence-cosine threshold in score_pairs (J6). People are excluded
+    (reference conservatism, name_variants.py:249-257)."""
+    import numpy as np
+
+    n_hashes, bands = 24, 12  # 2 rows/band → catches ~0.35+ Jaccard names
+    rows_per_band = n_hashes // bands
+
+    @F.pandas_udf("array<long>")
+    def _sig(names: pd.Series) -> pd.Series:
+        from hinbox_spark.operators.dedup import _hash_tokens_u64
+
+        out = []
+        for name in names:
+            s = " " + str(name or "") + " "
+            grams = list({s[i: i + 3] for i in range(len(s) - 2)})
+            if not grams:
+                out.append([0] * n_hashes)
+                continue
+            gh = _hash_tokens_u64(grams)
+            a = (np.arange(1, n_hashes + 1, dtype=np.uint64) * np.uint64(2)
+                 + np.uint64(1)) * np.uint64(0x9E3779B97F4A7C15)
+            b = np.arange(n_hashes, dtype=np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+            with np.errstate(over="ignore"):
+                m = (gh[None, :] * a[:, None] + b[:, None]).min(axis=1)
+            out.append(m.astype(np.int64).tolist())
+        return pd.Series(out)
+
+    non_people = nodes.filter(F.col("entity_type") != "people")
+    sigs = non_people.select("entity_type", "node_id", "match_key").withColumn(
+        "sig", _sig(F.col("match_key"))
+    )
+    band_entries = sigs.select(
+        "entity_type",
+        "node_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"struct(b AS band, hash(slice(sig, b * {rows_per_band} + 1,"
+                f" {rows_per_band})) AS bh))"
+            )
+        ).alias("e"),
+    ).select("entity_type", "node_id", "e.band", "e.bh")
+
+    a, b = band_entries.alias("a"), band_entries.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.entity_type") == F.col("b.entity_type"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.node_id") < F.col("b.node_id")),
+        )
+        .select(
+            F.col("a.node_id").alias("src"),
+            F.col("b.node_id").alias("dst"),
+            F.lit("lsh").alias("reason"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+
+
 def node_evidence_embeddings(
     nodes: DataFrame, mentions: DataFrame, articles: DataFrame, cfg: DomainConfig
 ) -> DataFrame:
@@ -299,13 +369,18 @@ def node_evidence_embeddings(
 
 
 def candidate_pairs(nodes: DataFrame, cfg: DomainConfig) -> DataFrame:
-    """Union of the deterministic blocking families (B2-B4)."""
-    return (
+    """Union of the blocking families: deterministic (B2-B4, pre-verified)
+    first so dropDuplicates keeps the stronger reason, then the MinHash
+    proposals (B5, cosine-gated downstream)."""
+    det = (
         _pairs_equivalence(nodes, cfg)
         .unionByName(_pairs_acronym(nodes))
         .unionByName(_pairs_containment(nodes))
-        .dropDuplicates(["src", "dst"])
     )
+    lsh = _pairs_minhash_names(nodes).join(
+        det.select("src", "dst"), ["src", "dst"], "left_anti"
+    )
+    return det.unionByName(lsh).dropDuplicates(["src", "dst"])
 
 
 def score_pairs(
@@ -354,6 +429,22 @@ def score_pairs(
             dtype=bool,
         )
 
+    @F.pandas_udf(DoubleType())
+    def _name_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
+        """Char-3-gram Jaccard of the match-normalized names — the string
+        feature of the deterministic match-check (J8). Evidence cosine alone
+        over-merges entities that appear in similar contexts ('Justice
+        Department' vs 'Defense Department'); requiring the NAMES to be
+        near-duplicates too is what the reference's LLM check enforced."""
+        out = []
+        for x, y in zip(a, b):
+            gx = {f" {normalize_for_match(x)} "[i : i + 3]
+                  for i in range(len(normalize_for_match(x)))}
+            gy = {f" {normalize_for_match(y)} "[i : i + 3]
+                  for i in range(len(normalize_for_match(y)))}
+            out.append(len(gx & gy) / len(gx | gy) if gx or gy else 0.0)
+        return pd.Series(out, dtype="float64")
+
     thresholds = cfg.similarity_thresholds
     tau_expr = F.coalesce(
         *[
@@ -368,18 +459,25 @@ def score_pairs(
         enriched.withColumn("sim", _cos(F.col("vec_src"), F.col("vec_dst")))
         .withColumn("tau", tau_expr)
         .withColumn("guard_lq", _low_quality_pair(F.col("name_src"), F.col("name_dst")))
+        .withColumn("name_jac", _name_jaccard(F.col("name_src"), F.col("name_dst")))
     ).localCheckpoint(eager=False)  # accepted + review both derive from it
 
     deterministic = F.col("reason").isin("equivalence", "acronym", "containment")
     in_gray = (F.abs(F.col("sim") - F.col("tau")) <= cfg.gray_band_width)
+    # deterministic match-check (J8 replacement): cosine-path pairs must
+    # ALSO have near-duplicate names
+    names_close = F.col("name_jac") >= NAME_JACCARD_MIN
 
     accepted = scored.filter(
         ~F.col("guard_lq")
-        & (deterministic | ((F.col("sim") >= F.col("tau")) & ~in_gray))
+        & (
+            deterministic
+            | (names_close & (F.col("sim") >= F.col("tau")) & ~in_gray)
+        )
     ).select("src", "dst", "entity_type", "reason", "sim")
 
     review = scored.filter(
-        ~deterministic & in_gray & ~F.col("guard_lq")
+        ~deterministic & in_gray & names_close & ~F.col("guard_lq")
     ).select(
         "src", "dst", "entity_type", "name_src", "name_dst", "sim", "tau",
         F.lit("defer").alias("decision"),

@@ -1,0 +1,149 @@
+"""Linking decision semantics mirrored from the reference test suite
+(tests/test_entity_merger_similarity.py, test_merge_dispute_agent_routing.py):
+per-type thresholds, gray-band deferral, low-quality guard, people
+conservatism, blocking include/exclude."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from hinbox_spark.config import get_default_config
+from hinbox_spark.operators.linking import (
+    candidate_pairs, mention_nodes, score_pairs,
+)
+
+
+def _nodes(spark, rows):
+    """rows: (entity_type, name, type_attr, start_date)"""
+    m = spark.createDataFrame(
+        [(f"u{i}", et, n, t, "", sd, "", False, []) for i, (et, n, t, sd) in enumerate(rows)],
+        "url string, entity_type string, name string, type string, "
+        "description string, start_date string, end_date string, "
+        "is_fuzzy_date boolean, aliases array<string>",
+    )
+    return mention_nodes(m)
+
+
+def _vecs(spark, nodes, vec_by_name):
+    rows = [
+        (r["node_id"], r["entity_type"], vec_by_name.get(r["name"]))
+        for r in nodes.collect()
+    ]
+    return spark.createDataFrame(
+        rows, "node_id string, entity_type string, vec array<float>"
+    )
+
+
+class TestBlocking:
+    def test_equivalence_and_acronym_and_containment(self, spark):
+        cfg = get_default_config()
+        nodes = _nodes(spark, [
+            ("organizations", "Department of Defense", "government", ""),
+            ("organizations", "Pentagon", "government", ""),           # equiv group
+            ("organizations", "DHS", "government", ""),
+            ("organizations", "Department of Homeland Security", "government", ""),  # acronym
+            ("organizations", "Homeland Security", "government", ""),  # containment
+            ("organizations", "Coast Guard", "military", ""),          # unrelated
+        ])
+        pairs = candidate_pairs(nodes, cfg)
+        names = {r["name"]: r["node_id"] for r in nodes.collect()}
+        got = {(r["src"], r["dst"]) for r in pairs.collect()}
+
+        def linked(a, b):
+            x, y = names[a], names[b]
+            return (min(x, y), max(x, y)) in got
+
+        assert linked("Department of Defense", "Pentagon")
+        assert linked("DHS", "Department of Homeland Security")
+        assert linked("Homeland Security", "Department of Homeland Security")
+        assert not any(names["Coast Guard"] in p for p in got)
+
+    def test_people_never_acronym_or_containment(self, spark):
+        cfg = get_default_config()
+        nodes = _nodes(spark, [
+            ("people", "John Smith", "person", ""),
+            ("people", "JS", "person", ""),
+            ("people", "Smith", "person", ""),
+        ])
+        assert candidate_pairs(nodes, cfg).count() == 0
+
+
+class TestScoring:
+    def test_gray_band_defers_to_review(self, spark):
+        """|sim − τ| ≤ 0.05 on a cosine-path pair → review queue, not edge
+        (reference constants.py:30-33, mergers.py:907-942)."""
+        cfg = get_default_config()
+        nodes = _nodes(spark, [
+            ("organizations", "Alpha Industries Corp", "company", ""),
+            ("organizations", "Alpah Industries Corp", "company", ""),  # typo variant
+        ])
+        # engineer vectors with cosine exactly in the gray band:
+        # τ(orgs)=0.78; cos = 0.8 → |0.8-0.78| = 0.02 ≤ 0.05 → defer
+        import math
+        a = [1.0, 0.0]
+        b = [0.8, math.sqrt(1 - 0.64)]
+        vec_by_name = {"Alpha Industries Corp": a, "Alpah Industries Corp": b}
+        vecs = _vecs(spark, nodes, vec_by_name)
+        # the MinHash name-LSH family (B5) proposes the typo pair with
+        # reason='lsh'; it must pass the cosine gate
+        pairs = candidate_pairs(nodes, cfg)
+        accepted, review = score_pairs(pairs, nodes, vecs, cfg)
+        assert accepted.count() == 0
+        rows = review.collect()
+        assert len(rows) == 1 and rows[0]["decision"] == "defer"
+
+    def test_above_band_accepts(self, spark):
+        cfg = get_default_config()
+        nodes = _nodes(spark, [
+            ("organizations", "Alpha Industries Corp", "company", ""),
+            ("organizations", "Alpah Industries Corp", "company", ""),
+        ])
+        vec_by_name = {
+            "Alpha Industries Corp": [1.0, 0.0],
+            "Alpah Industries Corp": [0.99, 0.141],  # cos ≈ 0.99 > τ+0.05
+        }
+        vecs = _vecs(spark, nodes, vec_by_name)
+        pairs = candidate_pairs(nodes, cfg)
+        accepted, review = score_pairs(pairs, nodes, vecs, cfg)
+        assert accepted.count() == 1
+        assert review.count() == 0
+
+    def test_below_threshold_rejects(self, spark):
+        cfg = get_default_config()
+        nodes = _nodes(spark, [
+            ("organizations", "Alpha Industries Corp", "company", ""),
+            ("organizations", "Alpah Industries Corp", "company", ""),
+        ])
+        vec_by_name = {
+            "Alpha Industries Corp": [1.0, 0.0],
+            "Alpah Industries Corp": [0.5, 0.866],  # cos = 0.5 < τ−0.05
+        }
+        vecs = _vecs(spark, nodes, vec_by_name)
+        pairs = candidate_pairs(nodes, cfg)
+        accepted, review = score_pairs(pairs, nodes, vecs, cfg)
+        assert accepted.count() == 0 and review.count() == 0
+
+    def test_low_quality_guard_blocks_merge(self, spark):
+        """'defense departments' must never bond (reference mergers.py:833-847)."""
+        cfg = get_default_config()
+        nodes = _nodes(spark, [
+            ("organizations", "Defense departments", "government", ""),
+            ("organizations", "Department of Defense", "government", ""),
+        ])
+        pairs = candidate_pairs(nodes, cfg)
+        vecs = _vecs(spark, nodes, {
+            "Defense departments": [1.0, 0.0],
+            "Department of Defense": [1.0, 0.0],
+        })
+        accepted, review = score_pairs(pairs, nodes, vecs, cfg)
+        assert accepted.count() == 0
+        assert review.count() == 0
+
+
+class TestThresholdResolution:
+    def test_per_type_chain(self):
+        cfg = get_default_config()
+        assert cfg.threshold_for("people") == 0.82
+        assert cfg.threshold_for("organizations") == 0.78
+        assert cfg.threshold_for("locations") == 0.80
+        assert cfg.threshold_for("events") == 0.76
+        assert cfg.threshold_for("other") == 0.75  # default fallback
