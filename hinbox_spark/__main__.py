@@ -1,0 +1,56 @@
+"""spark-submit entry point:
+
+  spark-submit --py-files hinbox_spark.zip -m ...   # or:
+  spark-submit scripts/run_pipeline.py --pages <parquet_dir> --output <dir>
+  python -m hinbox_spark --generate 10000 --output out/
+
+Reads a pages parquet directory (url, warc_ts, html, text, lang) — or
+generates the deterministic synthetic corpus — and runs the full KG
+pipeline with stage checkpoints; rerunning with the same --output resumes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="hinbox_spark")
+    p.add_argument("--pages", help="input pages parquet path")
+    p.add_argument("--generate", type=int, default=0,
+                   help="generate a synthetic corpus of N pages instead")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--output", required=True, help="output/checkpoint dir")
+    p.add_argument("--master", default=None, help="spark master override")
+    p.add_argument("--no-resume", action="store_true",
+                   help="recompute every stage even if checkpointed")
+    args = p.parse_args(argv)
+
+    if not args.pages and not args.generate:
+        p.error("one of --pages or --generate is required")
+
+    from hinbox_spark.pipeline import run_pipeline
+    from hinbox_spark.session import get_spark
+
+    spark = get_spark("hinbox_spark_pipeline", master=args.master)
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.pages:
+        pages = spark.read.parquet(args.pages)
+    else:
+        from hinbox_spark.sources.pages_gen import pages_dataframe_distributed
+
+        pages = pages_dataframe_distributed(spark, args.generate, args.seed)
+
+    t0 = time.time()
+    tables = run_pipeline(spark, pages, args.output, resume=not args.no_resume)
+    counts = {k: df.count() for k, df in tables.items()}
+    print(json.dumps({"sec": round(time.time() - t0, 2), "rows": counts}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,60 @@
+"""Serving-layer semantics (F6 filters, A9 chips, O6 version lookup)."""
+
+import datetime
+
+import pytest
+
+from hinbox_spark.operators.serving import (
+    distinct_filter_values, profile_version, search_entities,
+)
+
+
+@pytest.fixture(scope="module")
+def profiles(spark):
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("e1", "organizations", "Department of Defense",
+         ["government", "organization"], 2,
+         [{"version_number": 1, "text": "v1", "trigger_url": "u1", "created_at": ts},
+          {"version_number": 2, "text": "v2", "trigger_url": "u2", "created_at": ts}]),
+        ("e2", "organizations", "Red Cross", ["ngo", "organization"], 1,
+         [{"version_number": 1, "text": "v1", "trigger_url": "u3", "created_at": ts}]),
+        ("e3", "people", "Omar Khadr", ["person"], 1,
+         [{"version_number": 1, "text": "v1", "trigger_url": "u4", "created_at": ts}]),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "entity_id string, entity_type string, canonical_name string, "
+        "profile_tags array<string>, current_version int, "
+        "versions array<struct<version_number:int, text:string, "
+        "trigger_url:string, created_at:timestamp>>",
+    )
+
+
+def test_search_substring_case_insensitive(profiles):
+    out = search_entities(profiles, q="defense").collect()
+    assert [r["entity_id"] for r in out] == ["e1"]
+
+
+def test_search_type_and_tag(profiles):
+    out = search_entities(profiles, entity_type="organizations", tags=["ngo"]).collect()
+    assert [r["entity_id"] for r in out] == ["e2"]
+    # any-overlap: 'organization' matches both orgs
+    out = search_entities(profiles, tags=["organization"]).collect()
+    assert {r["entity_id"] for r in out} == {"e1", "e2"}
+
+
+def test_distinct_filter_chips(profiles):
+    chips = [(r["entity_type"], r["tag"]) for r in distinct_filter_values(profiles).collect()]
+    assert ("organizations", "government") in chips
+    assert ("people", "person") in chips
+    assert chips == sorted(chips)
+
+
+def test_profile_version_lookup(profiles):
+    latest = profile_version(profiles, "e1").collect()[0]
+    assert latest["version"]["version_number"] == 2
+    v1 = profile_version(profiles, "e1", version=1).collect()[0]
+    assert v1["version"]["text"] == "v1"
+    missing = profile_version(profiles, "e1", version=9).collect()[0]
+    assert missing["version"] is None
