@@ -109,10 +109,26 @@ def _distributed_components(
             sym.join(labels, sym.a == labels.node_id)
             .select(F.col("b").alias("node_id"), "cluster_id")
         )
-        new_labels = (
+        stepped = (
             labels.unionByName(neighbor_labels)
             .groupBy("node_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
+        )
+        # pointer jumping (path doubling): follow the label's own label so a
+        # chain of length L converges in O(log L) rounds, not O(L) — labels
+        # are always node ids, so the self-join resolves
+        parents = stepped.select(
+            F.col("node_id").alias("cluster_id"),
+            F.col("cluster_id").alias("grand"),
+        )
+        new_labels = (
+            stepped.join(parents, "cluster_id", "left")
+            .select(
+                "node_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("grand", "cluster_id")
+                ).alias("cluster_id"),
+            )
         )
         labels = new_labels.localCheckpoint(eager=True)
         sig = labels.agg(
