@@ -176,6 +176,9 @@ def _qc_article(url: str, text: str, raw: list[dict]) -> list[dict]:
     variant collapse, mention-in-text validation (X4/X5/F5)."""
     out: list[dict] = []
     seen: set[tuple] = set()
+    # F5 compares the whitespace-normalized name, so normalize the text the
+    # same way before the containment check
+    flat_text = " ".join(text.split()).lower()
 
     required = {
         "people": ("name",),
@@ -203,7 +206,7 @@ def _qc_article(url: str, text: str, raw: list[dict]) -> list[dict]:
             continue
         seen.add(key)
         # F5: hallucination guard — the surface must appear in the text
-        if name.lower() not in text.lower():
+        if name.lower() not in flat_text:
             continue
         out.append(
             {

@@ -398,15 +398,18 @@ def score_pairs(
     """
     spark = pairs.sparkSession
 
-    n_meta = nodes.select("node_id", "entity_type", "name")
+    n_meta = nodes.select("node_id", "entity_type", "name", "start_date")
     v = node_vecs.select("node_id", "vec")
 
     enriched = (
         pairs.join(n_meta.withColumnRenamed("node_id", "src")
-                   .withColumnRenamed("name", "name_src"), "src")
+                   .withColumnRenamed("name", "name_src")
+                   .withColumnRenamed("start_date", "date_src"), "src")
         .join(
             n_meta.select(
-                F.col("node_id").alias("dst"), F.col("name").alias("name_dst")
+                F.col("node_id").alias("dst"),
+                F.col("name").alias("name_dst"),
+                F.col("start_date").alias("date_dst"),
             ),
             "dst",
         )
@@ -467,9 +470,19 @@ def score_pairs(
     # deterministic match-check (J8 replacement): cosine-path pairs must
     # ALSO have near-duplicate names
     names_close = F.col("name_jac") >= NAME_JACCARD_MIN
+    # events hard rule: start_date is part of the identity key (reference
+    # mergers.py:133-138, match-checker date compatibility) — two dated
+    # events only merge when the dates agree (empty date is compatible)
+    dates_ok = (
+        (F.col("entity_type") != "events")
+        | (F.col("date_src") == F.col("date_dst"))
+        | (F.col("date_src") == "")
+        | (F.col("date_dst") == "")
+    )
 
     accepted = scored.filter(
         ~F.col("guard_lq")
+        & dates_ok
         & (
             deterministic
             | (names_close & (F.col("sim") >= F.col("tau")) & ~in_gray)
@@ -477,7 +490,7 @@ def score_pairs(
     ).select("src", "dst", "entity_type", "reason", "sim")
 
     review = scored.filter(
-        ~deterministic & in_gray & names_close & ~F.col("guard_lq")
+        ~deterministic & in_gray & names_close & dates_ok & ~F.col("guard_lq")
     ).select(
         "src", "dst", "entity_type", "name_src", "name_dst", "sim", "tau",
         F.lit("defer").alias("decision"),

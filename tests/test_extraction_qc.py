@@ -1,0 +1,74 @@
+"""Within-article QC parity (reference quality_controls.py:218-306 +
+variant collapse :127-215): required-field drops, NFC normalization,
+exact-key dedup, variant collapse with alias absorption, mention-in-text
+validation."""
+
+from hinbox_spark.operators.extraction import _qc_article
+
+
+def _m(etype, name, type_attr="t", desc="d", start=""):
+    return {
+        "entity_type": etype, "name": name, "type": type_attr,
+        "description": desc, "start_date": start, "end_date": "",
+        "is_fuzzy_date": False,
+    }
+
+
+def test_required_field_drop_events():
+    text = "the Hearing happened"
+    out = _qc_article("u", text, [
+        _m("events", "Hearing", "hearing", "desc", ""),        # missing start_date
+        _m("events", "Hearing", "hearing", "", "2023-01-01"),  # missing description
+        _m("events", "Hearing", "hearing", "desc", "2023-01-01"),
+    ])
+    assert len(out) == 1
+    assert out[0]["start_date"] == "2023-01-01"
+
+
+def test_nfc_and_whitespace_normalization():
+    text = "Mohammed  Al-Qahtani spoke"
+    out = _qc_article("u", text, [_m("people", "Mohammed  Al-Qahtani", "person")])
+    assert out[0]["name"] == "Mohammed Al-Qahtani"
+
+
+def test_exact_key_dedup_and_same_name_type_collapse():
+    text = "the FBI and the FBI again"
+    out = _qc_article("u", text, [
+        _m("organizations", "FBI", "government"),
+        _m("organizations", "fbi", "government"),   # same (name, type) key → deduped
+        _m("organizations", "FBI", "ngo"),          # distinct key, but X5
+                                                    # collapses same-name
+                                                    # type variants (reference
+                                                    # quality_controls.py:127-215)
+    ])
+    assert len(out) == 1
+    assert out[0]["aliases"] == ["FBI"] or out[0]["aliases"] == []
+
+
+def test_mention_in_text_guard():
+    out = _qc_article("u", "only the CIA is here", [
+        _m("organizations", "CIA", "government"),
+        _m("organizations", "FBI", "government"),   # hallucinated
+    ])
+    assert [m["name"] for m in out] == ["CIA"]
+
+
+def test_variant_collapse_containment():
+    text = "Homeland Security officials from the Department of Homeland Security"
+    out = _qc_article("u", text, [
+        _m("organizations", "Homeland Security", "government"),
+        _m("organizations", "Department of Homeland Security", "government"),
+    ])
+    assert len(out) == 1
+    keeper = out[0]
+    assert keeper["name"] == "Department of Homeland Security"
+    assert "Homeland Security" in keeper["aliases"]
+
+
+def test_people_never_collapse_in_article():
+    text = "John Smith met John Smithson"
+    out = _qc_article("u", text, [
+        _m("people", "John Smith", "person"),
+        _m("people", "John Smithson", "person"),
+    ])
+    assert len(out) == 2

@@ -139,6 +139,39 @@ class TestScoring:
         assert review.count() == 0
 
 
+class TestEventDateIdentity:
+    def test_same_title_different_dates_never_merge(self, spark):
+        """start_date is part of the event identity key (mergers.py:133-138):
+        same-title events on different dates stay separate entities."""
+        cfg = get_default_config()
+        nodes = _nodes(spark, [
+            ("events", "Periodic Review Hearing", "hearing", "2023-03-14"),
+            ("events", "Periodic Review Hearing", "hearing", "2022-01-01"),
+        ])
+        pairs = candidate_pairs(nodes, cfg)
+        vecs = _vecs(spark, nodes, {})  # identical names → identical vecs
+        rows = [(r["node_id"], r["entity_type"], [1.0, 0.0]) for r in nodes.collect()]
+        vecs = spark.createDataFrame(
+            rows, "node_id string, entity_type string, vec array<float>"
+        )
+        accepted, review = score_pairs(pairs, nodes, vecs, cfg)
+        assert accepted.count() == 0 and review.count() == 0
+
+    def test_empty_date_is_compatible(self, spark):
+        cfg = get_default_config()
+        nodes = _nodes(spark, [
+            ("events", "Detainee Transfer", "transfer", "2022-11-02"),
+            ("events", "Detainee Transfer", "transfer", ""),
+        ])
+        pairs = candidate_pairs(nodes, cfg)
+        rows = [(r["node_id"], r["entity_type"], [1.0, 0.0]) for r in nodes.collect()]
+        vecs = spark.createDataFrame(
+            rows, "node_id string, entity_type string, vec array<float>"
+        )
+        accepted, _ = score_pairs(pairs, nodes, vecs, cfg)
+        assert accepted.count() == 1
+
+
 class TestThresholdResolution:
     def test_per_type_chain(self):
         cfg = get_default_config()
