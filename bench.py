@@ -33,6 +33,10 @@ HEADLINE = [
     "embedding_norms",
     "knn_top5",
     "label_centroid_norms",
+    "rollup_revenue",
+    "events_sessions",
+    "doc_minhash_near_dups",
+    "ann_lsh_topk",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "20000"))

@@ -716,6 +716,32 @@ GROUP BY o_orderpriority
 """
 
 
+def q_doc_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate detection over documents (non-SQL-
+    expressible: banding + signature hashing; driver records rows-only)."""
+    from hinbox_spark.operators.dedup import minhash_near_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_near_duplicates(d, jaccard_threshold=0.5)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 neighbors (non-SQL-expressible: the
+    scale path of knn_top5). Recall is data-dependent: ≥0.8 on clustered
+    embeddings (tests/test_ann.py); on the uniform-random testdata vectors
+    near-neighbor structure barely exists, so only the row/schema contract
+    is checked here."""
+    from hinbox_spark.operators.ann import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    # 8 planes → 256 buckets for ~2000 vectors (≈8/bucket) + multiprobe:
+    # enough candidates for k=5 at high recall
+    return lsh_topk(e, q, k=5, n_planes=8, dim=64, multiprobe_bits=6)
+
+
 # ── registry ──
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -743,6 +769,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_revenue": q_rollup_revenue,
     "events_sessions": q_events_sessions,
     "orders_pivot": q_orders_pivot,
+    # non-SQL-expressible (rows-only driver check; correctness pinned by
+    # tests/test_dedup.py and tests/test_ann.py)
+    "doc_minhash_near_dups": q_doc_minhash_near_dups,
+    "ann_lsh_topk": q_ann_lsh_topk,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
