@@ -86,3 +86,34 @@ def cosine_series(a: pd.Series, b: pd.Series) -> pd.Series:
 def fingerprint(model: str = EMBEDDING_MODEL, dim: int = EMBEDDING_DIM) -> str:
     """'{model}:{dim}' fingerprint (reference: manager.py:318-338)."""
     return f"{model}:{dim}"
+
+
+def build_evidence(
+    name: str,
+    text: str,
+    window_chars: int = 240,
+    max_windows: int = 3,
+    max_chars: int = 1500,
+) -> str:
+    """Deterministic evidence pseudo-profile (reference J1,
+    mergers.py:577-705): up to `max_windows` non-overlapping windows of
+    ±window_chars/2 around case-insensitive hits of `name` in `text`,
+    joined and truncated to `max_chars`, prefixed with the name header.
+    Falls back to the head of the article when the name never occurs."""
+    text = text or ""
+    win = window_chars // 2
+    low_t, low_n = text.lower(), str(name or "").lower()
+    windows: list[str] = []
+    start = 0
+    last_end = -1
+    while len(windows) < max_windows and low_n:
+        idx = low_t.find(low_n, start)
+        if idx < 0:
+            break
+        lo, hi = max(0, idx - win), min(len(text), idx + len(low_n) + win)
+        if lo > last_end:  # non-overlapping
+            windows.append(text[lo:hi])
+            last_end = hi
+        start = idx + len(low_n)
+    evidence = (" ... ".join(windows) if windows else text[:max_chars])[:max_chars]
+    return f"{name}: {evidence}"

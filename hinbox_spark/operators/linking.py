@@ -174,24 +174,48 @@ def _pairs_containment(nodes: DataFrame) -> DataFrame:
         .filter(F.col("df") > TOKEN_DF_CAP)
         .select("entity_type", "token")
     )
-    tokens = tokens.join(hot, ["entity_type", "token"], "left_anti")
+    cold_tokens = tokens.join(hot, ["entity_type", "token"], "left_anti")
 
-    a, b = tokens.alias("a"), tokens.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.entity_type") == F.col("b.entity_type"))
-            & (F.col("a.token") == F.col("b.token"))
-            & (F.col("a.node_id") < F.col("b.node_id")),
-        )
-        .select(
+    def _self_pair(keyed: DataFrame, key_cols: list[str]) -> DataFrame:
+        a, b = keyed.alias("a"), keyed.alias("b")
+        cond = F.col("a.node_id") < F.col("b.node_id")
+        for c in ["entity_type", *key_cols]:
+            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        return a.join(b, cond).select(
             F.col("a.node_id").alias("src"),
             F.col("b.node_id").alias("dst"),
             F.col("a.name").alias("name_a"),
             F.col("b.name").alias("name_b"),
         )
-        .dropDuplicates(["src", "dst"])
+
+    cold_cand = _self_pair(cold_tokens, ["token"])
+
+    # hot tokens are NOT dropped: they re-block on (hot token, other token)
+    # pairs — a containment pair whose short side has ≥2 significant tokens
+    # always shares two tokens, so the refined key still finds it while the
+    # bucket shrinks quadratically. (Single-generic-token containment
+    # against a mega-key is the one sacrificed case — by design: such
+    # merges are low-precision at web scale.)
+    hot_tokens = tokens.join(hot, ["entity_type", "token"], "inner")
+    hot_bigrams = (
+        hot_tokens.alias("h")
+        .join(
+            tokens.select(
+                "entity_type", F.col("node_id"), F.col("token").alias("other")
+            ).alias("t"),
+            ["entity_type", "node_id"],
+        )
+        .filter(F.col("other") != F.col("token"))
+        .select(
+            "entity_type",
+            "node_id",
+            "name",
+            F.concat_ws("\x1f", "token", "other").alias("token"),
+        )
     )
+    hot_cand = _self_pair(hot_bigrams, ["token"])
+
+    cand = cold_cand.unionByName(hot_cand).dropDuplicates(["src", "dst"])
 
     @F.pandas_udf(BooleanType())
     def _contained(na: pd.Series, nb: pd.Series) -> pd.Series:
@@ -299,28 +323,18 @@ def node_evidence_embeddings(
     max_c = cfg.evidence_max_chars
     dim = cfg.embedding_dim
 
+    from hinbox_spark.functions.embeddings import build_evidence
+
     @F.pandas_udf(ArrayType(FloatType()))
     def _evidence_vec(name: pd.Series, text: pd.Series) -> pd.Series:
-        vecs = []
-        for n, t in zip(name, text):
-            t = t or ""
-            low_t, low_n = t.lower(), str(n or "").lower()
-            windows: list[str] = []
-            start = 0
-            last_end = -1
-            while len(windows) < max_w:
-                idx = low_t.find(low_n, start)
-                if idx < 0:
-                    break
-                lo, hi = max(0, idx - win), min(len(t), idx + len(low_n) + win)
-                if lo > last_end:  # non-overlapping
-                    windows.append(t[lo:hi])
-                    last_end = hi
-                start = idx + len(low_n)
-            evidence = (" ... ".join(windows) if windows else t[: max_c])[:max_c]
-            evidence = f"{n}: {evidence}"
-            vecs.append(embed_text(evidence, dim).tolist())
-        return pd.Series(vecs)
+        return pd.Series(
+            [
+                embed_text(
+                    build_evidence(n, t, win * 2, max_w, max_c), dim
+                ).tolist()
+                for n, t in zip(name, text)
+            ]
+        )
 
     @F.pandas_udf(StringType())
     def _match_key(s: pd.Series) -> pd.Series:

@@ -716,6 +716,86 @@ GROUP BY o_orderpriority
 """
 
 
+def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+    )
+
+
+ORACLE_EVENTS_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 4) AS p25,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_nation_customer_supplier_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: nations with both customers and suppliers
+    (INTERSECT) vs customer-only nations (EXCEPT)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    n = _t(spark, sf_dir, "nation")
+    both = c.intersect(s).withColumn("scope", F.lit("both"))
+    cust_only = c.distinct().exceptAll(s.distinct()).withColumn(
+        "scope", F.lit("customer_only")
+    )
+    return (
+        both.unionByName(cust_only)
+        .join(F.broadcast(n), F.col("nk") == n.n_nationkey)
+        .select("scope", F.col("n_name").alias("nation"))
+    )
+
+
+ORACLE_NATION_SETS = """
+WITH both_nk AS (
+  SELECT c_nationkey AS nk FROM customer
+  INTERSECT
+  SELECT s_nationkey FROM supplier
+), cust_only AS (
+  SELECT DISTINCT c_nationkey AS nk FROM customer
+  EXCEPT
+  SELECT DISTINCT s_nationkey FROM supplier
+)
+SELECT 'both' AS scope, n_name AS nation FROM both_nk JOIN nation ON nk = n_nationkey
+UNION ALL
+SELECT 'customer_only', n_name FROM cust_only JOIN nation ON nk = n_nationkey
+"""
+
+
+def q_events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (the streaming window primitive,
+    applied in batch)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+ORACLE_EVENTS_HOURLY = """
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def q_doc_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate detection over documents (non-SQL-
     expressible: banding + signature hashing; driver records rows-only)."""
@@ -769,6 +849,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_revenue": q_rollup_revenue,
     "events_sessions": q_events_sessions,
     "orders_pivot": q_orders_pivot,
+    "events_percentiles": q_events_percentiles,
+    "nation_customer_supplier_sets": q_nation_customer_supplier_sets,
+    "events_hourly_windows": q_events_hourly_windows,
     # non-SQL-expressible (rows-only driver check; correctness pinned by
     # tests/test_dedup.py and tests/test_ann.py)
     "doc_minhash_near_dups": q_doc_minhash_near_dups,
@@ -800,4 +883,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "rollup_revenue": ORACLE_ROLLUP,
     "events_sessions": ORACLE_EVENTS_SESSIONS,
     "orders_pivot": ORACLE_ORDERS_PIVOT,
+    "events_percentiles": ORACLE_EVENTS_PERCENTILES,
+    "nation_customer_supplier_sets": ORACLE_NATION_SETS,
+    "events_hourly_windows": ORACLE_EVENTS_HOURLY,
 }

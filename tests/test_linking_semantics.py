@@ -139,6 +139,32 @@ class TestScoring:
         assert review.count() == 0
 
 
+class TestHotTokenBlocking:
+    def test_hot_token_pairs_recovered_via_bigram(self, spark, monkeypatch):
+        """When a blocking token exceeds the df-cap, containment pairs that
+        share a second token must still be found via the refined
+        (hot, other) key; the quadratic single-token bucket never forms."""
+        import hinbox_spark.operators.linking as L
+
+        monkeypatch.setattr(L, "TOKEN_DF_CAP", 3)
+        cfg = get_default_config()
+        rows = [("organizations", f"Department of Unit{i:02d}", "government", "")
+                for i in range(8)]  # 'department' df=8 > cap=3
+        rows += [
+            ("organizations", "Department of Veterans Affairs", "government", ""),
+            ("organizations", "Veterans Affairs", "government", ""),
+        ]
+        nodes = _nodes(spark, rows)
+        pairs = candidate_pairs(nodes, cfg)
+        names = {r["node_id"]: r["name"] for r in nodes.collect()}
+        linked = {
+            frozenset((names[r["src"]], names[r["dst"]])) for r in pairs.collect()
+        }
+        assert frozenset(
+            ("Department of Veterans Affairs", "Veterans Affairs")
+        ) in linked
+
+
 class TestEventDateIdentity:
     def test_same_title_different_dates_never_merge(self, spark):
         """start_date is part of the event identity key (mergers.py:133-138):
