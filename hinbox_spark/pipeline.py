@@ -90,8 +90,6 @@ def run_pipeline(
     gaz = default_gazetteer()
     os.makedirs(output_dir, exist_ok=True)
 
-    metrics: list[tuple[str, str, int]] = []
-
     # ── stage 1: articles ──
     if not (resume and _done(output_dir, "articles")):
         articles = extract_articles(pages)
