@@ -102,7 +102,9 @@ DOMAIN_ORGS: dict[str, tuple[str, list[str]]] = {
 }
 
 DOMAIN_LOCS: dict[str, tuple[str, list[str]]] = {
-    "Guantanamo Bay": ("base", ["Guantanamo Bay", "Guantanamo", "GTMO"]),
+    # the accented form is a transliteration variant: not in any equivalence
+    # group, so linking it exercises the MinHash-LSH + evidence-cosine path
+    "Guantanamo Bay": ("base", ["Guantanamo Bay", "Guantanamo", "GTMO", "Guantánamo Bay"]),
     "United States": ("country", ["United States"]),
     "Camp Delta": ("facility", ["Camp Delta"]),
     "Camp Justice": ("facility", ["Camp Justice"]),

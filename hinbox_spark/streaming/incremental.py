@@ -19,9 +19,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from hinbox_spark.functions.ner import Gazetteer
-from hinbox_spark.operators.extraction import (
-    MENTION_SCHEMA, extract_articles, extract_mentions,
-)
+from hinbox_spark.operators.extraction import extract_articles, extract_mentions
 
 PAGES_SCHEMA_DDL = (
     "url string, warc_ts timestamp, html binary, text string, lang string"
