@@ -138,7 +138,7 @@ def build_entities(
         .join(sampled_articles, "cluster_id")
     )
 
-    return (
+    out = (
         canon.join(agg, "cluster_id")
         .withColumn(
             "entity_id",
@@ -161,6 +161,27 @@ def build_entities(
         )
         .drop("mention_aliases")
     )
+    # reference-shaped alternative_names (mergers.py:523-575): the reference
+    # writes one parquet per type with per-type shapes (people: strings;
+    # orgs/locs: (name,type); events: (title,start_date,event_type)); a
+    # single partitioned table needs one column type, so this is the
+    # superset struct — unused fields are empty strings
+    out = out.withColumn(
+        "alternative_names",
+        F.transform(
+            "alt_names",
+            lambda nm: F.struct(
+                nm.alias("name"),
+                F.when(F.col("entity_type") == "people", F.lit(""))
+                .otherwise(F.col("canonical_type")).alias("type"),
+                F.when(
+                    F.col("entity_type") == "events",
+                    F.col("canonical_start_date"),
+                ).otherwise(F.lit("")).alias("start_date"),
+            ),
+        ),
+    )
+    return out
 
 
 def build_edge_triples(

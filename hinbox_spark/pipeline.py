@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -37,7 +38,8 @@ from hinbox_spark.operators.linking import (
 from hinbox_spark.operators.profiles import build_profiles, ground_profiles
 
 STAGES = (
-    "articles", "mentions", "entities", "edges", "profiles", "review", "metrics",
+    "articles", "mentions", "entities", "edges", "profiles", "review",
+    "decisions", "metrics",
 )
 
 
@@ -77,6 +79,55 @@ def _write(df: DataFrame, base: str, name: str, partition_cols: list[str] | None
         ).parquet(path)
 
 
+def _with_search_embedding(entities: DataFrame, cfg: DomainConfig) -> DataFrame:
+    """Reference schema parity (mergers.py:1301-1313): search_embedding =
+    deterministic encoding of the canonical name + aliases, plus the
+    model/dim/fingerprint metadata columns."""
+    from hinbox_spark.functions.embeddings import (
+        EMBEDDING_MODEL, embed_text, fingerprint,
+    )
+
+    dim = cfg.embedding_dim
+
+    @F.pandas_udf("array<float>")
+    def _embed(name: pd.Series, aliases: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                embed_text(f"{n} " + " ".join(list(a) if a is not None else []), dim).tolist()
+                for n, a in zip(name, aliases)
+            ]
+        )
+
+    return (
+        entities.withColumn(
+            "search_embedding", _embed(F.col("canonical_name"), F.col("aliases"))
+        )
+        .withColumn("search_embedding_model", F.lit(EMBEDDING_MODEL))
+        .withColumn("search_embedding_dim", F.lit(dim))
+        .withColumn("search_embedding_fingerprint", F.lit(fingerprint(dim=dim)))
+    )
+
+
+def _with_profile_embedding(profiles: DataFrame, cfg: DomainConfig) -> DataFrame:
+    """profile_embedding = encoding of the profile text (+ metadata cols)."""
+    from hinbox_spark.functions.embeddings import (
+        EMBEDDING_MODEL, embed_text, fingerprint,
+    )
+
+    dim = cfg.embedding_dim
+
+    @F.pandas_udf("array<float>")
+    def _embed(text: pd.Series) -> pd.Series:
+        return text.map(lambda t: embed_text(t or "", dim).tolist())
+
+    return (
+        profiles.withColumn("profile_embedding", _embed(F.col("profile_text")))
+        .withColumn("profile_embedding_model", F.lit(EMBEDDING_MODEL))
+        .withColumn("profile_embedding_dim", F.lit(dim))
+        .withColumn("profile_embedding_fingerprint", F.lit(fingerprint(dim=dim)))
+    )
+
+
 def run_pipeline(
     spark: SparkSession,
     pages: DataFrame,
@@ -104,12 +155,30 @@ def run_pipeline(
 
     # ── stages 3-5: linking → clustering → canonicalization ──
     if not (resume and _done(output_dir, "entities") and _done(output_dir, "edges")
-            and _done(output_dir, "review")):
+            and _done(output_dir, "review") and _done(output_dir, "decisions")):
         nodes = mention_nodes(mentions).cache()
         pairs = candidate_pairs(nodes, cfg)
         node_vecs = node_evidence_embeddings(nodes, mentions, articles, cfg)
         accepted, review = score_pairs(pairs, nodes, node_vecs, cfg)
+        accepted = accepted.localCheckpoint(eager=False)
         _write(review, output_dir, "review")
+
+        # A1 parity: merge-decision counters (reference MergeStats —
+        # new/merged/skipped/disputed per type) as a metrics table
+        decisions = (
+            accepted.groupBy("entity_type", "reason")
+            .agg(F.count("*").alias("n"))
+            .withColumn("decision", F.lit("merged"))
+            .unionByName(
+                spark.read.parquet(_table_path(output_dir, "review"))
+                .groupBy("entity_type")
+                .agg(F.count("*").alias("n"))
+                .withColumn("reason", F.lit("gray_band"))
+                .withColumn("decision", F.lit("disputed"))
+                .select("entity_type", "reason", "n", "decision")
+            )
+        )
+        _write(decisions, output_dir, "decisions")
 
         labels = connected_components(
             nodes.select("node_id"), accepted.select("src", "dst")
@@ -117,6 +186,7 @@ def run_pipeline(
         mention_clusters = build_clusters(mentions, nodes, labels, articles).cache()
         canon = canonical_names(mention_clusters)
         entities = build_entities(mention_clusters, canon)
+        entities = _with_search_embedding(entities, cfg)
         _write(entities, output_dir, "entities", ["entity_type"])
         entities = spark.read.parquet(_table_path(output_dir, "entities"))
 
@@ -126,6 +196,7 @@ def run_pipeline(
         # ── stage 6: profiles + grounding ──
         profiles = build_profiles(mention_clusters, entities)
         profiles = ground_profiles(profiles, articles)
+        profiles = _with_profile_embedding(profiles, cfg)
         _write(profiles, output_dir, "profiles")
         mention_clusters.unpersist()
         nodes.unpersist()
@@ -164,5 +235,6 @@ def run_pipeline(
         "edges": edges,
         "profiles": profiles,
         "review": review,
+        "decisions": spark.read.parquet(_table_path(output_dir, "decisions")),
         "metrics": spark.read.parquet(_table_path(output_dir, "metrics")),
     }
