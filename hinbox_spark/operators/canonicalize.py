@@ -123,17 +123,35 @@ def build_entities(
         )
     )
 
-    agg = (
-        mention_clusters
+    # distinct-first aggregation: a hot entity has millions of mention rows
+    # but only a handful of distinct aliases/names — deduplicate (with
+    # map-side combine) BEFORE collect_list so no reducer ever materializes
+    # a multi-million-element list (the mega-entity skew guard)
+    alias_agg = (
+        mention_clusters.select(
+            "cluster_id", F.explode("aliases").alias("alias")
+        )
+        .distinct()
         .groupBy("cluster_id")
-        .agg(
-            F.array_sort(F.array_distinct(F.flatten(F.collect_list("aliases")))).alias(
-                "mention_aliases"
-            ),
-            F.array_sort(F.array_distinct(F.collect_list("name"))).alias("all_names"),
-            F.min("warc_ts").alias("extraction_timestamp"),
-            F.count("*").alias("n_mentions"),
-            F.countDistinct("url").alias("n_articles"),
+        .agg(F.array_sort(F.collect_list("alias")).alias("mention_aliases"))
+    )
+    name_agg = (
+        mention_clusters.select("cluster_id", "name")
+        .distinct()
+        .groupBy("cluster_id")
+        .agg(F.array_sort(F.collect_list("name")).alias("all_names"))
+    )
+    scalar_agg = mention_clusters.groupBy("cluster_id").agg(
+        F.min("warc_ts").alias("extraction_timestamp"),
+        F.count("*").alias("n_mentions"),
+        F.countDistinct("url").alias("n_articles"),
+    )
+    agg = (
+        scalar_agg.join(name_agg, "cluster_id")
+        .join(alias_agg, "cluster_id", "left")
+        .withColumn(
+            "mention_aliases",
+            F.coalesce("mention_aliases", F.array().cast("array<string>")),
         )
         .join(sampled_articles, "cluster_id")
     )
