@@ -39,7 +39,7 @@ EVIDENCE_MAX_WINDOWS = 3
 
 # Profile QC (reference: src/constants.py:36-38).
 PROFILE_QC_MIN_TEXT_LENGTH = 100
-PROFILE_QC_MIN_TAG_COUNT = 2
+PROFILE_QC_MIN_TAG_COUNT = 1
 QC_MIN_NAME_LENGTH = 3
 
 ENTITY_TYPES = ("people", "organizations", "locations", "events")
@@ -138,6 +138,11 @@ class DomainConfig:
     evidence_window_chars: int = EVIDENCE_WINDOW_CHARS
     evidence_max_windows: int = EVIDENCE_MAX_WINDOWS
     embedding_dim: int = 256
+    # S8: when set, stage 2 consults the content-hash extraction cache at
+    # this path (reference sidecar cache, src/utils/extraction_cache.py) —
+    # N duplicate pages cost one extraction; hit/miss counters land in the
+    # metrics table
+    extraction_cache_path: str | None = None
 
     def threshold_for(self, entity_type: str) -> float:
         """Resolution chain: per-type → default → 0.75

@@ -150,6 +150,77 @@ def extract_title_and_text(html: str) -> tuple[str, str]:
     return title_text, content_text
 
 
+class _StopScan(Exception):
+    pass
+
+
+class _TitleScanner(HTMLParser):
+    """Streaming title-only scan: text of the first <h1>, else the first
+    <header>. No DOM is built and the parse aborts as soon as the first
+    <h1> closes — the cheap path for pages whose text is already extracted
+    (the full container/paragraph walk is only needed for content)."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.h1_depth = 0
+        self.header_depth = 0
+        self.h1_parts: list[str] = []
+        self.header_parts: list[str] = []
+        self.h1_done = False
+        self.header_seen = False
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "h1" and not self.h1_done:
+            self.h1_depth += 1
+        elif tag == "header" and not self.header_seen and self.h1_depth == 0:
+            self.header_depth += 1
+
+    def handle_endtag(self, tag):
+        if tag == "h1" and self.h1_depth > 0:
+            self.h1_depth -= 1
+            if self.h1_depth == 0:
+                self.h1_done = True
+                raise _StopScan  # early exit: first h1 wins
+        elif tag == "header" and self.header_depth > 0:
+            self.header_depth -= 1
+            if self.header_depth == 0:
+                self.header_seen = True
+
+    def handle_data(self, data):
+        if self.h1_depth > 0:
+            self.h1_parts.append(data)
+        elif self.header_depth > 0:
+            self.header_parts.append(data)
+
+    def title(self) -> str:
+        if self.h1_parts:
+            return "".join(self.h1_parts).strip()
+        return "".join(self.header_parts).strip()
+
+
+def extract_title(html: str) -> str:
+    scanner = _TitleScanner()
+    try:
+        scanner.feed(html or "")
+        scanner.close()
+    except _StopScan:
+        pass
+    return scanner.title()
+
+
+def extract_title_series(html: pd.Series) -> pd.Series:
+    """Vectorized title-only extraction (for rows with pre-extracted text)."""
+    out: list[str] = []
+    for raw in html:
+        if raw is None:
+            out.append("")
+            continue
+        if isinstance(raw, (bytes, bytearray)):
+            raw = bytes(raw).decode("utf-8", errors="replace")
+        out.append(extract_title(raw))
+    return pd.Series(out)
+
+
 def extract_series(html: pd.Series) -> pd.DataFrame:
     """Vectorized wrapper: Series[bytes|str] → DataFrame(title, text)."""
     titles: list[str] = []

@@ -57,6 +57,44 @@ def skewed_keys(df: DataFrame, keys: list[str], threshold: int) -> DataFrame:
     )
 
 
+def bounded_topk(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[Column],
+    k: int,
+    salt_expr: Column,
+    n_salts: int = 64,
+) -> DataFrame:
+    """EXACT per-key top-k without a per-key global sort (hot-key guard).
+
+    `row_number().over(Window.partitionBy(hot_key).orderBy(...)) <= k` puts
+    every row of a mega-key into ONE task to sort, then discards all but k —
+    the classic skew-killer. This tournament computes the identical result
+    in two bounded rounds:
+
+      1. top-k within (keys, salt)  — a mega-key is spread over `n_salts`
+         tasks, each sorting ~1/n_salts of it;
+      2. top-k of the ≤ n_salts*k survivors per key — bounded fan-in.
+
+    Exact because the global top-k is a subset of the union of per-salt
+    top-ks. `order_by` must be a total order within a key (break ties!) for
+    deterministic output; `salt_expr` must be a deterministic function of
+    the row (no RNG) so retries/re-runs agree.
+    """
+    from pyspark.sql import Window
+
+    salted = df.withColumn("_tk_salt", F.pmod(salt_expr, F.lit(n_salts)))
+    w1 = Window.partitionBy(*keys, "_tk_salt").orderBy(*order_by)
+    w2 = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        salted.withColumn("_tk_rn", F.row_number().over(w1))
+        .filter(F.col("_tk_rn") <= k)
+        .withColumn("_tk_rn", F.row_number().over(w2))
+        .filter(F.col("_tk_rn") <= k)
+        .drop("_tk_rn", "_tk_salt")
+    )
+
+
 def salted_self_join_keys(
     df: DataFrame, key: str, id_col: str, factor: int = 16
 ) -> DataFrame:

@@ -46,9 +46,12 @@ def brute_force_topk(
         "sqrt(aggregate(embedding, 0.0D, (acc,x) -> acc + CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    # zero-norm guard: embed_text returns a zero vector for empty text; its
+    # cosine is NaN and Spark sorts NaN above all doubles desc, so without
+    # the filter a zero vector would rank as everyone's top-1 neighbor
     return (
-        F.broadcast(queries)
-        .crossJoin(cand)
+        F.broadcast(queries.filter(nq > 0))
+        .crossJoin(cand.filter(nc > 0))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", dot / (nq * nc))
         .withColumn("rank", F.row_number().over(w))
@@ -121,8 +124,11 @@ def lsh_topk(
         "sqrt(aggregate(embedding, 0.0D, (acc,x) -> acc + CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    # zero-norm guard (see brute_force_topk): NaN cosine sorts above all
+    # doubles, so zero vectors must not enter the ranking
     return (
         joined.dropDuplicates(["query_id", "neighbor_id"])
+        .filter((nq > 0) & (nc > 0))
         .withColumn("cos", dot / (nq * nc))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -103,18 +103,23 @@ def build_entities(
 
     entity_id = sha2(entity_type || canonical key) — content-addressed, so
     stable across runs (idempotent resume)."""
-    from pyspark.sql import Window
+    from hinbox_spark.functions.skew import bounded_topk
 
     # provenance sample: full provenance lives in the edges table
     # (mentioned_in triples); the nested articles array is capped BEFORE
     # aggregation so a mega-entity (millions of articles) cannot blow up
-    # the collect_list buffer — earliest-first, deterministic
-    art_rank = Window.partitionBy("cluster_id").orderBy("warc_ts", "url")
+    # the collect_list buffer — earliest-first, deterministic. bounded_topk
+    # (tournament) instead of a row_number window so a mega-cluster's
+    # articles never serialize into one sort task.
     sampled_articles = (
-        mention_clusters.select("cluster_id", "url", "warc_ts", "title")
-        .dropDuplicates(["cluster_id", "url"])
-        .withColumn("_rn", F.row_number().over(art_rank))
-        .filter(F.col("_rn") <= 100)
+        bounded_topk(
+            mention_clusters.select("cluster_id", "url", "warc_ts", "title")
+            .dropDuplicates(["cluster_id", "url"]),
+            keys=["cluster_id"],
+            order_by=[F.col("warc_ts"), F.col("url")],
+            k=100,
+            salt_expr=F.xxhash64("url"),
+        )
         .groupBy("cluster_id")
         .agg(
             F.array_sort(

@@ -42,10 +42,16 @@ def connected_components(
     candidates, so this is the common case) are solved with driver-side
     union-find; larger ones with distributed min-label propagation.
     """
-    pair_rows = edges.limit(DRIVER_UNION_FIND_MAX_EDGES + 1).collect() \
-        if edges is not None else []
-    if len(pair_rows) <= DRIVER_UNION_FIND_MAX_EDGES:
-        return _driver_union_find(nodes, pair_rows)
+    if edges is None:
+        return _driver_union_find(nodes, [])
+    # cheap cardinality probe first: limit(N+1).count() moves no row data to
+    # the driver; the (bounded) collect happens ONLY when the driver path is
+    # actually taken, so choosing the distributed path never materializes
+    # rows driver-side
+    edges = edges.localCheckpoint(eager=False)  # probe + solve share one plan
+    n_edges = edges.limit(DRIVER_UNION_FIND_MAX_EDGES + 1).count()
+    if n_edges <= DRIVER_UNION_FIND_MAX_EDGES:
+        return _driver_union_find(nodes, edges.collect())
     return _distributed_components(nodes, edges, max_iters)
 
 

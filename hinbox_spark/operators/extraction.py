@@ -56,30 +56,47 @@ def extract_articles(pages: DataFrame, lang: str = "en") -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → articles(url, warc_ts, title,
     text, content_hash).
 
-    Uses the pre-extracted `text` column when non-empty, else runs the
-    byte-identical extraction UDF over `html`. The lang filter and the
-    empty-content filter (F3) are JVM-side and push down to the scan.
+    Split-union plan: rows with a pre-extracted non-empty `text` column
+    never pay the full DOM build — they take a streaming title-only scan
+    (early exit at the first </h1>); only rows with empty text run the
+    byte-identical full-extraction UDF over `html`. On a corpus with
+    pre-extracted text this removes ~100% of the parse cost (the reference
+    pipeline likewise consumes already-extracted articles and never
+    re-parses — src/process_and_extract.py reads title/content columns).
+    The lang filter and the empty-content filter (F3) are JVM-side and push
+    down to the scan.
     """
+    from hinbox_spark.functions.html_text import extract_title_series
 
     @F.pandas_udf(_EXTRACT_SCHEMA)
     def _extract(html: pd.Series) -> pd.DataFrame:
         return extract_series(html)
 
-    out = (
-        pages.filter(F.col("lang") == lang)
+    @F.pandas_udf(StringType())
+    def _title_only(html: pd.Series) -> pd.Series:
+        return extract_title_series(html)
+
+    in_lang = pages.filter(F.col("lang") == lang)
+    # null text must land in the parse branch, not vanish from both
+    has_text = F.coalesce(F.length(F.trim(F.col("text"))) > 0, F.lit(False))
+
+    pre_extracted = in_lang.filter(has_text).select(
+        "url", "warc_ts", "text", _title_only(F.col("html")).alias("title")
+    )
+    parsed = (
+        in_lang.filter(~has_text)
         .withColumn("_ex", _extract(F.col("html")))
         .select(
             "url",
             "warc_ts",
-            F.when(
-                F.length(F.trim(F.col("text"))) > 0, F.col("text")
-            ).otherwise(F.col("_ex.text")).alias("text"),
+            F.col("_ex.text").alias("text"),
             F.col("_ex.title").alias("title"),
         )
         .filter(F.length(F.trim(F.col("text"))) > 0)
-        .withColumn("content_hash", F.sha2(F.col("text"), 256))
     )
-    return out
+    return pre_extracted.unionByName(parsed).withColumn(
+        "content_hash", F.sha2(F.col("text"), 256)
+    )
 
 
 def extract_mentions(articles: DataFrame, gazetteer: Gazetteer) -> DataFrame:
@@ -116,6 +133,7 @@ def extract_mentions_cached(
     gazetteer: Gazetteer,
     cache_path: str,
     version: int = EXTRACTOR_VERSION,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """S8: extraction sidecar cache re-expressed as a table.
 
@@ -152,6 +170,16 @@ def extract_mentions_cached(
         )
     else:
         misses = distinct_content
+
+    if stats_out is not None:
+        # A10 parity: surfaced hit/miss counters (reference logs cache
+        # stats per run — src/utils/extraction_cache.py). Two count jobs,
+        # each one column-pruned pass — only run when stats are requested.
+        n_distinct = distinct_content.count()
+        n_misses = misses.count()
+        stats_out["distinct_hashes"] = n_distinct
+        stats_out["misses"] = n_misses
+        stats_out["hits"] = n_distinct - n_misses
 
     new_rows = (
         extract_mentions(misses, gazetteer)

@@ -340,17 +340,21 @@ def node_evidence_embeddings(
     def _match_key(s: pd.Series) -> pd.Series:
         return s.map(normalize_for_match)
 
-    from pyspark.sql import Window
+    from hinbox_spark.functions.skew import bounded_topk
 
-    sample_w = Window.partitionBy("entity_type", "match_key").orderBy(
-        F.xxhash64("url", "name")
-    )
-    sampled = (
-        mentions.withColumn("match_key", _match_key(F.col("name")))
-        .withColumn("_rn", F.row_number().over(sample_w))
-        .filter(F.col("_rn") <= EVIDENCE_MENTIONS_PER_NODE)
-        .drop("_rn")
-    )
+    # tournament top-k (skew.bounded_topk): a mega-entity's mentions never
+    # serialize into one sort task; result identical to the naive
+    # row_number window (same total order on the content hash)
+    keyed = mentions.withColumn(
+        "match_key", _match_key(F.col("name"))
+    ).withColumn("_ord", F.xxhash64("url", "name"))
+    sampled = bounded_topk(
+        keyed,
+        keys=["entity_type", "match_key"],
+        order_by=[F.col("_ord")],
+        k=EVIDENCE_MENTIONS_PER_NODE,
+        salt_expr=F.col("_ord"),
+    ).drop("_ord")
 
     mention_vecs = (
         sampled.join(articles.select("url", "text"), "url")

@@ -54,7 +54,7 @@ def build_profiles(mention_clusters: DataFrame, entities: DataFrame) -> DataFram
     Input is pre-reduced to one row per (cluster, url), earliest
     PROFILE_ARTICLES_CAP articles per cluster — so group sizes are bounded
     regardless of entity popularity."""
-    from pyspark.sql import Window
+    from hinbox_spark.functions.skew import bounded_topk
 
     ent = entities.select(
         "cluster_id", "entity_id", "entity_type", "canonical_name",
@@ -68,13 +68,16 @@ def build_profiles(mention_clusters: DataFrame, entities: DataFrame) -> DataFram
             F.max("start_date").alias("start_date"),
         )
     )
-    rank = Window.partitionBy("cluster_id").orderBy("warc_ts", "url")
-    rows = (
-        per_article.withColumn("_rn", F.row_number().over(rank))
-        .filter(F.col("_rn") <= PROFILE_ARTICLES_CAP)
-        .drop("_rn")
-        .join(ent, "cluster_id")
-    )
+    # tournament top-k (skew.bounded_topk): identical rows to the naive
+    # row_number window, but a mega-entity's articles never serialize into
+    # one sort task
+    rows = bounded_topk(
+        per_article,
+        keys=["cluster_id"],
+        order_by=[F.col("warc_ts"), F.col("url")],
+        k=PROFILE_ARTICLES_CAP,
+        salt_expr=F.xxhash64("url"),
+    ).join(ent, "cluster_id")
 
     def _assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["warc_ts", "url"])

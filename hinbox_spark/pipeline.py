@@ -31,7 +31,9 @@ from hinbox_spark.operators.canonicalize import (
     build_clusters, build_edge_triples, build_entities, canonical_names,
 )
 from hinbox_spark.operators.clustering import connected_components
-from hinbox_spark.operators.extraction import extract_articles, extract_mentions
+from hinbox_spark.operators.extraction import (
+    extract_articles, extract_mentions, extract_mentions_cached,
+)
 from hinbox_spark.operators.linking import (
     candidate_pairs, mention_nodes, node_evidence_embeddings, score_pairs,
 )
@@ -147,15 +149,26 @@ def run_pipeline(
         _write(articles, output_dir, "articles")
     articles = spark.read.parquet(_table_path(output_dir, "articles"))
 
-    # ── stage 2: mentions ──
+    # ── stage 2: mentions (optionally through the content-hash cache, S8) ──
+    cache_stats: dict = {}
     if not (resume and _done(output_dir, "mentions")):
-        mentions = extract_mentions(articles, gaz)
+        if cfg.extraction_cache_path:
+            mentions = extract_mentions_cached(
+                articles, gaz, cfg.extraction_cache_path, stats_out=cache_stats
+            )
+        else:
+            mentions = extract_mentions(articles, gaz)
         _write(mentions, output_dir, "mentions", ["entity_type"])
     mentions = spark.read.parquet(_table_path(output_dir, "mentions"))
 
     # ── stages 3-5: linking → clustering → canonicalization ──
+    # the gate must include EVERY table the block writes — profiles is
+    # written last, so a crash between edges and profiles would otherwise
+    # leave a resume state that skips the block and then fails reading the
+    # missing profiles table (wedged checkpoint dir)
     if not (resume and _done(output_dir, "entities") and _done(output_dir, "edges")
-            and _done(output_dir, "review") and _done(output_dir, "decisions")):
+            and _done(output_dir, "review") and _done(output_dir, "decisions")
+            and _done(output_dir, "profiles")):
         nodes = mention_nodes(mentions).cache()
         pairs = candidate_pairs(nodes, cfg)
         node_vecs = node_evidence_embeddings(nodes, mentions, articles, cfg)
@@ -226,6 +239,15 @@ def run_pipeline(
             .unionByName(_stage_counts(profiles, "profiles"))
             .unionByName(_stage_counts(review, "review"))
         )
+        if cache_stats:
+            # A10: extraction-cache hit/miss counters (partition_id −1 =
+            # run-level counter, not tied to a data partition)
+            m = m.unionByName(
+                spark.createDataFrame(
+                    [(f"extraction_cache_{k}", -1, v) for k, v in cache_stats.items()],
+                    "stage string, partition_id int, rows long",
+                )
+            )
         _write(m, output_dir, "metrics")
 
     return {

@@ -439,9 +439,11 @@ def q_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sqrt(aggregate(embedding, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    # zero-norm guard mirrored in the oracle: NaN cosine sorts above all
+    # doubles desc, so a zero vector would otherwise rank top-1 everywhere
     return (
-        F.broadcast(q)
-        .crossJoin(cand)
+        F.broadcast(q.filter(nq > 0))
+        .crossJoin(cand.filter(nc > 0))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", dot / (nq * nc))
         .withColumn("rank", F.row_number().over(w))
@@ -465,6 +467,10 @@ FROM (
              c.vec_id ASC) AS rank
   FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
   WHERE q.vec_id < 5
+    AND sqrt(list_sum(list_transform(q.embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
+    AND sqrt(list_sum(list_transform(c.embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
 )
 WHERE rank <= 5
 """

@@ -100,3 +100,31 @@ def test_vectorized_series_with_bytes():
     out = extract_series(htmls)
     assert list(out["text"]) == ["A.", "", "B."]
     assert out["title"][0] == "T"
+
+
+def test_title_scanner_matches_full_parse_on_corpus():
+    """extract_title (streaming, early-exit) must agree with the full-parse
+    title on every synthetic corpus page that has a recognized container —
+    the invariant that makes the pre-extracted-text fast path safe."""
+    from hinbox_spark.functions.html_text import extract_title
+    from hinbox_spark.sources.pages_gen import page_record
+
+    checked = 0
+    for i in range(120):
+        row, _ = page_record(i, seed=7)
+        html = row["html"].decode()
+        full_title, full_text = extract_title_and_text(html)
+        if not full_text:
+            continue  # no container → page is dropped either way
+        assert extract_title(html) == full_title
+        checked += 1
+    assert checked > 80
+
+
+def test_title_scanner_h1_precedence_and_header_fallback():
+    from hinbox_spark.functions.html_text import extract_title
+
+    assert extract_title("<header>H</header><h1>One</h1><h1>Two</h1>") == "One"
+    assert extract_title("<header>Head <b>er</b></header><p>x</p>") == "Head er"
+    assert extract_title("<p>no title</p>") == ""
+    assert extract_title(None) == ""

@@ -165,3 +165,79 @@ def test_metrics_per_partition(pipeline_out):
         m.filter(F.col("stage") == "mentions").agg(F.sum("rows")).first()[0]
     )
     assert total_mentions == tables["mentions"].count()
+
+
+def test_pipeline_with_extraction_cache(spark, tmp_path):
+    """S8 wired into run_pipeline: a corpus whose pages are ~50% duplicate
+    content extracts each distinct hash ONCE (cache rows = distinct hashes),
+    re-runs are pure hits, and hit/miss counters land in the metrics table."""
+    from hinbox_spark.config import DomainConfig
+
+    out1 = str(tmp_path / "out1")
+    out2 = str(tmp_path / "out2")
+    cache = str(tmp_path / "cache")
+    cfg = DomainConfig(extraction_cache_path=cache)
+
+    pages, _ = pages_dataframe(spark, n_pages=80, seed=42)
+    t1 = run_pipeline(spark, pages, out1, cfg=cfg, resume=False)
+    baseline = run_pipeline(spark, pages, str(tmp_path / "nocache"), resume=False)
+
+    # identical mentions with and without the cache
+    key = lambda r: (r["url"], r["entity_type"], r["name"])
+    assert sorted(map(key, t1["mentions"].collect())) == sorted(
+        map(key, baseline["mentions"].collect())
+    )
+
+    # one extraction per distinct content hash
+    from hinbox_spark.operators.extraction import extract_articles
+
+    n_hashes = (
+        extract_articles(pages).select("content_hash").distinct().count()
+    )
+    cached_hashes = (
+        spark.read.parquet(cache).select("content_hash").distinct().count()
+    )
+    assert cached_hashes == n_hashes
+
+    # counters surfaced in metrics (run-level rows, partition_id = -1)
+    metrics = {r["stage"]: r["rows"] for r in t1["metrics"].collect()
+               if r["stage"].startswith("extraction_cache_")}
+    assert metrics["extraction_cache_distinct_hashes"] == n_hashes
+    assert metrics["extraction_cache_misses"] == n_hashes
+    assert metrics["extraction_cache_hits"] == 0
+
+    # second run over the same corpus: all hits, cache unchanged
+    n_cache_rows = spark.read.parquet(cache).count()
+    t2 = run_pipeline(spark, pages, out2, cfg=cfg, resume=False)
+    metrics2 = {r["stage"]: r["rows"] for r in t2["metrics"].collect()
+                if r["stage"].startswith("extraction_cache_")}
+    assert metrics2["extraction_cache_hits"] == n_hashes
+    assert metrics2["extraction_cache_misses"] == 0
+    assert spark.read.parquet(cache).count() == n_cache_rows
+
+
+def test_pre_extracted_text_fast_path(spark):
+    """Rows with a populated text column bypass the full-parse UDF: the text
+    passes through byte-identically and the title comes from the streaming
+    h1 scan."""
+    from hinbox_spark.operators.extraction import extract_articles
+
+    html = b"<html><body><h1>Pre Title</h1><article><p>Ignored body.</p></article></body></html>"
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1)
+    pages = spark.createDataFrame(
+        [
+            ("u1", ts, html, "Already extracted text.", "en"),
+            ("u2", ts, html, "", "en"),          # empty → full parse
+            ("u3", ts, html, None, "en"),        # null  → full parse
+            ("u4", ts, html, "Texto.", "es"),    # wrong lang → dropped
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    rows = {r["url"]: r for r in extract_articles(pages).collect()}
+    assert set(rows) == {"u1", "u2", "u3"}
+    assert rows["u1"]["text"] == "Already extracted text."
+    assert rows["u1"]["title"] == "Pre Title"
+    assert rows["u2"]["text"] == "Ignored body."
+    assert rows["u3"]["text"] == "Ignored body."

@@ -1,11 +1,55 @@
 """Skew primitives: salted aggregation equivalence + salted self-join
-connectivity."""
+connectivity + tournament top-k exactness."""
 
 import pyspark.sql.functions as F
 
 from hinbox_spark.functions.skew import (
-    salted_aggregate, salted_self_join_keys, skewed_keys,
+    bounded_topk, salted_aggregate, salted_self_join_keys, skewed_keys,
 )
+
+
+def test_bounded_topk_matches_naive_window(spark):
+    """bounded_topk must return EXACTLY the rows of the naive per-key
+    row_number window — on a skewed input (one mega-key with 5k rows beside
+    a long tail) and regardless of shuffle partitioning."""
+    from pyspark.sql import Window
+
+    rows = [("mega", f"u{i:05d}", i % 997) for i in range(5000)]
+    rows += [(f"k{j}", f"u{j}", j) for j in range(50)]
+    df = spark.createDataFrame(rows, "k string, url string, ts int")
+
+    naive = (
+        df.withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("k").orderBy("ts", "url")),
+        )
+        .filter(F.col("_rn") <= 10)
+        .drop("_rn")
+    )
+    tourney = bounded_topk(
+        df, keys=["k"], order_by=[F.col("ts"), F.col("url")], k=10,
+        salt_expr=F.xxhash64("url"), n_salts=8,
+    )
+    exp = sorted(map(tuple, naive.collect()))
+    got = sorted(map(tuple, tourney.collect()))
+    assert got == exp
+
+    # partitioning invariance: different shuffle partitioning, same rows
+    got13 = sorted(map(tuple, tourney.repartition(13).collect()))
+    assert got13 == exp
+
+
+def test_bounded_topk_small_groups_pass_through(spark):
+    """Groups smaller than k are returned whole."""
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 7)], "k string, v int"
+    )
+    got = sorted(
+        map(tuple, bounded_topk(
+            df, ["k"], [F.col("v")], k=5, salt_expr=F.xxhash64("v"),
+        ).collect())
+    )
+    assert got == [("a", 1), ("a", 2), ("b", 7)]
 
 
 def test_salted_aggregate_matches_direct(spark):
