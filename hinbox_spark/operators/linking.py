@@ -48,6 +48,11 @@ EVIDENCE_MENTIONS_PER_NODE = 8
 # feature of the deterministic match-check, J8)
 NAME_JACCARD_MIN = 0.5
 
+# cap on a name-LSH band bucket before pairing (mirrors dedup.BUCKET_CAP):
+# a degenerate name distribution (boilerplate titles) would otherwise go
+# quadratic inside one bucket; dropped buckets are countable via stats_out
+NAME_LSH_BUCKET_CAP = 200
+
 
 def mention_nodes(mentions: DataFrame) -> DataFrame:
     """Distinct linkable keys: one node per (entity_type, match_key, type,
@@ -235,13 +240,19 @@ def _pairs_containment(nodes: DataFrame) -> DataFrame:
     )
 
 
-def _pairs_minhash_names(nodes: DataFrame) -> DataFrame:
+def _pairs_minhash_names(
+    nodes: DataFrame, stats_out: dict | None = None
+) -> DataFrame:
     """B5: MinHash-LSH over character-3-gram shingles of the match key —
     proposes near-duplicate-name pairs (typos, transliteration drift) that
     the exact/acronym/containment families can't see. These pairs carry
     reason='lsh' and are NOT accepted deterministically: they must pass the
     evidence-cosine threshold in score_pairs (J6). People are excluded
-    (reference conservatism, name_variants.py:249-257)."""
+    (reference conservatism, name_variants.py:249-257).
+
+    Buckets larger than NAME_LSH_BUCKET_CAP are dropped before pairing
+    (the self-join would otherwise go quadratic on a degenerate name
+    distribution); pass `stats_out` to count the truncation."""
     import numpy as np
 
     n_hashes, bands = 24, 12  # 2 rows/band → catches ~0.35+ Jaccard names
@@ -283,7 +294,22 @@ def _pairs_minhash_names(nodes: DataFrame) -> DataFrame:
         ).alias("e"),
     ).select("entity_type", "node_id", "e.band", "e.bh")
 
-    a, b = band_entries.alias("a"), band_entries.alias("b")
+    from pyspark.sql import Window
+
+    sized = band_entries.withColumn(
+        "bucket_n",
+        F.count("*").over(Window.partitionBy("entity_type", "band", "bh")),
+    )
+    kept = sized.filter(F.col("bucket_n") <= NAME_LSH_BUCKET_CAP)
+    if stats_out is not None:
+        dropped = sized.filter(F.col("bucket_n") > NAME_LSH_BUCKET_CAP).agg(
+            F.count_distinct("entity_type", "band", "bh").alias("b"),
+            F.count("*").alias("e"),
+        ).first()
+        stats_out["dropped_buckets"] = dropped["b"]
+        stats_out["dropped_entries"] = dropped["e"]
+
+    a, b = kept.alias("a"), kept.alias("b")
     return (
         a.join(
             b,
@@ -386,7 +412,9 @@ def node_evidence_embeddings(
     )
 
 
-def candidate_pairs(nodes: DataFrame, cfg: DomainConfig) -> DataFrame:
+def candidate_pairs(
+    nodes: DataFrame, cfg: DomainConfig, stats_out: dict | None = None
+) -> DataFrame:
     """Union of the blocking families: deterministic (B2-B4, pre-verified)
     first so dropDuplicates keeps the stronger reason, then the MinHash
     proposals (B5, cosine-gated downstream)."""
@@ -395,7 +423,7 @@ def candidate_pairs(nodes: DataFrame, cfg: DomainConfig) -> DataFrame:
         .unionByName(_pairs_acronym(nodes))
         .unionByName(_pairs_containment(nodes))
     )
-    lsh = _pairs_minhash_names(nodes).join(
+    lsh = _pairs_minhash_names(nodes, stats_out=stats_out).join(
         det.select("src", "dst"), ["src", "dst"], "left_anti"
     )
     return det.unionByName(lsh).dropDuplicates(["src", "dst"])

@@ -149,8 +149,12 @@ def run_pipeline(
         _write(articles, output_dir, "articles")
     articles = spark.read.parquet(_table_path(output_dir, "articles"))
 
-    # ── stage 2: mentions (optionally through the content-hash cache, S8) ──
+    # run-level counters (filled by the stages below when they execute;
+    # empty on a resumed run whose stages were skipped)
     cache_stats: dict = {}
+    lsh_stats: dict = {}
+
+    # ── stage 2: mentions (optionally through the content-hash cache, S8) ──
     if not (resume and _done(output_dir, "mentions")):
         if cfg.extraction_cache_path:
             mentions = extract_mentions_cached(
@@ -170,7 +174,7 @@ def run_pipeline(
             and _done(output_dir, "review") and _done(output_dir, "decisions")
             and _done(output_dir, "profiles")):
         nodes = mention_nodes(mentions).cache()
-        pairs = candidate_pairs(nodes, cfg)
+        pairs = candidate_pairs(nodes, cfg, stats_out=lsh_stats)
         node_vecs = node_evidence_embeddings(nodes, mentions, articles, cfg)
         accepted, review = score_pairs(pairs, nodes, node_vecs, cfg)
         accepted = accepted.localCheckpoint(eager=False)
@@ -239,12 +243,18 @@ def run_pipeline(
             .unionByName(_stage_counts(profiles, "profiles"))
             .unionByName(_stage_counts(review, "review"))
         )
-        if cache_stats:
-            # A10: extraction-cache hit/miss counters (partition_id −1 =
-            # run-level counter, not tied to a data partition)
+        run_counters = {
+            # A10: extraction-cache hit/miss counters
+            **{f"extraction_cache_{k}": v for k, v in cache_stats.items()},
+            # B5 truncation: dropped name-LSH buckets are counted, not
+            # silent (scale guard visibility)
+            **{f"name_lsh_{k}": v for k, v in lsh_stats.items()},
+        }
+        if run_counters:
+            # partition_id −1 = run-level counter, not tied to a partition
             m = m.unionByName(
                 spark.createDataFrame(
-                    [(f"extraction_cache_{k}", -1, v) for k, v in cache_stats.items()],
+                    [(k, -1, v) for k, v in run_counters.items()],
                     "stage string, partition_id int, rows long",
                 )
             )

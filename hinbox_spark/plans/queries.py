@@ -828,6 +828,22 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e, q, k=5, n_planes=8, dim=64, multiprobe_bits=6)
 
 
+def q_emb_near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup threshold pairs — the scale path of
+    emb_near_dup_pairs (which stays the brute-force oracle). Non-SQL-
+    expressible (multi-table hyperplane banding); rows-only driver check;
+    recall ≥0.8 vs the brute path is pinned in tests/test_ann.py.
+
+    Parameters sized for the 0.45 threshold: 4 planes × 12 tables →
+    per-table collision p ≈ 0.65⁴ ≈ 0.18, recall ≈ 1−(1−0.18)¹² ≈ 0.91."""
+    from hinbox_spark.operators.ann import lsh_bucketed_neighbors
+
+    e = _t(spark, sf_dir, "embeddings")
+    return lsh_bucketed_neighbors(
+        e, threshold=0.45, n_planes=4, n_tables=12, dim=64
+    )
+
+
 # ── registry ──
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -862,6 +878,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # tests/test_dedup.py and tests/test_ann.py)
     "doc_minhash_near_dups": q_doc_minhash_near_dups,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "emb_near_dup_pairs_lsh": q_emb_near_dup_pairs_lsh,
 }
 
 ORACLE_QUERIES: dict[str, str] = {

@@ -46,3 +46,61 @@ def test_brute_force_identical_vector_rank1(spark, vectors):
     queries = vectors.limit(1).selectExpr("vec_id as query_id", "embedding as qvec")
     top = brute_force_topk(all_vecs, queries, k=1).collect()[0]
     assert top["neighbor_id"] == 9999 and abs(top["cos_sim"] - 1.0) < 1e-6
+
+
+def test_lsh_bucketed_neighbors_recall_and_exactness(spark, vectors):
+    """Threshold-pair scale path: every emitted pair must carry the exact
+    brute-force cosine, be above the threshold, and cover ≥0.8 of the
+    brute-force pair set."""
+    from hinbox_spark.operators.dedup import embedding_cosine_near_duplicates
+    from hinbox_spark.operators.ann import lsh_bucketed_neighbors
+
+    emb = vectors
+    brute = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in embedding_cosine_near_duplicates(emb, threshold=0.9).collect()
+    }
+    assert len(brute) > 50  # clustered fixture has plenty of near-dups
+
+    stats = {}
+    approx = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in lsh_bucketed_neighbors(
+            emb, threshold=0.9, n_planes=12, n_tables=6, dim=64,
+            stats_out=stats,
+        ).collect()
+    }
+    # subset with exact values
+    for pair, cos in approx.items():
+        assert pair in brute
+        assert abs(cos - brute[pair]) < 1e-9
+    recall = len(set(approx) & set(brute)) / len(brute)
+    assert recall >= 0.8, recall
+    assert stats["dropped_buckets"] == 0
+
+
+def test_lsh_bucketed_neighbors_bucket_cap_counted(spark, vectors):
+    """With a tiny bucket cap the hot buckets are dropped AND counted —
+    truncation is never silent."""
+    from hinbox_spark.operators.ann import lsh_bucketed_neighbors
+
+    stats = {}
+    out = lsh_bucketed_neighbors(
+        vectors, threshold=0.9, n_planes=2, n_tables=2, dim=64,
+        bucket_cap=5, stats_out=stats,
+    )
+    out.count()
+    assert stats["dropped_buckets"] > 0
+    assert stats["dropped_entries"] > 5
+
+
+def test_zero_norm_vectors_never_rank(spark, vectors):
+    """A zero vector (empty-text embedding) must not appear in any top-k."""
+    zero = spark.createDataFrame(
+        [(8888, [0.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    all_vecs = vectors.unionByName(zero)
+    queries = vectors.limit(2).selectExpr("vec_id as query_id", "embedding as qvec")
+    for fn in (brute_force_topk, lsh_topk):
+        neigh = {r["neighbor_id"] for r in fn(all_vecs, queries, k=10).collect()}
+        assert 8888 not in neigh

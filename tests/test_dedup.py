@@ -70,3 +70,28 @@ def test_embedding_near_dups(spark):
     out = {(r["vec_a"], r["vec_b"]) for r in
            embedding_cosine_near_duplicates(emb, threshold=0.95).collect()}
     assert out == {(0, 1)}
+
+
+def test_minhash_truncation_counted(spark):
+    """Hot-bucket drops are counted via stats_out — never silent. 300
+    copies of one text put every band bucket over BUCKET_CAP=200."""
+    rows = [(i, BASE) for i in range(300)] + [(1000, FAR)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {}
+    out = minhash_near_duplicates(df, jaccard_threshold=0.5, stats_out=stats)
+    n_pairs = out.count()
+    assert stats["dropped_buckets"] > 0
+    assert stats["dropped_entries"] >= 300
+    # hot buckets dropped → bounded pair count (not 300*299/2 ≈ 45k)
+    assert n_pairs < 1000
+
+
+def test_minhash_results_unchanged_by_text_rejoin(docs):
+    """The id-only band shuffle + text re-join must produce the same pairs
+    as before: (0,1) exact, (0,2)/(1,2) near."""
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_near_duplicates(docs, jaccard_threshold=0.5).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] == 1.0
+    assert (0, 2) in got and (1, 2) in got

@@ -206,3 +206,34 @@ class TestThresholdResolution:
         assert cfg.threshold_for("locations") == 0.80
         assert cfg.threshold_for("events") == 0.76
         assert cfg.threshold_for("other") == 0.75  # default fallback
+
+
+class TestNameLshBucketCap:
+    def test_degenerate_names_bounded_with_truncation_metric(self, spark):
+        """10k near-identical names (boilerplate titles) must not go
+        quadratic in one LSH bucket: the band-bucket cap bounds the pair
+        count and the truncation is counted, not silent."""
+        from hinbox_spark.operators.linking import (
+            NAME_LSH_BUCKET_CAP, _pairs_minhash_names,
+        )
+
+        rows = [
+            (f"u{i}", "organizations", f"Weekly Report Bulletin {i:05d}",
+             "government", "", "", "", False, [])
+            for i in range(10_000)
+        ]
+        m = spark.createDataFrame(
+            rows,
+            "url string, entity_type string, name string, type string, "
+            "description string, start_date string, end_date string, "
+            "is_fuzzy_date boolean, aliases array<string>",
+        )
+        nodes = mention_nodes(m)
+        stats = {}
+        pairs = _pairs_minhash_names(nodes, stats_out=stats)
+        n = pairs.count()
+        assert stats["dropped_buckets"] > 0
+        assert stats["dropped_entries"] > 0
+        # bounded: the cap turns the worst case from O(n²) into O(n·cap)
+        # per band — far below the ~5·10⁷ all-pairs count for 10k names
+        assert n < 10_000 * NAME_LSH_BUCKET_CAP  # 2M vs 50M all-pairs
