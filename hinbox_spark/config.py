@@ -117,6 +117,17 @@ DOMAIN_LOCS: dict[str, tuple[str, list[str]]] = {
 }
 
 
+def _default_relevance_keywords() -> list[str]:
+    """Deterministic stand-in for the reference's LLM relevance check
+    (src/engine/relevance.py): an article is domain-relevant iff it contains
+    any known domain surface form. Lowercased for case-insensitive scan."""
+    kws: set[str] = {p.lower() for p in DOMAIN_PEOPLE}
+    for variants in (DOMAIN_ORGS, DOMAIN_LOCS):
+        for _, (_, surfaces) in variants.items():
+            kws.update(s.lower() for s in surfaces)
+    return sorted(kws)
+
+
 @dataclass(frozen=True)
 class DomainConfig:
     """Pipeline configuration for one domain (broadcastable)."""
@@ -143,6 +154,12 @@ class DomainConfig:
     # N duplicate pages cost one extraction; hit/miss counters land in the
     # metrics table
     extraction_cache_path: str | None = None
+    # F4: explicit domain-relevance predicate (keyword scan — the
+    # deterministic analog of src/engine/relevance.py); irrelevant articles
+    # skip the NER stage and are counted in the skip-reason summary (A2)
+    relevance_keywords: tuple[str, ...] = field(
+        default_factory=lambda: tuple(_default_relevance_keywords())
+    )
 
     def threshold_for(self, entity_type: str) -> float:
         """Resolution chain: per-type → default → 0.75

@@ -1,0 +1,43 @@
+"""Filesystem helpers through the Hadoop FS API.
+
+Stage checkpoints must work on whatever filesystem the SparkSession is
+writing to (HDFS, S3A, file:, ...) — `os.path` only sees the driver's local
+disk, so every table-path check goes through
+`org.apache.hadoop.fs.FileSystem` resolved FROM THE PATH ITSELF (the same
+resolution Spark's writers use). Mirrors the reference's checkpoint
+existence checks (src/utils/processing_status.py) without assuming local
+POSIX paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    fs, p = _fs_and_path(spark, path)
+    return bool(fs.exists(p))
+
+
+def mkdirs(spark: SparkSession, path: str) -> None:
+    fs, p = _fs_and_path(spark, path)
+    fs.mkdirs(p)
+
+
+def has_part_files(spark: SparkSession, path: str) -> bool:
+    """True iff the table directory contains at least one part file, at the
+    top level or one partition level down (partitionBy layout)."""
+    fs, _ = _fs_and_path(spark, path)
+    jvm = spark._jvm
+    for pattern in (f"{path}/part-*", f"{path}/*/part-*"):
+        statuses = fs.globStatus(jvm.org.apache.hadoop.fs.Path(pattern))
+        if statuses is not None and len(statuses) > 0:
+            return True
+    return False

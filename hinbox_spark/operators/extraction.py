@@ -99,6 +99,73 @@ def extract_articles(pages: DataFrame, lang: str = "en") -> DataFrame:
     )
 
 
+def relevance_predicate(keywords: tuple[str, ...] | list[str]) -> F.Column:
+    """F4: explicit domain-relevance predicate — true iff the article text
+    contains any domain surface form on WORD BOUNDARIES (a bare substring
+    scan would fire "UN" inside "sunny" or "ICE" inside "justice").
+    Both sides are normalized the same way (lowercase, non-alnum → space),
+    then matched as padded token phrases. Deterministic analog of the
+    reference's LLM relevance check (src/engine/relevance.py:12-61); pure
+    JVM column expressions, so it stays inside whole-stage codegen."""
+    import re
+
+    norm_keys = sorted(
+        {" " + re.sub(r"[^a-z0-9]+", " ", k.lower()).strip() + " " for k in keywords}
+    )
+    norm_text = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "),
+        F.lit(" "),
+    )
+    return F.exists(
+        F.array(*[F.lit(k) for k in norm_keys]),
+        lambda k: F.instr(norm_text, k) > 0,
+    )
+
+
+def skip_reason_summary(
+    pages: DataFrame,
+    articles: DataFrame,
+    mentions: DataFrame,
+    keywords: tuple[str, ...] | list[str],
+    lang: str = "en",
+) -> DataFrame:
+    """A2: per-reason skip counters mirroring the reference's processing
+    summary (src/process_and_extract.py:365-407). Returns a LAZY
+    DataFrame(reason, n) — all counts are aggregates unioned into one job:
+
+      wrong_lang      page dropped by the language filter
+      empty_content   in-language page with no extractable text (F3)
+      not_relevant    extracted article failing the relevance predicate (F4)
+      no_mentions     relevant article yielding zero validated mentions
+      processed       articles contributing at least one mention
+    """
+
+    def _count(df: DataFrame, reason: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n")).select(
+            F.lit(reason).alias("reason"), "n"
+        )
+
+    wrong_lang = pages.filter(F.col("lang") != lang)
+    in_lang_pages = pages.filter(F.col("lang") == lang).select("url")
+    empty_content = in_lang_pages.join(
+        articles.select("url"), "url", "left_anti"
+    )
+    not_relevant = articles.filter(~relevance_predicate(keywords))
+    relevant = articles.filter(relevance_predicate(keywords)).select("url")
+    mentioned = mentions.select("url").distinct()
+    no_mentions = relevant.join(mentioned, "url", "left_anti")
+    processed = relevant.join(mentioned, "url", "inner")
+
+    return (
+        _count(wrong_lang, "wrong_lang")
+        .unionByName(_count(empty_content, "empty_content"))
+        .unionByName(_count(not_relevant, "not_relevant"))
+        .unionByName(_count(no_mentions, "no_mentions"))
+        .unionByName(_count(processed, "processed"))
+    )
+
+
 def extract_mentions(articles: DataFrame, gazetteer: Gazetteer) -> DataFrame:
     """articles → mentions (one row per validated typed mention).
 
@@ -147,12 +214,13 @@ def extract_mentions_cached(
     join. Version bump = logical invalidation (old rows filtered, not
     deleted — same as the reference's version-dir scheme).
     """
-    import os
+    from hinbox_spark import fs as hfs
 
     spark = articles.sparkSession
     mention_cols = [f.name for f in MENTION_SCHEMA.fields if f.name != "url"]
 
-    cache_exists = os.path.exists(os.path.join(cache_path, "_SUCCESS"))
+    # Hadoop FS API: the cache may live on hdfs:/s3a:/file:
+    cache_exists = hfs.exists(spark, cache_path.rstrip("/") + "/_SUCCESS")
     if cache_exists:
         cache = spark.read.parquet(cache_path).filter(
             F.col("extractor_version") == version

@@ -516,6 +516,11 @@ def score_pairs(
     # deterministic match-check (J8 replacement): cosine-path pairs must
     # ALSO have near-duplicate names
     names_close = F.col("name_jac") >= NAME_JACCARD_MIN
+    # reference gray-band gate (constants.py:30-33, mergers.py:907-942):
+    # dispute ONLY when in the band AND the match check is uncertain
+    # (confidence < 0.7). name_jac is the deterministic confidence proxy —
+    # a confident in-band pair is decided by the match check directly.
+    confident = F.col("name_jac") >= F.lit(cfg.gray_band_confidence_cutoff)
     # events hard rule: start_date is part of the identity key (reference
     # mergers.py:133-138, match-checker date compatibility) — two dated
     # events only merge when the dates agree (empty date is compatible)
@@ -531,14 +536,20 @@ def score_pairs(
         & dates_ok
         & (
             deterministic
-            | (names_close & (F.col("sim") >= F.col("tau")) & ~in_gray)
+            | (
+                names_close
+                & (F.col("sim") >= F.col("tau"))
+                & (~in_gray | confident)
+            )
         )
     ).select("src", "dst", "entity_type", "reason", "sim")
 
     review = scored.filter(
-        ~deterministic & in_gray & names_close & dates_ok & ~F.col("guard_lq")
+        ~deterministic & in_gray & ~confident & names_close & dates_ok
+        & ~F.col("guard_lq")
     ).select(
         "src", "dst", "entity_type", "name_src", "name_dst", "sim", "tau",
+        F.col("name_jac").alias("confidence"),
         F.lit("defer").alias("decision"),
     )
     return accepted, review

@@ -166,16 +166,38 @@ def build_profiles(mention_clusters: DataFrame, entities: DataFrame) -> DataFram
 
 
 def ground_profiles(profiles: DataFrame, articles: DataFrame) -> DataFrame:
-    """Deterministic grounding verification (P6).
+    """Deterministic grounding verification (P6) with the reference's five
+    support levels (src/utils/quality_controls.py:512-517):
 
-    Citations explode → left join pages on url (null = missing_source) →
-    claim verified iff any of the entity's name variants appears in the
-    cited article text. grounding_score = verified / total citations.
+      missing_source  cited url not in the pages table
+      supported       a name variant appears AND ≥½ of the claim's
+                      significant tokens appear in the cited text
+      partial         exactly one of the two signals holds
+      unclear         no variant, token overlap in [0.25, 0.5)
+      not_supported   otherwise
+
+    The variant check + token-overlap pair is the deterministic analog of
+    the reference's per-claim LLM judgment; summary stats mirror
+    quality_controls.py:719-749: verified = supported + partial,
+    grounding_score = verified/total, flags missing_sources /
+    unsupported_claims / low_grounding_score (<0.7 → grounding_passed
+    false). Everything below the claim explode is JVM column expressions.
     """
 
-    @F.pandas_udf("array<string>")
-    def _citations(text: pd.Series) -> pd.Series:
-        return text.map(lambda t: CITATION_RE.findall(t or ""))
+    @F.pandas_udf("array<struct<cite_url:string, claim:string>>")
+    def _claims(text: pd.Series) -> pd.Series:
+        def per_profile(t: str):
+            out = []
+            for line in (t or "").split("\n"):
+                urls = CITATION_RE.findall(line)
+                if not urls:
+                    continue
+                claim = CITATION_RE.sub("", line).strip()
+                for u in urls:
+                    out.append({"cite_url": u, "claim": claim})
+            return out
+
+        return text.map(per_profile)
 
     # the report self-joins profiles; checkpoint so the applyInPandas
     # assembly runs once, not three times
@@ -185,43 +207,80 @@ def ground_profiles(profiles: DataFrame, articles: DataFrame) -> DataFrame:
         profiles.select(
             "entity_id",
             "name_variants",
-            _citations(F.col("profile_text")).alias("cites"),
+            F.explode(_claims(F.col("profile_text"))).alias("c"),
         )
-        .withColumn("cite_url", F.explode("cites"))
-        .drop("cites")
+        .select("entity_id", "name_variants", "c.cite_url", "c.claim")
     )
 
     joined = cited.join(
         articles.select(F.col("url").alias("cite_url"), "text"), "cite_url", "left"
     )
 
-    verified = joined.withColumn(
+    text_lower = F.lower(F.col("text"))
+    variant_hit = F.exists(
+        "name_variants", lambda v: F.instr(text_lower, F.lower(v)) > 0
+    )
+    claim_tokens = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.col("claim")), "[^a-z0-9]+"),
+            lambda t: F.length(t) >= 4,
+        )
+    )
+    overlap = F.when(
+        F.size(claim_tokens) > 0,
+        F.size(F.filter(claim_tokens, lambda t: F.instr(text_lower, t) > 0))
+        / F.size(claim_tokens),
+    ).otherwise(F.lit(0.0))
+
+    leveled = joined.withColumn(
         "status",
         F.when(F.col("text").isNull(), F.lit("missing_source"))
-        .when(
-            F.exists(
-                "name_variants",
-                lambda v: F.instr(F.lower(F.col("text")), F.lower(v)) > 0,
-            ),
-            F.lit("supported"),
-        )
+        .when(variant_hit & (overlap >= 0.5), F.lit("supported"))
+        .when(variant_hit | (overlap >= 0.5), F.lit("partial"))
+        .when(overlap >= 0.25, F.lit("unclear"))
         .otherwise(F.lit("not_supported")),
     )
 
-    report = verified.groupBy("entity_id").agg(
-        F.count("*").alias("total_claims"),
-        F.sum(F.when(F.col("status") == "supported", 1).otherwise(0)).alias(
-            "verified_claims"
-        ),
-        F.sum(F.when(F.col("status") == "missing_source", 1).otherwise(0)).alias(
-            "missing_sources"
-        ),
-    ).withColumn(
-        "grounding_score",
-        F.when(
-            F.col("total_claims") > 0,
-            F.col("verified_claims") / F.col("total_claims"),
-        ).otherwise(F.lit(0.0)),
+    def _n(status: str):
+        return F.sum(F.when(F.col("status") == status, 1).otherwise(0))
+
+    report = (
+        leveled.groupBy("entity_id")
+        .agg(
+            F.count("*").alias("total_claims"),
+            _n("supported").alias("supported_claims"),
+            _n("partial").alias("partial_claims"),
+            _n("unclear").alias("unclear_claims"),
+            _n("not_supported").alias("unsupported_claims"),
+            _n("missing_source").alias("missing_sources"),
+        )
+        .withColumn(
+            "verified_claims",
+            F.col("supported_claims") + F.col("partial_claims"),
+        )
+        .withColumn(
+            "grounding_score",
+            F.when(
+                F.col("total_claims") > 0,
+                F.col("verified_claims") / F.col("total_claims"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "grounding_flags",
+            F.filter(
+                F.array(
+                    F.when(F.col("missing_sources") > 0, F.lit("missing_sources")),
+                    F.when(
+                        F.col("unsupported_claims") > 0, F.lit("unsupported_claims")
+                    ),
+                    F.when(
+                        F.col("grounding_score") < 0.7, F.lit("low_grounding_score")
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            ),
+        )
+        .withColumn("grounding_passed", F.col("grounding_score") >= 0.7)
     )
 
     return profiles.join(report, "entity_id", "left")

@@ -40,6 +40,29 @@ def search_entities(
     return out.orderBy("canonical_name")
 
 
+def with_display_keys(entities: DataFrame) -> DataFrame:
+    """SC13: the frontend's hash-disambiguated display key
+    (src/frontend/data_access.py:113-176):
+
+      people          name (already unique per identity model)
+      organizations   "Name (md5(name##type)[:6])"
+      locations       "Name (md5(name##type)[:6])"
+      events          "Title (md5(title##start_date)[:6])"
+
+    Pure column expressions — md5/substring/concat are JVM built-ins."""
+    second = F.when(
+        F.col("entity_type") == "events", F.col("canonical_start_date")
+    ).otherwise(F.col("canonical_type"))
+    h = F.substring(
+        F.md5(F.concat(F.col("canonical_name"), F.lit("##"), second)), 1, 6
+    )
+    return entities.withColumn(
+        "display_key",
+        F.when(F.col("entity_type") == "people", F.col("canonical_name"))
+        .otherwise(F.concat(F.col("canonical_name"), F.lit(" ("), h, F.lit(")"))),
+    )
+
+
 def distinct_filter_values(profiles: DataFrame) -> DataFrame:
     """A9: sorted distinct (entity_type, tag) chips."""
     return (

@@ -19,12 +19,11 @@ src/process_and_extract.py:545-565, re-expressed as tables):
 
 from __future__ import annotations
 
-import os
-
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from hinbox_spark import fs as hfs
 from hinbox_spark.config import DomainConfig, get_default_config
 from hinbox_spark.functions.ner import default_gazetteer
 from hinbox_spark.operators.canonicalize import (
@@ -33,6 +32,7 @@ from hinbox_spark.operators.canonicalize import (
 from hinbox_spark.operators.clustering import connected_components
 from hinbox_spark.operators.extraction import (
     extract_articles, extract_mentions, extract_mentions_cached,
+    relevance_predicate, skip_reason_summary,
 )
 from hinbox_spark.operators.linking import (
     candidate_pairs, mention_nodes, node_evidence_embeddings, score_pairs,
@@ -46,11 +46,12 @@ STAGES = (
 
 
 def _table_path(base: str, name: str) -> str:
-    return os.path.join(base, name)
+    return base.rstrip("/") + "/" + name
 
 
-def _done(base: str, name: str) -> bool:
-    return os.path.exists(os.path.join(_table_path(base, name), "_SUCCESS"))
+def _done(spark: SparkSession, base: str, name: str) -> bool:
+    # Hadoop FS API, not os.path — the output dir may be hdfs:/s3a:/file:
+    return hfs.exists(spark, _table_path(base, name) + "/_SUCCESS")
 
 
 def _write(df: DataFrame, base: str, name: str, partition_cols: list[str] | None = None):
@@ -66,15 +67,7 @@ def _write(df: DataFrame, base: str, name: str, partition_cols: list[str] | None
     # an all-empty write emits no schema-bearing part file → unreadable
     # table; detect from the output listing (free) and rewrite one empty
     # part file carrying the schema
-    has_part = any(
-        f.startswith("part-") for f in os.listdir(path)
-    ) or any(
-        f2.startswith("part-")
-        for f in os.listdir(path)
-        if os.path.isdir(os.path.join(path, f))
-        for f2 in os.listdir(os.path.join(path, f))
-    )
-    if not has_part:
+    if not hfs.has_part_files(df.sparkSession, path):
         # write an empty single-file table from a literal (no plan recompute)
         df.sparkSession.createDataFrame([], df.schema).repartition(1).write.mode(
             "overwrite"
@@ -141,10 +134,10 @@ def run_pipeline(
     when resume=True (checkpoint/resume at stage boundaries)."""
     cfg = cfg or get_default_config()
     gaz = default_gazetteer()
-    os.makedirs(output_dir, exist_ok=True)
+    hfs.mkdirs(spark, output_dir)
 
     # ── stage 1: articles ──
-    if not (resume and _done(output_dir, "articles")):
+    if not (resume and _done(spark, output_dir, "articles")):
         articles = extract_articles(pages)
         _write(articles, output_dir, "articles")
     articles = spark.read.parquet(_table_path(output_dir, "articles"))
@@ -154,14 +147,17 @@ def run_pipeline(
     cache_stats: dict = {}
     lsh_stats: dict = {}
 
-    # ── stage 2: mentions (optionally through the content-hash cache, S8) ──
-    if not (resume and _done(output_dir, "mentions")):
+    # ── stage 2: mentions (optionally through the content-hash cache, S8).
+    # F4: only relevance-passing articles reach the NER stage — irrelevant
+    # pages skip it and are counted in the skip-reason summary. ──
+    if not (resume and _done(spark, output_dir, "mentions")):
+        relevant = articles.filter(relevance_predicate(cfg.relevance_keywords))
         if cfg.extraction_cache_path:
             mentions = extract_mentions_cached(
-                articles, gaz, cfg.extraction_cache_path, stats_out=cache_stats
+                relevant, gaz, cfg.extraction_cache_path, stats_out=cache_stats
             )
         else:
-            mentions = extract_mentions(articles, gaz)
+            mentions = extract_mentions(relevant, gaz)
         _write(mentions, output_dir, "mentions", ["entity_type"])
     mentions = spark.read.parquet(_table_path(output_dir, "mentions"))
 
@@ -170,9 +166,9 @@ def run_pipeline(
     # written last, so a crash between edges and profiles would otherwise
     # leave a resume state that skips the block and then fails reading the
     # missing profiles table (wedged checkpoint dir)
-    if not (resume and _done(output_dir, "entities") and _done(output_dir, "edges")
-            and _done(output_dir, "review") and _done(output_dir, "decisions")
-            and _done(output_dir, "profiles")):
+    if not (resume and _done(spark, output_dir, "entities") and _done(spark, output_dir, "edges")
+            and _done(spark, output_dir, "review") and _done(spark, output_dir, "decisions")
+            and _done(spark, output_dir, "profiles")):
         nodes = mention_nodes(mentions).cache()
         pairs = candidate_pairs(nodes, cfg, stats_out=lsh_stats)
         node_vecs = node_evidence_embeddings(nodes, mentions, articles, cfg)
@@ -226,7 +222,7 @@ def run_pipeline(
     # ── metrics table: per-stage / per-partition lineage counters ──
     # partition_id is persisted at write time by _write, so this is one
     # column-pruned scan per table, unioned into a single job
-    if not (resume and _done(output_dir, "metrics")):
+    if not (resume and _done(spark, output_dir, "metrics")):
         def _stage_counts(df: DataFrame, stage: str) -> DataFrame:
             return (
                 df.groupBy("partition_id")
@@ -243,9 +239,25 @@ def run_pipeline(
             .unionByName(_stage_counts(profiles, "profiles"))
             .unionByName(_stage_counts(review, "review"))
         )
+        # A2: per-reason skip counters (lazy aggregates — one job at write)
+        m = m.unionByName(
+            skip_reason_summary(
+                pages, articles, mentions, cfg.relevance_keywords
+            ).select(
+                F.when(F.col("reason") == "processed", F.lit("processed"))
+                .otherwise(F.concat(F.lit("skip_"), "reason"))
+                .alias("stage"),
+                F.lit(-1).alias("partition_id"),
+                F.col("n").alias("rows"),
+            )
+        )
+
         run_counters = {
             # A10: extraction-cache hit/miss counters
             **{f"extraction_cache_{k}": v for k, v in cache_stats.items()},
+            # F2 skip-if-unchanged analog: cache hits = articles whose
+            # content hash was already extracted in a previous run
+            "skip_unchanged_hash": cache_stats.get("hits", 0),
             # B5 truncation: dropped name-LSH buckets are counted, not
             # silent (scale guard visibility)
             **{f"name_lsh_{k}": v for k, v in lsh_stats.items()},

@@ -802,6 +802,35 @@ GROUP BY 1, 2
 """
 
 
+def q_part_display_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SC13: hash-disambiguated display keys (reference
+    src/frontend/data_access.py:113-176 — "Name (md5(name##type)[:6])"),
+    exercised over the part table so the md5/substring/concat chain is
+    oracle-checked. Serving-layer analog: operators/serving.with_display_keys."""
+    p = _t(spark, sf_dir, "part")
+    h = F.substring(
+        F.md5(F.concat(F.col("p_name"), F.lit("##"), F.col("p_type"))), 1, 6
+    )
+    return (
+        p.filter(F.col("p_partkey") <= 50)
+        .select(
+            "p_partkey",
+            F.concat(F.col("p_name"), F.lit(" ("), h, F.lit(")")).alias(
+                "display_key"
+            ),
+        )
+    )
+
+
+ORACLE_DISPLAY_KEYS = """
+SELECT p_partkey,
+       p_name || ' (' || substr(md5(p_name || '##' || p_type), 1, 6) || ')'
+           AS display_key
+FROM part
+WHERE p_partkey <= 50
+"""
+
+
 def q_doc_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate detection over documents (non-SQL-
     expressible: banding + signature hashing; driver records rows-only)."""
@@ -874,6 +903,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_percentiles": q_events_percentiles,
     "nation_customer_supplier_sets": q_nation_customer_supplier_sets,
     "events_hourly_windows": q_events_hourly_windows,
+    "part_display_keys": q_part_display_keys,
     # non-SQL-expressible (rows-only driver check; correctness pinned by
     # tests/test_dedup.py and tests/test_ann.py)
     "doc_minhash_near_dups": q_doc_minhash_near_dups,
@@ -909,4 +939,5 @@ ORACLE_QUERIES: dict[str, str] = {
     "events_percentiles": ORACLE_EVENTS_PERCENTILES,
     "nation_customer_supplier_sets": ORACLE_NATION_SETS,
     "events_hourly_windows": ORACLE_EVENTS_HOURLY,
+    "part_display_keys": ORACLE_DISPLAY_KEYS,
 }

@@ -72,3 +72,46 @@ def test_people_never_collapse_in_article():
         _m("people", "John Smithson", "person"),
     ])
     assert len(out) == 2
+
+
+def test_relevance_predicate_and_skip_summary(spark):
+    """F4/A2: explicit relevance predicate + per-reason skip counters."""
+    import datetime
+
+    from hinbox_spark.config import get_default_config
+    from hinbox_spark.functions.ner import default_gazetteer
+    from hinbox_spark.operators.extraction import (
+        extract_articles, extract_mentions, relevance_predicate,
+        skip_reason_summary,
+    )
+
+    ts = datetime.datetime(2024, 1, 1)
+    mk = lambda body: f"<html><body><article><p>{body}</p></article></body></html>".encode()
+    pages = spark.createDataFrame(
+        [
+            ("r1", ts, mk("Omar Khadr appeared at Guantanamo Bay today."), "", "en"),
+            ("i1", ts, mk("Weather was sunny with mild winds."), "", "en"),   # not relevant
+            ("e1", ts, b"<html><body><div class='x'>no container</div></body></html>", "", "en"),
+            ("s1", ts, mk("Pagina en espanol."), "", "es"),                    # wrong lang
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    cfg = get_default_config()
+    articles = extract_articles(pages).cache()
+    relevant = articles.filter(relevance_predicate(cfg.relevance_keywords))
+    assert {r["url"] for r in relevant.collect()} == {"r1"}
+
+    mentions = extract_mentions(relevant, default_gazetteer())
+    counts = {
+        r["reason"]: r["n"]
+        for r in skip_reason_summary(
+            pages, articles, mentions, cfg.relevance_keywords
+        ).collect()
+    }
+    assert counts == {
+        "wrong_lang": 1,
+        "empty_content": 1,
+        "not_relevant": 1,
+        "no_mentions": 0,
+        "processed": 1,
+    }

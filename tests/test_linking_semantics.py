@@ -237,3 +237,48 @@ class TestNameLshBucketCap:
         # bounded: the cap turns the worst case from O(n²) into O(n·cap)
         # per band — far below the ~5·10⁷ all-pairs count for 10k names
         assert n < 10_000 * NAME_LSH_BUCKET_CAP  # 2M vs 50M all-pairs
+
+
+class TestGrayBandConfidenceGate:
+    """Reference parity (constants.py:30-33, mergers.py:907-942): a pair in
+    the gray band routes to dispute ONLY when the match-check confidence is
+    below 0.7; confident in-band pairs are decided by the match check."""
+
+    def _run(self, spark, name_b, cos_val):
+        import math
+
+        cfg = get_default_config()
+        nodes = _nodes(spark, [
+            ("organizations", "Alpha Industries Corp", "company", ""),
+            ("organizations", name_b, "company", ""),
+        ])
+        vec_by_name = {
+            "Alpha Industries Corp": [1.0, 0.0],
+            name_b: [cos_val, math.sqrt(1 - cos_val ** 2)],
+        }
+        vecs = _vecs(spark, nodes, vec_by_name)
+        pairs = candidate_pairs(nodes, cfg)
+        return score_pairs(pairs, nodes, vecs, cfg)
+
+    def test_confident_in_band_match_merges(self, spark):
+        # name_jac("Alpha Industries Corp","Alpha Industriess Corp")≈0.87 ≥0.7
+        # sim=0.80 in τ±0.05 band, ≥ τ(orgs)=0.78 → confident → MERGE
+        accepted, review = self._run(spark, "Alpha Industriess Corp", 0.80)
+        assert accepted.count() == 1
+        assert review.count() == 0
+
+    def test_confident_in_band_non_match_skips(self, spark):
+        # sim=0.76 in band but < τ → confident → SKIP (no review row)
+        accepted, review = self._run(spark, "Alpha Industriess Corp", 0.76)
+        assert accepted.count() == 0
+        assert review.count() == 0
+
+    def test_uncertain_in_band_defers(self, spark):
+        # name_jac("Alpha Industries Corp","Alpah Industries Corp")=0.68 <0.7
+        # sim=0.80 in band → uncertain → review queue with confidence column
+        accepted, review = self._run(spark, "Alpah Industries Corp", 0.80)
+        assert accepted.count() == 0
+        rows = review.collect()
+        assert len(rows) == 1
+        assert rows[0]["decision"] == "defer"
+        assert abs(rows[0]["confidence"] - 0.68) < 0.01

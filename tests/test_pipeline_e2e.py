@@ -241,3 +241,17 @@ def test_pre_extracted_text_fast_path(spark):
     assert rows["u1"]["title"] == "Pre Title"
     assert rows["u2"]["text"] == "Ignored body."
     assert rows["u3"]["text"] == "Ignored body."
+
+
+def test_pipeline_with_file_uri_output(spark, tmp_path):
+    """Checkpoint dir addressed by a file: URI — every existence check goes
+    through the Hadoop FS API, so no os.path call can break on a remote
+    filesystem."""
+    out = "file://" + str(tmp_path / "uri_out")
+    pages, _ = pages_dataframe(spark, 40, 5)
+    t1 = run_pipeline(spark, pages, out, resume=False)
+    n_edges = t1["edges"].count()
+    assert n_edges > 0
+    # resume skips all stages and returns identical tables
+    t2 = run_pipeline(spark, pages, out, resume=True)
+    assert t2["edges"].count() == n_edges

@@ -76,3 +76,36 @@ def test_pipeline_profile_versions_dense(spark, tmp_path):
         assert created == sorted(created)
         # QC flags: every profile carries citations by construction
         assert "no_citations" not in (r["qc_flags"] or [])
+
+
+def test_all_five_support_levels(spark):
+    """P6 parity: supported / partial / unclear / not_supported /
+    missing_source all reachable (reference SupportLevel enum,
+    quality_controls.py:512-517)."""
+    profiles = spark.createDataFrame(
+        [
+            ("s", ["Acme"], "Acme builds rockets daily.^[u1]"),
+            ("p", ["Acme"], "Acme unrelated gibberish wording.^[u1]"),
+            ("u", ["Ghost"], "rockets fly daily without visible owners anywhere.^[u1]"),
+            ("n", ["Ghost"], "entirely absent wording everywhere.^[u1]"),
+            ("m", ["Acme"], "Anything at all.^[gone]"),
+        ],
+        "entity_id string, name_variants array<string>, profile_text string",
+    )
+    articles = spark.createDataFrame(
+        [("u1", "Acme builds rockets and launches them daily from the pad")],
+        "url string, text string",
+    )
+    rows = {r["entity_id"]: r for r in ground_profiles(profiles, articles).collect()}
+
+    assert rows["s"]["supported_claims"] == 1
+    assert rows["p"]["partial_claims"] == 1          # variant yes, overlap low
+    assert rows["u"]["unclear_claims"] == 1          # no variant, mid overlap
+    assert rows["n"]["unsupported_claims"] == 1
+    assert rows["m"]["missing_sources"] == 1
+
+    # reference score math: verified = supported + partial
+    assert rows["s"]["grounding_passed"] is True
+    assert rows["n"]["grounding_passed"] is False
+    assert "unsupported_claims" in rows["n"]["grounding_flags"]
+    assert "missing_sources" in rows["m"]["grounding_flags"]

@@ -58,3 +58,28 @@ def test_profile_version_lookup(profiles):
     assert v1["version"]["text"] == "v1"
     missing = profile_version(profiles, "e1", version=9).collect()[0]
     assert missing["version"] is None
+
+
+def test_display_keys(spark):
+    """SC13 parity (data_access.py:113-176): people keep the bare name;
+    others get "Name (md5(name##second)[:6])"."""
+    import hashlib
+
+    from hinbox_spark.operators.serving import with_display_keys
+
+    ents = spark.createDataFrame(
+        [
+            ("people", "Omar Khadr", "", ""),
+            ("organizations", "Red Cross", "ngo", ""),
+            ("events", "Tribunal Hearing", "hearing", "2008-01-15"),
+        ],
+        "entity_type string, canonical_name string, canonical_type string, "
+        "canonical_start_date string",
+    )
+    rows = {r["entity_type"]: r["display_key"]
+            for r in with_display_keys(ents).collect()}
+    assert rows["people"] == "Omar Khadr"
+    h_org = hashlib.md5(b"Red Cross##ngo").hexdigest()[:6]
+    assert rows["organizations"] == f"Red Cross ({h_org})"
+    h_ev = hashlib.md5(b"Tribunal Hearing##2008-01-15").hexdigest()[:6]
+    assert rows["events"] == f"Tribunal Hearing ({h_ev})"
