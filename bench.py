@@ -37,6 +37,7 @@ HEADLINE = [
     "events_sessions",
     "doc_minhash_near_dups",
     "ann_lsh_topk",
+    "emb_near_dup_pairs_lsh",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "20000"))
