@@ -20,7 +20,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from hinbox_spark.functions.names import cluster_canonical_score, normalize_for_match
+from hinbox_spark.functions.names import cluster_canonical_score
 
 
 def build_clusters(
@@ -32,13 +32,9 @@ def build_clusters(
     """Attach cluster_id + article metadata (warc_ts, title) to every
     mention via its node key. One join on url, one on the node key — both
     co-partitioned hash joins."""
-    from pyspark.sql.types import StringType
+    from hinbox_spark.operators.linking import ensure_match_key
 
-    @F.pandas_udf(StringType())
-    def _match_key(s: pd.Series) -> pd.Series:
-        return s.map(normalize_for_match)
-
-    m = mentions.withColumn("match_key", _match_key(F.col("name")))
+    m = ensure_match_key(mentions)
     n = nodes.select("entity_type", "match_key", "type_attr", "start_date", "node_id")
     keyed = m.join(
         n,

@@ -48,6 +48,10 @@ MENTION_SCHEMA = StructType(
         StructField("end_date", StringType(), True),
         StructField("is_fuzzy_date", BooleanType(), True),
         StructField("aliases", ArrayType(StringType()), True),
+        # persisted once here so no downstream stage re-runs the Python
+        # normalize_for_match UDF over every mention row (linking joins on
+        # it three times — with the column persisted those are JVM-only)
+        StructField("match_key", StringType(), True),
     ]
 )
 
@@ -146,13 +150,21 @@ def skip_reason_summary(
             F.lit(reason).alias("reason"), "n"
         )
 
+    # use the stamped is_relevant column when the articles table carries it
+    # (run_pipeline stamps it at the stage-1 write) — re-running the
+    # keyword scan here would cost two extra full-text passes
+    rel = (
+        F.col("is_relevant")
+        if "is_relevant" in articles.columns
+        else relevance_predicate(keywords)
+    )
     wrong_lang = pages.filter(F.col("lang") != lang)
     in_lang_pages = pages.filter(F.col("lang") == lang).select("url")
     empty_content = in_lang_pages.join(
         articles.select("url"), "url", "left_anti"
     )
-    not_relevant = articles.filter(~relevance_predicate(keywords))
-    relevant = articles.filter(relevance_predicate(keywords)).select("url")
+    not_relevant = articles.filter(~rel)
+    relevant = articles.filter(rel).select("url")
     mentioned = mentions.select("url").distinct()
     no_mentions = relevant.join(mentioned, "url", "left_anti")
     processed = relevant.join(mentioned, "url", "inner")
@@ -291,13 +303,14 @@ def _qc_article(url: str, text: str, raw: list[dict]) -> list[dict]:
         name = normalize_display(m["name"])
         if not name:
             continue
+        match_key = normalize_for_match(name)
         # dedup key mirrors the reference identity model (mergers.py:114-139)
         if etype == "people":
-            key = (etype, normalize_for_match(name))
+            key = (etype, match_key)
         elif etype == "events":
-            key = (etype, normalize_for_match(name), m.get("start_date") or "")
+            key = (etype, match_key, m.get("start_date") or "")
         else:
-            key = (etype, normalize_for_match(name), m.get("type") or "")
+            key = (etype, match_key, m.get("type") or "")
         if key in seen:
             continue
         seen.add(key)
@@ -315,6 +328,7 @@ def _qc_article(url: str, text: str, raw: list[dict]) -> list[dict]:
                 "end_date": m.get("end_date") or "",
                 "is_fuzzy_date": bool(m.get("is_fuzzy_date")),
                 "aliases": [],
+                "match_key": match_key,
             }
         )
 

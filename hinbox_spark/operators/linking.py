@@ -54,22 +54,34 @@ NAME_JACCARD_MIN = 0.5
 NAME_LSH_BUCKET_CAP = 200
 
 
-def mention_nodes(mentions: DataFrame) -> DataFrame:
-    """Distinct linkable keys: one node per (entity_type, match_key, type,
-    start_date). node_id is a content hash — stable across runs/partitions."""
+def ensure_match_key(df: DataFrame) -> DataFrame:
+    """Use the persisted match_key column when present (stage 2 stamps it);
+    fall back to the Python UDF only for ad-hoc inputs (tests). Keeping the
+    column persisted means the three linking joins over the full mention
+    table are JVM-only."""
+    if "match_key" in df.columns:
+        return df
 
     @F.pandas_udf(StringType())
     def _match_key(s: pd.Series) -> pd.Series:
         return s.map(normalize_for_match)
 
+    return df.withColumn("match_key", _match_key(F.col("name")))
+
+
+def mention_nodes(mentions: DataFrame) -> DataFrame:
+    """Distinct linkable keys: one node per (entity_type, match_key, type,
+    start_date). node_id is a content hash — stable across runs/partitions."""
     nodes = (
-        mentions.select(
-            "entity_type",
-            "name",
-            F.col("type").alias("type_attr"),
-            "start_date",
+        ensure_match_key(
+            mentions.select(
+                "entity_type",
+                "name",
+                F.col("type").alias("type_attr"),
+                "start_date",
+                *(["match_key"] if "match_key" in mentions.columns else []),
+            )
         )
-        .withColumn("match_key", _match_key(F.col("name")))
         .groupBy("entity_type", "match_key", "type_attr", "start_date")
         .agg(F.min("name").alias("name"))  # deterministic display pick
         .withColumn(
@@ -240,19 +252,9 @@ def _pairs_containment(nodes: DataFrame) -> DataFrame:
     )
 
 
-def _pairs_minhash_names(
-    nodes: DataFrame, stats_out: dict | None = None
-) -> DataFrame:
-    """B5: MinHash-LSH over character-3-gram shingles of the match key —
-    proposes near-duplicate-name pairs (typos, transliteration drift) that
-    the exact/acronym/containment families can't see. These pairs carry
-    reason='lsh' and are NOT accepted deterministically: they must pass the
-    evidence-cosine threshold in score_pairs (J6). People are excluded
-    (reference conservatism, name_variants.py:249-257).
-
-    Buckets larger than NAME_LSH_BUCKET_CAP are dropped before pairing
-    (the self-join would otherwise go quadratic on a degenerate name
-    distribution); pass `stats_out` to count the truncation."""
+def _name_lsh_sized_band_entries(nodes: DataFrame) -> DataFrame:
+    """(entity_type, node_id, band, bh, bucket_n) — the B5 band entries
+    with their bucket sizes; shared by pairing and truncation accounting."""
     import numpy as np
 
     n_hashes, bands = 24, 12  # 2 rows/band → catches ~0.35+ Jaccard names
@@ -296,10 +298,45 @@ def _pairs_minhash_names(
 
     from pyspark.sql import Window
 
-    sized = band_entries.withColumn(
+    return band_entries.withColumn(
         "bucket_n",
         F.count("*").over(Window.partitionBy("entity_type", "band", "bh")),
     )
+
+
+def name_lsh_truncation_stats(nodes: DataFrame) -> DataFrame:
+    """LAZY truncation counters for the B5 bucket cap: DataFrame
+    (stage, n) with name_lsh_dropped_buckets / name_lsh_dropped_entries.
+    Union this into a metrics write instead of forcing an eager job —
+    truncation is accounted, never silent, at zero extra job cost."""
+    sized = _name_lsh_sized_band_entries(nodes)
+    dropped = sized.filter(F.col("bucket_n") > NAME_LSH_BUCKET_CAP)
+    return (
+        dropped.agg(F.count_distinct("entity_type", "band", "bh").alias("n"))
+        .select(F.lit("name_lsh_dropped_buckets").alias("stage"), "n")
+        .unionByName(
+            dropped.agg(F.count("*").alias("n")).select(
+                F.lit("name_lsh_dropped_entries").alias("stage"), "n"
+            )
+        )
+    )
+
+
+def _pairs_minhash_names(
+    nodes: DataFrame, stats_out: dict | None = None
+) -> DataFrame:
+    """B5: MinHash-LSH over character-3-gram shingles of the match key —
+    proposes near-duplicate-name pairs (typos, transliteration drift) that
+    the exact/acronym/containment families can't see. These pairs carry
+    reason='lsh' and are NOT accepted deterministically: they must pass the
+    evidence-cosine threshold in score_pairs (J6). People are excluded
+    (reference conservatism, name_variants.py:249-257).
+
+    Buckets larger than NAME_LSH_BUCKET_CAP are dropped before pairing
+    (the self-join would otherwise go quadratic on a degenerate name
+    distribution). Pass `stats_out` for eager truncation counts (tests);
+    the pipeline uses the lazy `name_lsh_truncation_stats` instead."""
+    sized = _name_lsh_sized_band_entries(nodes)
     kept = sized.filter(F.col("bucket_n") <= NAME_LSH_BUCKET_CAP)
     if stats_out is not None:
         dropped = sized.filter(F.col("bucket_n") > NAME_LSH_BUCKET_CAP).agg(
@@ -362,18 +399,14 @@ def node_evidence_embeddings(
             ]
         )
 
-    @F.pandas_udf(StringType())
-    def _match_key(s: pd.Series) -> pd.Series:
-        return s.map(normalize_for_match)
-
     from hinbox_spark.functions.skew import bounded_topk
 
     # tournament top-k (skew.bounded_topk): a mega-entity's mentions never
     # serialize into one sort task; result identical to the naive
     # row_number window (same total order on the content hash)
-    keyed = mentions.withColumn(
-        "match_key", _match_key(F.col("name"))
-    ).withColumn("_ord", F.xxhash64("url", "name"))
+    keyed = ensure_match_key(mentions).withColumn(
+        "_ord", F.xxhash64("url", "name")
+    )
     sampled = bounded_topk(
         keyed,
         keys=["entity_type", "match_key"],

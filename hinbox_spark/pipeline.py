@@ -35,7 +35,8 @@ from hinbox_spark.operators.extraction import (
     relevance_predicate, skip_reason_summary,
 )
 from hinbox_spark.operators.linking import (
-    candidate_pairs, mention_nodes, node_evidence_embeddings, score_pairs,
+    candidate_pairs, mention_nodes, name_lsh_truncation_stats,
+    node_evidence_embeddings, score_pairs,
 )
 from hinbox_spark.operators.profiles import build_profiles, ground_profiles
 
@@ -138,20 +139,24 @@ def run_pipeline(
 
     # ── stage 1: articles ──
     if not (resume and _done(spark, output_dir, "articles")):
-        articles = extract_articles(pages)
+        # F4 relevance is stamped HERE, while the text is already flowing
+        # through the stage — downstream consumers filter on the persisted
+        # boolean (parquet predicate pushdown) instead of re-scanning text
+        articles = extract_articles(pages).withColumn(
+            "is_relevant", relevance_predicate(cfg.relevance_keywords)
+        )
         _write(articles, output_dir, "articles")
     articles = spark.read.parquet(_table_path(output_dir, "articles"))
 
     # run-level counters (filled by the stages below when they execute;
     # empty on a resumed run whose stages were skipped)
     cache_stats: dict = {}
-    lsh_stats: dict = {}
 
     # ── stage 2: mentions (optionally through the content-hash cache, S8).
     # F4: only relevance-passing articles reach the NER stage — irrelevant
     # pages skip it and are counted in the skip-reason summary. ──
     if not (resume and _done(spark, output_dir, "mentions")):
-        relevant = articles.filter(relevance_predicate(cfg.relevance_keywords))
+        relevant = articles.filter(F.col("is_relevant"))
         if cfg.extraction_cache_path:
             mentions = extract_mentions_cached(
                 relevant, gaz, cfg.extraction_cache_path, stats_out=cache_stats
@@ -170,26 +175,40 @@ def run_pipeline(
             and _done(spark, output_dir, "review") and _done(spark, output_dir, "decisions")
             and _done(spark, output_dir, "profiles")):
         nodes = mention_nodes(mentions).cache()
-        pairs = candidate_pairs(nodes, cfg, stats_out=lsh_stats)
+        pairs = candidate_pairs(nodes, cfg)
         node_vecs = node_evidence_embeddings(nodes, mentions, articles, cfg)
         accepted, review = score_pairs(pairs, nodes, node_vecs, cfg)
         accepted = accepted.localCheckpoint(eager=False)
         _write(review, output_dir, "review")
 
         # A1 parity: merge-decision counters (reference MergeStats —
-        # new/merged/skipped/disputed per type) as a metrics table
+        # merged/skipped/disputed per type/reason) as a metrics table.
+        # skipped = candidate pairs that neither merged nor deferred
+        # (failed the match check / a guard) — lazy anti-joins, evaluated
+        # once at the decisions write.
+        review_back = spark.read.parquet(_table_path(output_dir, "review"))
+        skipped = (
+            pairs.join(accepted.select("src", "dst"), ["src", "dst"], "left_anti")
+            .join(review_back.select("src", "dst"), ["src", "dst"], "left_anti")
+            .join(
+                nodes.select(F.col("node_id").alias("src"), "entity_type"), "src"
+            )
+            .groupBy("entity_type", "reason")
+            .agg(F.count("*").alias("n"))
+            .withColumn("decision", F.lit("skipped"))
+        )
         decisions = (
             accepted.groupBy("entity_type", "reason")
             .agg(F.count("*").alias("n"))
             .withColumn("decision", F.lit("merged"))
             .unionByName(
-                spark.read.parquet(_table_path(output_dir, "review"))
-                .groupBy("entity_type")
+                review_back.groupBy("entity_type")
                 .agg(F.count("*").alias("n"))
                 .withColumn("reason", F.lit("gray_band"))
                 .withColumn("decision", F.lit("disputed"))
                 .select("entity_type", "reason", "n", "decision")
             )
+            .unionByName(skipped.select("entity_type", "reason", "n", "decision"))
         )
         _write(decisions, output_dir, "decisions")
 
@@ -252,15 +271,20 @@ def run_pipeline(
             )
         )
 
+        # B5 truncation: dropped name-LSH buckets are counted, not silent —
+        # lazily, as part of this metrics job (no extra blocking job)
+        m = m.unionByName(
+            name_lsh_truncation_stats(mention_nodes(mentions)).select(
+                "stage", F.lit(-1).alias("partition_id"), F.col("n").alias("rows")
+            )
+        )
+
         run_counters = {
             # A10: extraction-cache hit/miss counters
             **{f"extraction_cache_{k}": v for k, v in cache_stats.items()},
             # F2 skip-if-unchanged analog: cache hits = articles whose
             # content hash was already extracted in a previous run
             "skip_unchanged_hash": cache_stats.get("hits", 0),
-            # B5 truncation: dropped name-LSH buckets are counted, not
-            # silent (scale guard visibility)
-            **{f"name_lsh_{k}": v for k, v in lsh_stats.items()},
         }
         if run_counters:
             # partition_id −1 = run-level counter, not tied to a partition

@@ -100,28 +100,12 @@ def orchestrate(n_pages: int) -> None:
         f"docs_per_sec_local{n_big}": thr_4n,
     }
     print(json.dumps(summary))
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(
-            "# BENCH — measured throughput + scaling\n\n"
-            "KG-construction pipeline (full: extraction → mentions → linking →\n"
-            "connected components → entities/edges/profiles, all checkpoints\n"
-            "written) on the deterministic synthetic corpus, identical input at\n"
-            "two parallelism levels (sandbox stand-in for N vs 4N executors).\n"
-            "N=4 and 4N=16 worker cores: the host has 32 logical CPUs over ~16\n"
-            "physical cores, so 4→16 stays within physical cores (measured pure-\n"
-            "CPU hardware scaling ceiling for 4→16 processes is 0.89; 8→32 is\n"
-            "SMT-capped at 0.73 regardless of software).\n\n"
-            f"| config | pages | wall sec | docs/sec |\n|---|---|---|---|\n"
-            f"| local[{n_small}] (N) | {n_pages} | {results[n_small]['sec']} | {thr_n} |\n"
-            f"| local[{n_big}] (4N) | {n_pages} | {results[n_big]['sec']} | {thr_4n} |\n\n"
-            f"**Scaling efficiency N→4N = throughput(4N) / (4 × throughput(N)) "
-            f"= {eff:.3f}** (target ≥ 0.8)\n\n"
-            "Methodology: identical job, identical pre-materialized parquet\n"
-            "input, fresh JVM per config, plans warmed on a 400-page slice\n"
-            "before the measured run (whole-stage-codegen compile is per-plan,\n"
-            "not per-row). Headline per-query times: see the driver-recorded\n"
-            "BENCH_r{N}.json (produced by bench.py at sf0.1).\n"
-        )
+    # append-only run log: BENCH.md is curated by hand (it carries the
+    # min-of-N methodology and the full measurement history), so the script
+    # records raw runs instead of overwriting it
+    with open(os.path.join(REPO, "BENCH_scaling_runs.jsonl"), "a") as f:
+        f.write(json.dumps({"results": {str(k): v for k, v in results.items()},
+                            "summary": summary}) + "\n")
 
 
 if __name__ == "__main__":

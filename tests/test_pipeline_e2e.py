@@ -255,3 +255,19 @@ def test_pipeline_with_file_uri_output(spark, tmp_path):
     # resume skips all stages and returns identical tables
     t2 = run_pipeline(spark, pages, out, resume=True)
     assert t2["edges"].count() == n_edges
+
+
+def test_decisions_mergestat_parity(pipeline_out):
+    """A1: decisions table carries the reference MergeStats categories —
+    merged (accepted edges per reason), disputed (gray-band deferrals),
+    skipped (candidates that failed the match check) — and the counts
+    reconcile with the edge/review tables."""
+    tables, _, _, _ = pipeline_out
+    rows = tables["decisions"].collect()
+    by_decision = {}
+    for r in rows:
+        by_decision.setdefault(r["decision"], 0)
+        by_decision[r["decision"]] += r["n"]
+    assert set(by_decision) <= {"merged", "disputed", "skipped"}
+    assert by_decision.get("merged", 0) > 0
+    assert by_decision.get("disputed", 0) == tables["review"].count()
