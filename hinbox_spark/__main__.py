@@ -27,6 +27,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--master", default=None, help="spark master override")
     p.add_argument("--no-resume", action="store_true",
                    help="recompute every stage even if checkpointed")
+    p.add_argument("--cache", default=None,
+                   help="extraction-cache table path (S8): duplicate "
+                        "content hashes are extracted once across runs")
     args = p.parse_args(argv)
 
     if not args.pages and not args.generate:
@@ -45,8 +48,16 @@ def main(argv: list[str] | None = None) -> int:
 
         pages = pages_dataframe_distributed(spark, args.generate, args.seed)
 
+    cfg = None
+    if args.cache:
+        from hinbox_spark.config import DomainConfig
+
+        cfg = DomainConfig(extraction_cache_path=args.cache)
+
     t0 = time.time()
-    tables = run_pipeline(spark, pages, args.output, resume=not args.no_resume)
+    tables = run_pipeline(
+        spark, pages, args.output, cfg=cfg, resume=not args.no_resume
+    )
     counts = {k: df.count() for k, df in tables.items()}
     print(json.dumps({"sec": round(time.time() - t0, 2), "rows": counts}))
     return 0

@@ -175,6 +175,136 @@ def lsh_bucketed_neighbors(
     )
 
 
+def ivf_fit_centroids(
+    emb: DataFrame,
+    n_centroids: int = 64,
+    iters: int = 3,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: k-means with hash-ordered seeds.
+
+    Init = the n_centroids vectors with the smallest xxhash64(id)
+    (orderBy+limit compiles to TakeOrdered — an O(N) scan with a k-heap,
+    no global sort). Each Lloyd round: assign via a numpy matmul inside a
+    pandas UDF (Arrow batches), recompute means with one applyInPandas
+    shuffle on the assignment, collect the (n_centroids × dim) table to the
+    driver. State moved per round is centroids only — never vectors.
+    """
+    seed_rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = np.array([r[vec_col] for r in seed_rows], dtype=np.float32)
+
+    for _ in range(iters):
+        cent = centroids  # closure snapshot for this round
+
+        @F.pandas_udf("int")
+        def _assign(vecs: pd.Series) -> pd.Series:
+            mat = np.array(vecs.tolist(), dtype=np.float32)
+            d2 = (
+                (mat * mat).sum(1)[:, None]
+                - 2.0 * (mat @ cent.T)
+                + (cent * cent).sum(1)[None, :]
+            )
+            return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+        assigned = emb.select(vec_col).withColumn("cell", _assign(F.col(vec_col)))
+
+        def _mean(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64).mean(axis=0)
+            return pd.DataFrame({"cell": [key[0]], "c": [m.astype("float32").tolist()]})
+
+        rows = (
+            assigned.groupBy("cell")
+            .applyInPandas(_mean, "cell int, c array<float>")
+            .collect()
+        )
+        new = centroids.copy()  # empty cells keep their previous centroid
+        for r in rows:
+            new[r["cell"]] = np.array(r["c"], dtype=np.float32)
+        centroids = new
+    return centroids
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF (inverted-file) ANN top-k — the cell-partitioned scale path
+    beside `lsh_topk`: fit a coarse quantizer, assign every vector to its
+    nearest centroid cell, probe each query's n_probe nearest cells, exact
+    cosine re-rank on the probed candidates only.
+
+    Candidate generation scales with n_probe/n_centroids of the corpus per
+    query instead of N×Q; the centroid table (n_centroids × dim) is the
+    only broadcast state. Returns (query_id, rank, neighbor_id, cos_sim) —
+    same contract as brute_force_topk/lsh_topk, zero-norm vectors excluded.
+    """
+    spark = emb.sparkSession
+    centroids = ivf_fit_centroids(emb, n_centroids, iters, dim)
+
+    @F.pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float32)
+        d2 = (
+            (mat * mat).sum(1)[:, None]
+            - 2.0 * (mat @ centroids.T)
+            + (centroids * centroids).sum(1)[None, :]
+        )
+        return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+    cand = emb.select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    ).withColumn("cell", _assign(F.col("embedding")))
+
+    @F.pandas_udf("array<int>")
+    def _probe(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float32)
+        d2 = (
+            (mat * mat).sum(1)[:, None]
+            - 2.0 * (mat @ centroids.T)
+            + (centroids * centroids).sum(1)[None, :]
+        )
+        order = np.argsort(d2, axis=1)[:, :n_probe].astype("int32")
+        return pd.Series(order.tolist())
+
+    probes = queries.select(
+        "query_id", "qvec", F.explode(_probe(F.col("qvec"))).alias("cell")
+    )
+
+    joined = F.broadcast(probes).join(cand, "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qvec, embedding, (a, b) ->"
+        " CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+    )
+    nq = F.expr(
+        "sqrt(aggregate(qvec, 0.0D, (acc,x) -> acc + CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))"
+    )
+    nc = F.expr(
+        "sqrt(aggregate(embedding, 0.0D, (acc,x) -> acc + CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        joined.filter((nq > 0) & (nc > 0))
+        .withColumn("cos", dot / (nq * nc))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos_sim"))
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     queries: DataFrame,

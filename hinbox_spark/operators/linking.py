@@ -451,6 +451,8 @@ def candidate_pairs(
     """Union of the blocking families: deterministic (B2-B4, pre-verified)
     first so dropDuplicates keeps the stronger reason, then the MinHash
     proposals (B5, cosine-gated downstream)."""
+    from hinbox_spark.functions.skew import bounded_topk
+
     det = (
         _pairs_equivalence(nodes, cfg)
         .unionByName(_pairs_acronym(nodes))
@@ -458,6 +460,19 @@ def candidate_pairs(
     )
     lsh = _pairs_minhash_names(nodes, stats_out=stats_out).join(
         det.select("src", "dst"), ["src", "dst"], "left_anti"
+    )
+    # reference parity: at most blocking_max_candidates cosine-path
+    # candidates per node (configs/guantanamo/config.yaml:23-26 caps the
+    # similarity lookup at 50). Deterministic hash order, bounded-topk so a
+    # degenerate name distribution can't fan one node into thousands of
+    # scoring rows; the pre-verified deterministic families are never
+    # capped (they are identities, not proposals).
+    lsh = bounded_topk(
+        lsh,
+        keys=["src"],
+        order_by=[F.xxhash64("src", "dst")],
+        k=cfg.blocking_max_candidates,
+        salt_expr=F.xxhash64("dst"),
     )
     return det.unionByName(lsh).dropDuplicates(["src", "dst"])
 

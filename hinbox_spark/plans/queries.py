@@ -831,6 +831,51 @@ WHERE p_partkey <= 50
 """
 
 
+def q_doc_pair_word_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard over document pairs (the dedup family's
+    verify primitive as a standalone oracle-checked operator). All-pairs on
+    a 20-doc slice — the oracle baseline; the banded scale path is
+    doc_minhash_near_dups."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select(
+            "doc_id",
+            F.array_distinct(F.split(F.lower(F.col("text")), " ")).alias("w"),
+        )
+    )
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("w").alias("wa"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("w").alias("wb"))
+    inter = F.size(F.array_intersect("wa", "wb"))
+    union = F.size(F.array_union("wa", "wb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") > 0.1)
+    )
+
+
+ORACLE_DOC_PAIR_JACCARD = """
+SELECT doc_a, doc_b, jaccard
+FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+               / len(list_distinct(a.w || b.w)), 6) AS jaccard
+  FROM (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS w
+        FROM documents WHERE doc_id < 20) a
+  JOIN (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS w
+        FROM documents WHERE doc_id < 20) b
+    ON a.doc_id < b.doc_id
+)
+WHERE jaccard > 0.1
+"""
+
+
 def q_doc_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate detection over documents (non-SQL-
     expressible: banding + signature hashing; driver records rows-only)."""
@@ -904,6 +949,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_customer_supplier_sets": q_nation_customer_supplier_sets,
     "events_hourly_windows": q_events_hourly_windows,
     "part_display_keys": q_part_display_keys,
+    "doc_pair_word_jaccard": q_doc_pair_word_jaccard,
     # non-SQL-expressible (rows-only driver check; correctness pinned by
     # tests/test_dedup.py and tests/test_ann.py)
     "doc_minhash_near_dups": q_doc_minhash_near_dups,
@@ -940,4 +986,5 @@ ORACLE_QUERIES: dict[str, str] = {
     "nation_customer_supplier_sets": ORACLE_NATION_SETS,
     "events_hourly_windows": ORACLE_EVENTS_HOURLY,
     "part_display_keys": ORACLE_DISPLAY_KEYS,
+    "doc_pair_word_jaccard": ORACLE_DOC_PAIR_JACCARD,
 }

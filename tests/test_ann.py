@@ -104,3 +104,43 @@ def test_zero_norm_vectors_never_rank(spark, vectors):
     for fn in (brute_force_topk, lsh_topk):
         neigh = {r["neighbor_id"] for r in fn(all_vecs, queries, k=10).collect()}
         assert 8888 not in neigh
+
+
+def test_ivf_recall_vs_brute(spark, vectors):
+    """IVF cell-probe path: ≥0.8 recall vs brute force on the clustered
+    fixture, exact cosine values on every emitted row."""
+    from hinbox_spark.operators.ann import ivf_topk
+
+    queries = vectors.limit(5).selectExpr(
+        "vec_id as query_id", "embedding as qvec"
+    )
+    brute = {}
+    for r in brute_force_topk(vectors, queries, k=10).collect():
+        brute.setdefault(r["query_id"], {})[r["neighbor_id"]] = r["cos_sim"]
+
+    approx = {}
+    for r in ivf_topk(
+        vectors, queries, k=10, n_centroids=16, n_probe=4, iters=2
+    ).collect():
+        approx.setdefault(r["query_id"], {})[r["neighbor_id"]] = r["cos_sim"]
+
+    recalls = []
+    for q, b in brute.items():
+        a = approx.get(q, {})
+        recalls.append(len(set(b) & set(a)) / len(b))
+        for n, cos in a.items():
+            if n in b:
+                assert abs(cos - b[n]) < 1e-9
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_ivf_centroids_deterministic(spark, vectors):
+    """Hash-seeded init + fixed iteration count ⇒ identical centroids on
+    re-fit (resume/retry safety)."""
+    import numpy as np
+
+    from hinbox_spark.operators.ann import ivf_fit_centroids
+
+    c1 = ivf_fit_centroids(vectors, n_centroids=8, iters=2)
+    c2 = ivf_fit_centroids(vectors, n_centroids=8, iters=2)
+    assert np.array_equal(c1, c2)
