@@ -902,6 +902,19 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e, q, k=5, n_planes=8, dim=64, multiprobe_bits=6)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-probe ANN top-5 (non-SQL-expressible: k-means quantizer +
+    probe; rows-only driver check; recall ≥0.8 vs brute force pinned in
+    tests/test_ann.py)."""
+    from hinbox_spark.operators.ann import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ivf_topk(e, q, k=5, n_centroids=32, n_probe=8, iters=2)
+
+
 def q_emb_near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed embedding near-dup threshold pairs — the scale path of
     emb_near_dup_pairs (which stays the brute-force oracle). Non-SQL-
@@ -954,6 +967,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # tests/test_dedup.py and tests/test_ann.py)
     "doc_minhash_near_dups": q_doc_minhash_near_dups,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "emb_near_dup_pairs_lsh": q_emb_near_dup_pairs_lsh,
 }
 
