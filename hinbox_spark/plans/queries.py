@@ -831,6 +831,39 @@ WHERE p_partkey <= 50
 """
 
 
+def q_doc_word_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality rule: top-word frequency / word
+    count per document (high ratio = degenerate/boilerplate text). Pure
+    JVM explode + two-level aggregation — the repetition signal every
+    web-corpus filter stack carries (e.g. Gopher/C4 rules)."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    counts = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.round(
+            F.max("c").cast("double") / F.sum("c").cast("double"), 6
+        ).alias("top_word_ratio"),
+        F.sum("c").cast("long").alias("n_words"),
+    )
+
+
+ORACLE_DOC_WORD_REPETITION = """
+SELECT doc_id,
+       round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_word_ratio,
+       CAST(sum(c) AS BIGINT) AS n_words
+FROM (
+  SELECT doc_id, w, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents)
+  WHERE w <> ''
+  GROUP BY doc_id, w
+)
+GROUP BY doc_id
+"""
+
+
 def q_doc_pair_word_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-set Jaccard over document pairs (the dedup family's
     verify primitive as a standalone oracle-checked operator). All-pairs on
@@ -963,6 +996,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly_windows": q_events_hourly_windows,
     "part_display_keys": q_part_display_keys,
     "doc_pair_word_jaccard": q_doc_pair_word_jaccard,
+    "doc_word_repetition": q_doc_word_repetition,
     # non-SQL-expressible (rows-only driver check; correctness pinned by
     # tests/test_dedup.py and tests/test_ann.py)
     "doc_minhash_near_dups": q_doc_minhash_near_dups,
@@ -1001,4 +1035,5 @@ ORACLE_QUERIES: dict[str, str] = {
     "events_hourly_windows": ORACLE_EVENTS_HOURLY,
     "part_display_keys": ORACLE_DISPLAY_KEYS,
     "doc_pair_word_jaccard": ORACLE_DOC_PAIR_JACCARD,
+    "doc_word_repetition": ORACLE_DOC_WORD_REPETITION,
 }
