@@ -864,6 +864,34 @@ GROUP BY doc_id
 """
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data chunking fan-out (operators/chunking.py): 120-word
+    chunks every 100 words, keeping the partial tail. Zero UDFs, zero
+    shuffles — split/sequence/explode/slice inside codegen."""
+    from hinbox_spark.operators.chunking import chunk_documents
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return chunk_documents(d, chunk_words=120, stride_words=100)
+
+
+ORACLE_DOC_CHUNKS = """
+SELECT doc_id, chunk_start,
+       array_to_string(list_slice(w, chunk_start + 1, chunk_start + 120), ' ')
+           AS chunk_text,
+       CAST(least(120, n - chunk_start) AS INT) AS n_chunk_words
+FROM (
+  SELECT doc_id, w, len(w) AS n,
+         unnest(range(0, len(w), 100)) AS chunk_start
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS w
+    FROM documents WHERE doc_id < 50
+  )
+  WHERE len(w) > 0
+)
+"""
+
+
 def q_doc_pair_word_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-set Jaccard over document pairs (the dedup family's
     verify primitive as a standalone oracle-checked operator). All-pairs on
@@ -997,6 +1025,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_display_keys": q_part_display_keys,
     "doc_pair_word_jaccard": q_doc_pair_word_jaccard,
     "doc_word_repetition": q_doc_word_repetition,
+    "doc_chunks": q_doc_chunks,
     # non-SQL-expressible (rows-only driver check; correctness pinned by
     # tests/test_dedup.py and tests/test_ann.py)
     "doc_minhash_near_dups": q_doc_minhash_near_dups,
@@ -1036,4 +1065,5 @@ ORACLE_QUERIES: dict[str, str] = {
     "part_display_keys": ORACLE_DISPLAY_KEYS,
     "doc_pair_word_jaccard": ORACLE_DOC_PAIR_JACCARD,
     "doc_word_repetition": ORACLE_DOC_WORD_REPETITION,
+    "doc_chunks": ORACLE_DOC_CHUNKS,
 }
