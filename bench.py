@@ -37,6 +37,7 @@ HEADLINE = [
     "events_sessions",
     "doc_minhash_near_dups",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "emb_near_dup_pairs_lsh",
 ]
 
