@@ -7,6 +7,11 @@ Prints ONE JSON line:
 
 Execution is forced with the noop sink (full computation, no driver
 collect). Each query time includes plan + execution, not session startup.
+Noise robustness: every query (and the KG pipeline) runs
+$SPARK_GRAFT_BENCH_RUNS times (default 2) and reports the MIN — a shared
+host's transient load can only inflate a sample, never deflate it — with
+1-minute loadavg sampled around every run so the record is auditable
+("queries_runs" carries all samples, "loadavg" the ambient load).
 """
 
 from __future__ import annotations
@@ -42,6 +47,7 @@ HEADLINE = [
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "20000"))
+N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
 
 
 def _force(df) -> None:
@@ -62,12 +68,23 @@ def main() -> None:
     # warm up JVM + python workers once so per-query times measure the work
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    load_samples: list[float] = []
+
+    def _sample_load() -> None:
+        load_samples.append(round(os.getloadavg()[0], 2))
+
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = SPARK_QUERIES[name]
-        t0 = time.time()
-        _force(fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(N_RUNS):
+            _sample_load()
+            t0 = time.time()
+            _force(fn(spark, sf_dir))
+            runs.append(round(time.time() - t0, 3))
+        all_runs[name] = runs
+        timings[name] = min(runs)
 
     # KG pipeline throughput: distributed synthetic corpus → full pipeline.
     # A small warm-up run compiles the whole-stage-codegen classes so the
@@ -84,11 +101,17 @@ def main() -> None:
     ).write.mode("overwrite").parquet(pages_dir)
     pages = spark.read.parquet(pages_dir)
     n_pages = pages.count()
-    out_dir = tempfile.mkdtemp(prefix="bench_kg_")
-    t0 = time.time()
-    run_pipeline(spark, pages, out_dir, resume=False)
-    kg_sec = time.time() - t0
-    timings["kg_pipeline"] = round(kg_sec, 3)
+    kg_runs = []
+    for _ in range(N_RUNS):
+        _sample_load()
+        out_dir = tempfile.mkdtemp(prefix="bench_kg_")
+        t0 = time.time()
+        run_pipeline(spark, pages, out_dir, resume=False)
+        kg_runs.append(round(time.time() - t0, 3))
+    all_runs["kg_pipeline"] = kg_runs
+    kg_sec = min(kg_runs)
+    timings["kg_pipeline"] = kg_sec
+    _sample_load()
 
     total = round(sum(timings.values()), 3)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
@@ -101,6 +124,9 @@ def main() -> None:
         "kg_docs_per_sec": round(n_pages / kg_sec, 2),
         "kg_pages": n_pages,
         "cpus": cpus,
+        "runs_per_query": N_RUNS,
+        "queries_runs": all_runs,
+        "loadavg": load_samples,
     }
     print(json.dumps(result))
 

@@ -31,6 +31,18 @@ def mkdirs(spark: SparkSession, path: str) -> None:
     fs.mkdirs(p)
 
 
+def list_dirs(spark: SparkSession, path: str) -> list[str]:
+    """Immediate subdirectories of `path` (full URIs), [] if absent."""
+    fs, p = _fs_and_path(spark, path)
+    if not fs.exists(p):
+        return []
+    return sorted(
+        str(s.getPath().toString())
+        for s in fs.listStatus(p)
+        if s.isDirectory()
+    )
+
+
 def has_part_files(spark: SparkSession, path: str) -> bool:
     """True iff the table directory contains at least one part file, at the
     top level or one partition level down (partitionBy layout)."""

@@ -155,10 +155,13 @@ class _StopScan(Exception):
 
 
 class _TitleScanner(HTMLParser):
-    """Streaming title-only scan: text of the first <h1>, else the first
-    <header>. No DOM is built and the parse aborts as soon as the first
-    <h1> closes — the cheap path for pages whose text is already extracted
-    (the full container/paragraph walk is only needed for content)."""
+    """Streaming title-only scan, byte-identical to the full parser's title
+    rule (`extract_title_and_text`): if the page has no recognized content
+    container the title is "" (the full parser skips such pages entirely);
+    otherwise the first <h1>'s text wins — even when that text is empty —
+    falling back to the first <header> only when NO h1 exists. No DOM is
+    built; the scan early-exits once the first h1 has closed AND a
+    container has been seen (nothing later can change the answer)."""
 
     def __init__(self):
         super().__init__(convert_charrefs=True)
@@ -166,11 +169,26 @@ class _TitleScanner(HTMLParser):
         self.header_depth = 0
         self.h1_parts: list[str] = []
         self.header_parts: list[str] = []
+        self.h1_seen = False  # an h1 existed, even if its text is empty
         self.h1_done = False
         self.header_seen = False
+        self.container_seen = False
+
+    def _note_container(self, tag, attrs):
+        if tag in ("article", "main"):
+            self.container_seen = True
+        elif tag == "div":
+            for k, v in attrs:
+                if k == "class" and v and (
+                    "article-body" in v.split() or "container" in v.split()
+                ):
+                    self.container_seen = True
 
     def handle_starttag(self, tag, attrs):
+        if not self.container_seen:
+            self._note_container(tag, attrs)
         if tag == "h1" and not self.h1_done:
+            self.h1_seen = True
             self.h1_depth += 1
         elif tag == "header" and not self.header_seen and self.h1_depth == 0:
             self.header_depth += 1
@@ -180,7 +198,8 @@ class _TitleScanner(HTMLParser):
             self.h1_depth -= 1
             if self.h1_depth == 0:
                 self.h1_done = True
-                raise _StopScan  # early exit: first h1 wins
+                if self.container_seen:
+                    raise _StopScan  # first h1 + container seen: done
         elif tag == "header" and self.header_depth > 0:
             self.header_depth -= 1
             if self.header_depth == 0:
@@ -193,7 +212,11 @@ class _TitleScanner(HTMLParser):
             self.header_parts.append(data)
 
     def title(self) -> str:
-        if self.h1_parts:
+        if not self.container_seen:
+            return ""  # full-parser rule: unrecognized page → no title
+        if self.h1_seen:
+            # an empty first <h1> yields "" — it must NOT fall back to the
+            # header (the full parser picks the h1 node regardless)
             return "".join(self.h1_parts).strip()
         return "".join(self.header_parts).strip()
 

@@ -37,11 +37,14 @@ def normalize_url(url: str) -> str:
         return ""
     try:
         parts = urlsplit(url.strip())
+        scheme = parts.scheme.lower()
+        # hostname/port are lazy properties that can ALSO raise ValueError
+        # on malformed input (e.g. "http://x:abc/") — they must stay inside
+        # the try or one dirty URL kills the whole Arrow batch
+        host = parts.hostname.lower() if parts.hostname else ""
+        port = parts.port
     except ValueError:
         return url
-    scheme = parts.scheme.lower()
-    host = parts.hostname.lower() if parts.hostname else ""
-    port = parts.port
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORTS.get(scheme, ""):
         netloc = f"{host}:{port}"
@@ -63,6 +66,7 @@ def registered_domain(url: str) -> str:
     if not url:
         return ""
     try:
+        # .hostname itself can raise on malformed netlocs — keep it inside
         host = urlsplit(url.strip()).hostname or ""
     except ValueError:
         return ""

@@ -131,16 +131,13 @@ def lsh_bucketed_neighbors(
         vecs.withColumn("sigs", _table_sigs(F.col("_v")))
         .select("_id", F.posexplode("sigs").alias("tbl", "sig"))
     )
-    sized = entries.withColumn(
-        "bucket_n", F.count("*").over(Window.partitionBy("tbl", "sig"))
+    from hinbox_spark.operators.dedup import capped_bucket_entries
+
+    # bucket cap via broadcast anti-join (not a window): a degenerate
+    # mega-bucket is dropped in place, never funneled into one task
+    kept = capped_bucket_entries(
+        entries, ["tbl", "sig"], bucket_cap, stats_out=stats_out
     )
-    kept = sized.filter(F.col("bucket_n") <= bucket_cap)
-    if stats_out is not None:
-        dropped = sized.filter(F.col("bucket_n") > bucket_cap).agg(
-            F.count_distinct("tbl", "sig").alias("b"), F.count("*").alias("e")
-        ).first()
-        stats_out["dropped_buckets"] = dropped["b"]
-        stats_out["dropped_entries"] = dropped["e"]
 
     a, b = kept.alias("a"), kept.alias("b")
     cand = (

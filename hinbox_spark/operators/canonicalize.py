@@ -70,6 +70,17 @@ def canonical_names(
         )
         top = pdf.iloc[0]
         others = pdf.iloc[1:]
+        # alt entries keep the ALT key's OWN attributes paired (reference
+        # mergers.py:523-575 stores the alternative key's type/start_date,
+        # not the canonical's) — the per-type export shapes derive from this
+        alt_entries = sorted(
+            {
+                (n, t, s)
+                for n, t, s in zip(
+                    others["name"], others["type_attr"], others["start_date"]
+                )
+            }
+        )
         return pd.DataFrame(
             {
                 "cluster_id": [key[0]],
@@ -80,6 +91,12 @@ def canonical_names(
                 "alt_names": [sorted(set(others["name"]))],
                 "alt_types": [sorted(set(others["type_attr"]))],
                 "alt_start_dates": [sorted(set(others["start_date"]))],
+                "alt_entries": [
+                    [
+                        {"name": n, "type": t, "start_date": s}
+                        for n, t, s in alt_entries
+                    ]
+                ],
             }
         )
 
@@ -87,7 +104,8 @@ def canonical_names(
         "cluster_id string, entity_type string, canonical_name string, "
         "canonical_type string, canonical_start_date string, "
         "alt_names array<string>, alt_types array<string>, "
-        "alt_start_dates array<string>"
+        "alt_start_dates array<string>, "
+        "alt_entries array<struct<name:string,type:string,start_date:string>>"
     )
     return member_names.groupBy("cluster_id", "entity_type").applyInPandas(_pick, schema)
 
@@ -180,27 +198,45 @@ def build_entities(
         )
         .drop("mention_aliases")
     )
-    # reference-shaped alternative_names (mergers.py:523-575): the reference
-    # writes one parquet per type with per-type shapes (people: strings;
-    # orgs/locs: (name,type); events: (title,start_date,event_type)); a
-    # single partitioned table needs one column type, so this is the
-    # superset struct — unused fields are empty strings
+    # alternative_names superset struct: the ALT key's own (name, type,
+    # start_date), reference-masked per type (people carry neither type nor
+    # date; orgs/locs carry no date; events carry both — mergers.py:523-575
+    # legacy shapes). One partitioned table needs one column type; the
+    # exact per-type shapes (people: array<string>; orgs/locs: (name,type);
+    # events: (title,start_date,event_type)) come from
+    # serving.reference_shaped_entities at per-type export.
     out = out.withColumn(
         "alternative_names",
         F.transform(
-            "alt_names",
-            lambda nm: F.struct(
-                nm.alias("name"),
+            "alt_entries",
+            lambda e: F.struct(
+                e["name"].alias("name"),
                 F.when(F.col("entity_type") == "people", F.lit(""))
-                .otherwise(F.col("canonical_type")).alias("type"),
+                .otherwise(e["type"]).alias("type"),
                 F.when(
-                    F.col("entity_type") == "events",
-                    F.col("canonical_start_date"),
+                    F.col("entity_type") == "events", e["start_date"]
                 ).otherwise(F.lit("")).alias("start_date"),
             ),
         ),
     )
     return out
+
+
+def _stable_provenance(edges: DataFrame) -> DataFrame:
+    """One row per (subj, pred, obj) with DETERMINISTIC provenance: the
+    (earliest warc_ts, lexicographically-smallest url) witness via a
+    struct-min aggregate (map-side combinable). A bare dropDuplicates picks
+    an arbitrary winner per partitioning — the triple SET would be stable
+    but the provenance columns would flap across runs/partitionings."""
+    return (
+        edges.groupBy("subj", "pred", "obj")
+        .agg(F.min(F.struct("warc_ts", "url")).alias("_w"))
+        .select(
+            "subj", "pred", "obj",
+            F.col("_w.url").alias("url"),
+            F.col("_w.warc_ts").alias("warc_ts"),
+        )
+    )
 
 
 def build_edge_triples(
@@ -210,50 +246,49 @@ def build_edge_triples(
 
     Predicates: mentioned_in (entity → url), alias_of (surface variant →
     canonical), has_type (entity → category). The partition_id column is the
-    per-partition lineage counter the north_rule requires.
+    per-partition lineage counter the north_rule requires. Provenance per
+    triple is the deterministic earliest-(warc_ts, url) witness.
     """
     ent = entities.select(
         "cluster_id", "entity_id", "canonical_name", "canonical_type"
     )
     mc = mention_clusters.join(ent, "cluster_id")
 
-    mentioned_in = mc.select(
-        F.col("entity_id").alias("subj"),
-        F.lit("mentioned_in").alias("pred"),
-        F.col("url").alias("obj"),
-        "url",
-        "warc_ts",
-    ).dropDuplicates(["subj", "obj"])
+    mentioned_in = _stable_provenance(
+        mc.select(
+            F.col("entity_id").alias("subj"),
+            F.lit("mentioned_in").alias("pred"),
+            F.col("url").alias("obj"),
+            "url",
+            "warc_ts",
+        )
+    )
 
-    alias_of = (
-        mc.filter(F.col("name") != F.col("canonical_name"))
-        .select(
+    alias_of = _stable_provenance(
+        mc.filter(F.col("name") != F.col("canonical_name")).select(
             F.col("name").alias("subj"),
             F.lit("alias_of").alias("pred"),
             F.col("entity_id").alias("obj"),
             "url",
             "warc_ts",
         )
-        .dropDuplicates(["subj", "obj"])
     )
 
-    has_type = (
-        mc.filter(F.col("canonical_type") != "")
-        .select(
+    has_type = _stable_provenance(
+        mc.filter(F.col("canonical_type") != "").select(
             F.col("entity_id").alias("subj"),
             F.lit("has_type").alias("pred"),
             F.col("canonical_type").alias("obj"),
             "url",
             "warc_ts",
         )
-        .dropDuplicates(["subj", "obj"])
     )
 
     mc_art = mc.select("url", "warc_ts", "entity_id", "entity_type")
     events = mc_art.filter(F.col("entity_type") == "events").select(
         F.col("url"), F.col("entity_id").alias("event_id")
     )
-    participants = (
+    participants = _stable_provenance(
         mc_art.filter(F.col("entity_type").isin("people", "organizations"))
         .join(events, "url")
         .select(
@@ -263,7 +298,6 @@ def build_edge_triples(
             "url",
             F.col("warc_ts"),
         )
-        .dropDuplicates(["subj", "obj"])
     )
 
     edges = (

@@ -17,7 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 
 # cap on bucket size before pairing; hot buckets are dropped and counted
 # (a degenerate shingle — e.g. boilerplate — would otherwise go quadratic)
@@ -26,6 +26,48 @@ BUCKET_CAP = 200
 _H1 = np.uint64(0x9E3779B97F4A7C15)
 _H2 = np.uint64(0xC2B2AE3D27D4EB4F)
 _H3 = np.uint64(0x165667B19E3779F9)
+
+
+def capped_bucket_entries(
+    entries: DataFrame,
+    key_cols: list[str],
+    cap: int,
+    stats_out: dict | None = None,
+    reuse: bool = True,
+) -> DataFrame:
+    """Drop entries in over-cap buckets WITHOUT funneling any bucket into a
+    single task.
+
+    A `count(*) OVER (PARTITION BY bucket)` window would route every row of
+    a degenerate mega-bucket (e.g. 10⁹ identical boilerplate signatures at
+    10¹² docs) into ONE window task *before* the cap could drop it — the
+    exact failure the cap exists to prevent. Instead: bucket sizes come from
+    a map-side-combinable groupBy count, and the over-cap key set (small by
+    construction: ≤ N/cap keys, and in practice only degenerate signatures)
+    is broadcast back as a left_anti join — the big side never shuffles for
+    the cap filter, rows are dropped in place. The subsequent pair self-join
+    then only ever sees buckets ≤ cap. If over-cap keys were ever too many
+    to broadcast, the fallback is a shuffle join with AQE skew splitting —
+    but that distribution means the corpus is ~all duplicates and needs
+    exact-dedup first.
+
+    `reuse=True` localCheckpoints the entries so the signature computation
+    feeding them runs once (the counts job and the main job share blocks);
+    pass False when the caller already checkpointed them. `stats_out` gets
+    eager {dropped_buckets, dropped_entries} (tests); for lazy accounting
+    aggregate the counts DataFrame yourself.
+    """
+    if reuse:
+        entries = entries.localCheckpoint(eager=False)
+    counts = entries.groupBy(*key_cols).agg(F.count("*").alias("bucket_n"))
+    over = counts.filter(F.col("bucket_n") > cap)
+    if stats_out is not None:
+        row = over.agg(
+            F.count("*").alias("b"), F.sum("bucket_n").alias("e")
+        ).first()
+        stats_out["dropped_buckets"] = row["b"] or 0
+        stats_out["dropped_entries"] = row["e"] or 0
+    return entries.join(F.broadcast(over.select(*key_cols)), key_cols, "left_anti")
 
 
 def _hash_tokens_u64(tokens: list[str]) -> np.ndarray:
@@ -121,18 +163,11 @@ def minhash_near_duplicates(
         ).alias("e"),
     ).select("doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
 
-    # bucket-size cap with logged truncation (no silent caps)
-    sized = band_entries.withColumn(
-        "bucket_n", F.count("*").over(Window.partitionBy("band", "bh"))
+    # bucket-size cap with logged truncation (no silent caps); broadcast
+    # anti-join, not a window — a mega-bucket never lands in one task
+    kept = capped_bucket_entries(
+        band_entries, ["band", "bh"], BUCKET_CAP, stats_out=stats_out
     )
-    kept = sized.filter(F.col("bucket_n") <= BUCKET_CAP)
-    if stats_out is not None:
-        dropped = sized.filter(F.col("bucket_n") > BUCKET_CAP).agg(
-            F.count_distinct("band", "bh").alias("b"),
-            F.count("*").alias("e"),
-        ).first()
-        stats_out["dropped_buckets"] = dropped["b"]
-        stats_out["dropped_entries"] = dropped["e"]
 
     a, b = kept.alias("a"), kept.alias("b")
     cand = (

@@ -158,8 +158,11 @@ def skip_reason_summary(
         if "is_relevant" in articles.columns
         else relevance_predicate(keywords)
     )
-    wrong_lang = pages.filter(F.col("lang") != lang)
-    in_lang_pages = pages.filter(F.col("lang") == lang).select("url")
+    # null-safe: a null-lang page is neither == lang nor != lang under SQL
+    # three-valued logic, so a plain != would drop it from EVERY bucket and
+    # the counters would no longer partition the input page set
+    wrong_lang = pages.filter(~F.col("lang").eqNullSafe(lang))
+    in_lang_pages = pages.filter(F.col("lang").eqNullSafe(lang)).select("url")
     empty_content = in_lang_pages.join(
         articles.select("url"), "url", "left_anti"
     )
@@ -204,7 +207,41 @@ def extract_mentions(articles: DataFrame, gazetteer: Gazetteer) -> DataFrame:
     return articles.mapInPandas(_scan, MENTION_SCHEMA)
 
 
-EXTRACTOR_VERSION = 2  # bump to invalidate the extraction cache (S8 parity)
+# Bump to invalidate the extraction cache (S8 parity). v3: MENTION_SCHEMA
+# gained match_key — each version lives in its own subdirectory, so a schema
+# change can never mix old and new parquet files in one read.
+EXTRACTOR_VERSION = 3
+
+
+def _cache_version_dir(cache_path: str, version: int) -> str:
+    return cache_path.rstrip("/") + f"/v{version}"
+
+
+def _committed_batch_dirs(spark, version_dir: str) -> list[str]:
+    """Batch directories that finished their commit (_SUCCESS present) and
+    actually contain data files. A run killed mid-write leaves a batch dir
+    without _SUCCESS — invisible here, so its hashes are simply re-extracted
+    next run (exactly-once mentions per hash, never partial rows)."""
+    from hinbox_spark import fs as hfs
+
+    return [
+        d
+        for d in hfs.list_dirs(spark, version_dir)
+        if hfs.exists(spark, d + "/_SUCCESS") and hfs.has_part_files(spark, d)
+    ]
+
+
+def read_extraction_cache(spark, cache_path: str, version: int) -> DataFrame | None:
+    """Read the committed cache rows for one extractor version, or None if
+    the version has no committed batches. Concurrent writers can commit the
+    same hash twice; dropDuplicates on the mention identity collapses that
+    (extraction is deterministic, so duplicate keys carry identical rows)."""
+    dirs = _committed_batch_dirs(spark, _cache_version_dir(cache_path, version))
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs).dropDuplicates(
+        ["content_hash", "entity_type", "name", "type", "start_date"]
+    )
 
 
 def extract_mentions_cached(
@@ -222,23 +259,22 @@ def extract_mentions_cached(
     (content_hash, extractor_version): mention rows are stored
     url-independent and re-attached by hash, so N duplicate pages cost one
     extraction. Flow: left-anti join articles→cache = misses; extract
-    misses; append them to the cache; hits come straight from the cache
-    join. Version bump = logical invalidation (old rows filtered, not
-    deleted — same as the reference's version-dir scheme).
-    """
-    from hinbox_spark import fs as hfs
+    misses; commit them as a new cache batch; hits come straight from the
+    cache join.
 
+    Layout = `{cache_path}/v{version}/batch-{id}/` (reference version-dir
+    scheme, src/utils/extraction_cache.py): each version has its own
+    subdirectory so a schema change between versions can never poison a
+    mixed read, and each run's new rows are a separately-committed parquet
+    directory — a crash mid-write leaves an uncommitted batch (no
+    _SUCCESS) that the next read ignores, so cache rows are exactly-once
+    per hash, never partial.
+    """
     spark = articles.sparkSession
     mention_cols = [f.name for f in MENTION_SCHEMA.fields if f.name != "url"]
 
-    # Hadoop FS API: the cache may live on hdfs:/s3a:/file:
-    cache_exists = hfs.exists(spark, cache_path.rstrip("/") + "/_SUCCESS")
-    if cache_exists:
-        cache = spark.read.parquet(cache_path).filter(
-            F.col("extractor_version") == version
-        )
-    else:
-        cache = None
+    # Hadoop FS API underneath: the cache may live on hdfs:/s3a:/file:
+    cache = read_extraction_cache(spark, cache_path, version)
 
     # one representative article per distinct content_hash is extracted
     distinct_content = articles.dropDuplicates(["content_hash"]).select(
@@ -267,11 +303,19 @@ def extract_mentions_cached(
         .select("content_hash", *mention_cols)
         .withColumn("extractor_version", F.lit(version))
     )
-    new_rows.write.mode("append").parquet(cache_path)
+    # crash-safe commit: the batch directory only becomes visible to
+    # readers once its _SUCCESS marker lands (last step of the parquet
+    # commit) — a killed run's half-written batch is ignored, not merged
+    import uuid
 
-    cache_all = spark.read.parquet(cache_path).filter(
-        F.col("extractor_version") == version
+    batch_path = (
+        _cache_version_dir(cache_path, version) + "/batch-" + uuid.uuid4().hex
     )
+    new_rows.write.mode("overwrite").parquet(batch_path)
+
+    cache_all = read_extraction_cache(spark, cache_path, version)
+    if cache_all is None:  # corpus yielded zero mentions → nothing committed
+        return spark.createDataFrame([], MENTION_SCHEMA)
     # re-attach urls: every article (incl. duplicates) gets the mentions of
     # its content hash
     return articles.select("url", "content_hash").join(

@@ -85,10 +85,14 @@ def mention_nodes(mentions: DataFrame) -> DataFrame:
         .groupBy("entity_type", "match_key", "type_attr", "start_date")
         .agg(F.min("name").alias("name"))  # deterministic display pick
         .withColumn(
+            # explicit "\x1f" field separator: without one, distinct keys
+            # whose concatenations coincide under a boundary shift
+            # (match_key "x" + type "yz" vs "xy" + "z") would collapse to
+            # one node_id and silently merge in clustering
             "node_id",
             F.sha2(
                 F.concat_ws(
-                    "", "entity_type", "match_key", "type_attr", "start_date"
+                    "\x1f", "entity_type", "match_key", "type_attr", "start_date"
                 ),
                 256,
             ),
@@ -252,9 +256,13 @@ def _pairs_containment(nodes: DataFrame) -> DataFrame:
     )
 
 
-def _name_lsh_sized_band_entries(nodes: DataFrame) -> DataFrame:
-    """(entity_type, node_id, band, bh, bucket_n) — the B5 band entries
-    with their bucket sizes; shared by pairing and truncation accounting."""
+def name_lsh_band_entries(nodes: DataFrame) -> DataFrame:
+    """(entity_type, node_id, band, bh) — the B5 MinHash band entries.
+    This is the one pandas-UDF signature pass of the blocking family;
+    compute it ONCE per run (localCheckpoint it) and share it between
+    pairing (`_pairs_minhash_names`) and truncation accounting
+    (`name_lsh_truncation_stats_from_entries`) — recomputing it was the
+    per-run serial tail that dropped 480k-page scaling efficiency."""
     import numpy as np
 
     n_hashes, bands = 24, 12  # 2 rows/band → catches ~0.35+ Jaccard names
@@ -284,7 +292,7 @@ def _name_lsh_sized_band_entries(nodes: DataFrame) -> DataFrame:
     sigs = non_people.select("entity_type", "node_id", "match_key").withColumn(
         "sig", _sig(F.col("match_key"))
     )
-    band_entries = sigs.select(
+    return sigs.select(
         "entity_type",
         "node_id",
         F.explode(
@@ -296,34 +304,41 @@ def _name_lsh_sized_band_entries(nodes: DataFrame) -> DataFrame:
         ).alias("e"),
     ).select("entity_type", "node_id", "e.band", "e.bh")
 
-    from pyspark.sql import Window
 
-    return band_entries.withColumn(
-        "bucket_n",
-        F.count("*").over(Window.partitionBy("entity_type", "band", "bh")),
-    )
-
-
-def name_lsh_truncation_stats(nodes: DataFrame) -> DataFrame:
+def name_lsh_truncation_stats_from_entries(band_entries: DataFrame) -> DataFrame:
     """LAZY truncation counters for the B5 bucket cap: DataFrame
     (stage, n) with name_lsh_dropped_buckets / name_lsh_dropped_entries.
     Union this into a metrics write instead of forcing an eager job —
-    truncation is accounted, never silent, at zero extra job cost."""
-    sized = _name_lsh_sized_band_entries(nodes)
-    dropped = sized.filter(F.col("bucket_n") > NAME_LSH_BUCKET_CAP)
+    truncation is accounted, never silent, at zero extra job cost. Derived
+    from a groupBy count (map-side combinable), never a window."""
+    over = (
+        band_entries.groupBy("entity_type", "band", "bh")
+        .agg(F.count("*").alias("bucket_n"))
+        .filter(F.col("bucket_n") > NAME_LSH_BUCKET_CAP)
+    )
     return (
-        dropped.agg(F.count_distinct("entity_type", "band", "bh").alias("n"))
+        over.agg(F.count("*").alias("n"))
         .select(F.lit("name_lsh_dropped_buckets").alias("stage"), "n")
         .unionByName(
-            dropped.agg(F.count("*").alias("n")).select(
+            over.agg(F.coalesce(F.sum("bucket_n"), F.lit(0)).alias("n")).select(
                 F.lit("name_lsh_dropped_entries").alias("stage"), "n"
             )
         )
     )
 
 
+def name_lsh_truncation_stats(nodes: DataFrame) -> DataFrame:
+    """Convenience wrapper: build band entries, then count truncation.
+    The pipeline passes its shared (checkpointed) band entries to
+    `name_lsh_truncation_stats_from_entries` instead so the signature pass
+    is not recomputed; this wrapper is the standalone/resume fallback."""
+    return name_lsh_truncation_stats_from_entries(name_lsh_band_entries(nodes))
+
+
 def _pairs_minhash_names(
-    nodes: DataFrame, stats_out: dict | None = None
+    nodes: DataFrame,
+    stats_out: dict | None = None,
+    band_entries: DataFrame | None = None,
 ) -> DataFrame:
     """B5: MinHash-LSH over character-3-gram shingles of the match key —
     proposes near-duplicate-name pairs (typos, transliteration drift) that
@@ -334,17 +349,25 @@ def _pairs_minhash_names(
 
     Buckets larger than NAME_LSH_BUCKET_CAP are dropped before pairing
     (the self-join would otherwise go quadratic on a degenerate name
-    distribution). Pass `stats_out` for eager truncation counts (tests);
-    the pipeline uses the lazy `name_lsh_truncation_stats` instead."""
-    sized = _name_lsh_sized_band_entries(nodes)
-    kept = sized.filter(F.col("bucket_n") <= NAME_LSH_BUCKET_CAP)
-    if stats_out is not None:
-        dropped = sized.filter(F.col("bucket_n") > NAME_LSH_BUCKET_CAP).agg(
-            F.count_distinct("entity_type", "band", "bh").alias("b"),
-            F.count("*").alias("e"),
-        ).first()
-        stats_out["dropped_buckets"] = dropped["b"]
-        stats_out["dropped_entries"] = dropped["e"]
+    distribution) via the broadcast anti-join cap (no window — a mega-
+    bucket never lands in one task). Pass `stats_out` for eager truncation
+    counts (tests); the pipeline uses the lazy
+    `name_lsh_truncation_stats_from_entries` instead. Pass `band_entries`
+    (ideally localCheckpointed) to reuse a shared signature pass."""
+    from hinbox_spark.operators.dedup import capped_bucket_entries
+
+    if band_entries is None:
+        band_entries = name_lsh_band_entries(nodes)
+        reuse = True
+    else:
+        reuse = False  # caller already checkpointed the shared entries
+    kept = capped_bucket_entries(
+        band_entries,
+        ["entity_type", "band", "bh"],
+        NAME_LSH_BUCKET_CAP,
+        stats_out=stats_out,
+        reuse=reuse,
+    )
 
     a, b = kept.alias("a"), kept.alias("b")
     return (
@@ -446,11 +469,16 @@ def node_evidence_embeddings(
 
 
 def candidate_pairs(
-    nodes: DataFrame, cfg: DomainConfig, stats_out: dict | None = None
+    nodes: DataFrame,
+    cfg: DomainConfig,
+    stats_out: dict | None = None,
+    band_entries: DataFrame | None = None,
 ) -> DataFrame:
     """Union of the blocking families: deterministic (B2-B4, pre-verified)
     first so dropDuplicates keeps the stronger reason, then the MinHash
-    proposals (B5, cosine-gated downstream)."""
+    proposals (B5, cosine-gated downstream). Pass `band_entries` (a
+    checkpointed `name_lsh_band_entries(nodes)`) to share the B5 signature
+    pass with truncation accounting instead of recomputing it."""
     from hinbox_spark.functions.skew import bounded_topk
 
     det = (
@@ -458,7 +486,9 @@ def candidate_pairs(
         .unionByName(_pairs_acronym(nodes))
         .unionByName(_pairs_containment(nodes))
     )
-    lsh = _pairs_minhash_names(nodes, stats_out=stats_out).join(
+    lsh = _pairs_minhash_names(
+        nodes, stats_out=stats_out, band_entries=band_entries
+    ).join(
         det.select("src", "dst"), ["src", "dst"], "left_anti"
     )
     # reference parity: at most blocking_max_candidates cosine-path
@@ -601,6 +631,84 @@ def score_pairs(
         F.lit("defer").alias("decision"),
     )
     return accepted, review
+
+
+# Second-stage arbitration thresholds: word-token Jaccard of the match keys
+# (a coarser, more conservative lens than the first pass's char-3-gram
+# Jaccard — word overlap is what the reference's dispute prompt reasons
+# about under "name variations")
+DISPUTE_MERGE_TOKEN_JACCARD = 0.5
+DISPUTE_SKIP_TOKEN_JACCARD = 0.2
+
+
+def arbitrate_review(review: DataFrame) -> DataFrame:
+    """Second-stage arbitration of gray-band disputes — the reference's
+    merge dispute agent (merge_dispute_agent.py:83-171) re-expressed as a
+    deterministic feature pass. Like the reference agent it can OVERRIDE
+    the first-pass result in both directions:
+
+      merge  — a structural name relation the cosine pass can't see
+               (acronym or word-boundary containment), or above-threshold
+               similarity with substantial word overlap
+      skip   — below-threshold similarity AND near-zero word overlap
+               (the names share essentially nothing)
+      defer  — genuinely ambiguous; stays in the human review queue and is
+               treated as skip for merging (reference parity: defer never
+               merges — tests/test_merge_dispute_agent_routing.py)
+
+    Input = the review rows from score_pairs (already gray-band, low
+    first-pass confidence, non-people by construction — B5 excludes
+    people). Returns the same rows with `decision` rewritten and an
+    `arbiter_confidence` column.
+    """
+
+    @F.pandas_udf("tok_jac double, acr boolean, cont boolean")
+    def _feats(a: pd.Series, b: pd.Series) -> pd.DataFrame:
+        rows = []
+        for x, y in zip(a, b):
+            ka = set(normalize_for_match(str(x)).split())
+            kb = set(normalize_for_match(str(y)).split())
+            tok_jac = len(ka & kb) / len(ka | kb) if (ka or kb) else 0.0
+            short, long_ = (x, y) if len(str(x)) <= len(str(y)) else (y, x)
+            acr = False
+            if is_acronym_form(short) and not is_acronym_form(long_):
+                letters = str(short).replace(".", "").replace(" ", "").upper()
+                acr = (compute_acronym(str(long_)) or "") == letters and letters != ""
+            cont = (
+                is_name_contained(str(short), str(long_))
+                and not is_low_quality_name(str(short))
+                and not is_low_quality_name(str(long_))
+            )
+            rows.append((tok_jac, acr, cont))
+        return pd.DataFrame(rows, columns=["tok_jac", "acr", "cont"])
+
+    r = review.withColumn("_f", _feats(F.col("name_src"), F.col("name_dst")))
+    structural = F.col("_f.acr") | F.col("_f.cont")
+    merge = structural | (
+        (F.col("sim") >= F.col("tau"))
+        & (F.col("_f.tok_jac") >= DISPUTE_MERGE_TOKEN_JACCARD)
+    )
+    skip = (
+        ~merge
+        & (F.col("sim") < F.col("tau"))
+        & (F.col("_f.tok_jac") < DISPUTE_SKIP_TOKEN_JACCARD)
+    )
+    return (
+        r.withColumn(
+            "decision",
+            F.when(merge, F.lit("merge"))
+            .when(skip, F.lit("skip"))
+            .otherwise(F.lit("defer")),
+        )
+        .withColumn(
+            "arbiter_confidence",
+            F.when(structural, F.lit(0.95))
+            .when(merge, F.col("_f.tok_jac"))
+            .when(skip, 1.0 - F.col("_f.tok_jac"))
+            .otherwise(F.col("confidence")),
+        )
+        .drop("_f")
+    )
 
 
 def _empty_pairs(spark) -> DataFrame:

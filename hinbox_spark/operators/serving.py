@@ -63,6 +63,48 @@ def with_display_keys(entities: DataFrame) -> DataFrame:
     )
 
 
+def reference_shaped_entities(entities: DataFrame, entity_type: str) -> DataFrame:
+    """Per-type export with the reference's EXACT legacy alternative-name
+    shapes (mergers.py:523-575 — the reference writes one parquet per type):
+
+      people          alternative_names: array<string>
+      organizations / locations
+                      alternative_names: array<struct<name,type>>
+      events          alternative_titles: array<struct<title,start_date,
+                                                       event_type>>
+                      (events use the `alternative_titles` field name —
+                      mergers.py:136)
+
+    The internal partitioned table carries one superset struct (a single
+    column type across types); this is the final per-partition cast at
+    export — a narrow projection, no shuffle."""
+    out = entities.filter(F.col("entity_type") == entity_type)
+    if entity_type == "people":
+        return out.withColumn(
+            "alternative_names",
+            F.transform("alternative_names", lambda e: e["name"]),
+        )
+    if entity_type == "events":
+        return out.withColumn(
+            "alternative_titles",
+            F.transform(
+                "alternative_names",
+                lambda e: F.struct(
+                    e["name"].alias("title"),
+                    e["start_date"].alias("start_date"),
+                    e["type"].alias("event_type"),
+                ),
+            ),
+        ).drop("alternative_names")
+    return out.withColumn(
+        "alternative_names",
+        F.transform(
+            "alternative_names",
+            lambda e: F.struct(e["name"].alias("name"), e["type"].alias("type")),
+        ),
+    )
+
+
 def distinct_filter_values(profiles: DataFrame) -> DataFrame:
     """A9: sorted distinct (entity_type, tag) chips."""
     return (

@@ -35,7 +35,8 @@ from hinbox_spark.operators.extraction import (
     relevance_predicate, skip_reason_summary,
 )
 from hinbox_spark.operators.linking import (
-    candidate_pairs, mention_nodes, name_lsh_truncation_stats,
+    arbitrate_review, candidate_pairs, mention_nodes, name_lsh_band_entries,
+    name_lsh_truncation_stats, name_lsh_truncation_stats_from_entries,
     node_evidence_embeddings, score_pairs,
 )
 from hinbox_spark.operators.profiles import build_profiles, ground_profiles
@@ -151,11 +152,20 @@ def run_pipeline(
     # run-level counters (filled by the stages below when they execute;
     # empty on a resumed run whose stages were skipped)
     cache_stats: dict = {}
+    # shared B5 band entries (set by the linking block; None on resume)
+    band_entries = None
 
     # ── stage 2: mentions (optionally through the content-hash cache, S8).
     # F4: only relevance-passing articles reach the NER stage — irrelevant
     # pages skip it and are counted in the skip-reason summary. ──
     if not (resume and _done(spark, output_dir, "mentions")):
+        # resume compatibility: an articles checkpoint written before the
+        # is_relevant column existed lacks it — stamp it on the fly (same
+        # guard skip_reason_summary uses) instead of crashing the filter
+        if "is_relevant" not in articles.columns:
+            articles = articles.withColumn(
+                "is_relevant", relevance_predicate(cfg.relevance_keywords)
+            )
         relevant = articles.filter(F.col("is_relevant"))
         if cfg.extraction_cache_path:
             mentions = extract_mentions_cached(
@@ -175,10 +185,30 @@ def run_pipeline(
             and _done(spark, output_dir, "review") and _done(spark, output_dir, "decisions")
             and _done(spark, output_dir, "profiles")):
         nodes = mention_nodes(mentions).cache()
-        pairs = candidate_pairs(nodes, cfg)
+        # the B5 MinHash signature pass (the one pandas-UDF job of the
+        # blocking family) is computed ONCE and shared: pairing reads it,
+        # and the metrics stage derives its truncation counters from the
+        # same checkpointed entries instead of re-running the pass
+        band_entries = name_lsh_band_entries(nodes).localCheckpoint(eager=False)
+        # pairs is checkpointed so the review/score materialization and the
+        # decisions anti-joins share one blocking-family computation
+        pairs = candidate_pairs(
+            nodes, cfg, band_entries=band_entries
+        ).localCheckpoint(eager=False)
         node_vecs = node_evidence_embeddings(nodes, mentions, articles, cfg)
         accepted, review = score_pairs(pairs, nodes, node_vecs, cfg)
-        accepted = accepted.localCheckpoint(eager=False)
+        # second-stage dispute arbitration (merge_dispute_agent parity):
+        # a deterministic richer-feature pass over the gray-band rows can
+        # override in both directions — merges feed back as clustering
+        # edges, skips are final, defers stay queued for humans
+        review = arbitrate_review(review)
+        dispute_merges = review.filter(F.col("decision") == "merge").select(
+            "src", "dst", "entity_type",
+            F.lit("dispute_merge").alias("reason"), "sim",
+        )
+        accepted = accepted.unionByName(dispute_merges).localCheckpoint(
+            eager=False
+        )
         _write(review, output_dir, "review")
 
         # A1 parity: merge-decision counters (reference MergeStats —
@@ -202,10 +232,21 @@ def run_pipeline(
             .agg(F.count("*").alias("n"))
             .withColumn("decision", F.lit("merged"))
             .unionByName(
-                review_back.groupBy("entity_type")
+                # still-deferred rows are the open disputes; arbitration
+                # merges are already counted under merged/dispute_merge
+                review_back.filter(F.col("decision") == "defer")
+                .groupBy("entity_type")
                 .agg(F.count("*").alias("n"))
                 .withColumn("reason", F.lit("gray_band"))
                 .withColumn("decision", F.lit("disputed"))
+                .select("entity_type", "reason", "n", "decision")
+            )
+            .unionByName(
+                review_back.filter(F.col("decision") == "skip")
+                .groupBy("entity_type")
+                .agg(F.count("*").alias("n"))
+                .withColumn("reason", F.lit("dispute_skip"))
+                .withColumn("decision", F.lit("skipped"))
                 .select("entity_type", "reason", "n", "decision")
             )
             .unionByName(skipped.select("entity_type", "reason", "n", "decision"))
@@ -272,9 +313,17 @@ def run_pipeline(
         )
 
         # B5 truncation: dropped name-LSH buckets are counted, not silent —
-        # lazily, as part of this metrics job (no extra blocking job)
+        # lazily, as part of this metrics job. When the linking block ran
+        # this session the counters derive from the SAME checkpointed band
+        # entries (no signature recompute); only a resumed run that skipped
+        # linking but lost its metrics pays the standalone fallback.
+        trunc = (
+            name_lsh_truncation_stats_from_entries(band_entries)
+            if band_entries is not None
+            else name_lsh_truncation_stats(mention_nodes(mentions))
+        )
         m = m.unionByName(
-            name_lsh_truncation_stats(mention_nodes(mentions)).select(
+            trunc.select(
                 "stage", F.lit(-1).alias("partition_id"), F.col("n").alias("rows")
             )
         )

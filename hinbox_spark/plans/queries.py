@@ -994,6 +994,90 @@ def q_emb_near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ── registry ──
 
+
+
+# ── relational coverage: EXISTS semi-join + conditional aggregation ──
+
+
+def q_orders_with_late_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — EXISTS correlated semi-join: count orders per
+    priority having at least one lineitem shipped >60 days after the order
+    date. left_semi keeps the probe side un-duplicated (no distinct needed)
+    and shuffles only the two key columns + predicate columns; at scale the
+    semi-join is the right primitive (an inner join + dropDuplicates would
+    amplify rows by lineitem fan-out before deduping)."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > F.date_add(o.o_orderdate, 60)),
+        "left_semi",
+    )
+    return (
+        late.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+ORACLE_LATE_ORDERS = """
+SELECT o_orderpriority AS priority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY 1
+"""
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — conditional aggregation over a broadcast join:
+    monthly share of revenue from PROMO parts. part is the small dim
+    (broadcast, no shuffle of lineitem); the case-sum/sum ratio is one
+    map-side-combinable aggregate."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev) * 100,
+                4,
+            ).alias("promo_share_pct"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+
+
+ORACLE_PROMO_SHARE = """
+SELECT strftime(l_shipdate, '%Y-%m') AS month,
+       round(100 * sum(CASE WHEN p_type = 'PROMO'
+                            THEN l_extendedprice * (1 - l_discount)
+                            ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+def q_doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicates (rows-only driver check — the 64-bit
+    signature is a numpy UDF, not SQL-expressible; hamming/pigeonhole
+    semantics pinned in tests/test_dedup.py)."""
+    from hinbox_spark.operators.dedup import simhash_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs, max_hamming=6).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -1026,12 +1110,15 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_pair_word_jaccard": q_doc_pair_word_jaccard,
     "doc_word_repetition": q_doc_word_repetition,
     "doc_chunks": q_doc_chunks,
+    "orders_with_late_lineitem": q_orders_with_late_lineitem,
+    "promo_revenue_share": q_promo_revenue_share,
     # non-SQL-expressible (rows-only driver check; correctness pinned by
     # tests/test_dedup.py and tests/test_ann.py)
     "doc_minhash_near_dups": q_doc_minhash_near_dups,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "emb_near_dup_pairs_lsh": q_emb_near_dup_pairs_lsh,
+    "doc_simhash_near_dups": q_doc_simhash_near_dups,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -1066,4 +1153,6 @@ ORACLE_QUERIES: dict[str, str] = {
     "doc_pair_word_jaccard": ORACLE_DOC_PAIR_JACCARD,
     "doc_word_repetition": ORACLE_DOC_WORD_REPETITION,
     "doc_chunks": ORACLE_DOC_CHUNKS,
+    "orders_with_late_lineitem": ORACLE_LATE_ORDERS,
+    "promo_revenue_share": ORACLE_PROMO_SHARE,
 }

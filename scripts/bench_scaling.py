@@ -72,40 +72,53 @@ SCALING_CORES = (4, 16)
 
 
 def orchestrate(n_pages: int) -> None:
-    results = {}
-    for cores in SCALING_CORES:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker", str(cores), str(n_pages)],
-            capture_output=True,
-            text=True,
-            cwd=REPO,
-            timeout=3600,
-        )
-        line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
-        if not line:
-            print(f"worker {cores} failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
-            sys.exit(1)
-        results[cores] = json.loads(line[-1])
-        print(line[-1])
+    """min-of-N per parallelism level (default 2 rounds, override with
+    $SPARK_GRAFT_SCALING_RUNS), 1-minute loadavg sampled around every worker
+    so a contended sample is auditable — a shared host can only inflate a
+    time, never deflate it, so min-of-N under recorded load is the honest
+    estimator. Every raw sample is appended to BENCH_scaling_runs.jsonl."""
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "2")))
+    log_path = os.path.join(REPO, "BENCH_scaling_runs.jsonl")
+    samples: dict[int, list[dict]] = {c: [] for c in SCALING_CORES}
+    for _ in range(n_runs):
+        for cores in SCALING_CORES:
+            load_before = round(os.getloadavg()[0], 2)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker", str(cores), str(n_pages)],
+                capture_output=True,
+                text=True,
+                cwd=REPO,
+                timeout=3600,
+            )
+            load_after = round(os.getloadavg()[0], 2)
+            line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+            if not line:
+                print(f"worker {cores} failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
+                sys.exit(1)
+            r = json.loads(line[-1])
+            sample = {"load_before": load_before, "load_after": load_after, "r": r}
+            samples[cores].append(sample)
+            print(json.dumps(sample))
+            # append-only raw log: BENCH.md is curated by hand, the script
+            # records every sample so reruns are auditable
+            with open(log_path, "a") as f:
+                f.write(json.dumps(sample) + "\n")
 
     n_small, n_big = SCALING_CORES
-    thr_n = results[n_small]["docs_per_sec"]
-    thr_4n = results[n_big]["docs_per_sec"]
+    thr_n = max(s["r"]["docs_per_sec"] for s in samples[n_small])
+    thr_4n = max(s["r"]["docs_per_sec"] for s in samples[n_big])
     eff = thr_4n / (4 * thr_n)
     summary = {
         "metric": "scaling_efficiency_N_to_4N",
         "value": round(eff, 3),
         "n_pages": n_pages,
+        "runs_per_level": n_runs,
         f"docs_per_sec_local{n_small}": thr_n,
         f"docs_per_sec_local{n_big}": thr_4n,
     }
     print(json.dumps(summary))
-    # append-only run log: BENCH.md is curated by hand (it carries the
-    # min-of-N methodology and the full measurement history), so the script
-    # records raw runs instead of overwriting it
-    with open(os.path.join(REPO, "BENCH_scaling_runs.jsonl"), "a") as f:
-        f.write(json.dumps({"results": {str(k): v for k, v in results.items()},
-                            "summary": summary}) + "\n")
+    with open(log_path, "a") as f:
+        f.write(json.dumps({"summary": summary}) + "\n")
 
 
 if __name__ == "__main__":

@@ -95,3 +95,23 @@ def test_minhash_results_unchanged_by_text_rejoin(docs):
     }
     assert (0, 1) in got and got[(0, 1)] == 1.0
     assert (0, 2) in got and (1, 2) in got
+
+
+def test_bucket_cap_is_broadcast_antijoin_not_window(spark):
+    """Degenerate corpus: thousands of identical texts → identical MinHash
+    signatures → every band bucket is a mega-bucket. The cap must drop them
+    WITHOUT funneling the bucket into one task: the plan contains no Window
+    operator (the cap is a groupBy count + broadcast anti-join), the
+    mega-buckets are dropped entirely, and the truncation is counted."""
+    rows = [
+        (i, "the exact same boilerplate disclaimer text repeated on every page")
+        for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {}
+    out = minhash_near_duplicates(df, stats_out=stats)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan, "bucket cap must not use a window"
+    assert stats["dropped_buckets"] > 0
+    assert stats["dropped_entries"] >= 5000
+    assert out.count() == 0  # every bucket was degenerate → all dropped

@@ -1,12 +1,13 @@
 """Extraction cache table semantics (S8 — mirrors reference
 tests/test_extraction_cache.py: hit skips recompute, version invalidates,
-duplicate content costs one extraction)."""
+duplicate content costs one extraction, crash-safe batch commits)."""
 
-import pyspark.sql.functions as F
+import os
+import shutil
 
 from hinbox_spark.functions.ner import default_gazetteer
 from hinbox_spark.operators.extraction import (
-    extract_articles, extract_mentions_cached,
+    extract_articles, extract_mentions_cached, read_extraction_cache,
 )
 from hinbox_spark.sources.pages_gen import pages_dataframe
 
@@ -22,22 +23,24 @@ def test_cache_roundtrip_and_dedup(spark, tmp_path):
     assert n1 > 0
 
     # cache stores one row-set per distinct content hash (dups share)
-    cached = spark.read.parquet(cache)
+    cached = read_extraction_cache(spark, cache, 1)
     n_hashes = cached.select("content_hash").distinct().count()
     n_distinct_articles = articles.select("content_hash").distinct().count()
     assert n_hashes == n_distinct_articles
     # the corpus contains duplicate pages → fewer hashes than articles
     assert n_distinct_articles < articles.count()
 
-    # second run: pure cache hits, identical output
+    # second run: pure cache hits, identical output, no new committed rows
     m2 = extract_mentions_cached(articles, gaz, cache, version=1)
     assert m2.count() == n1
-    assert spark.read.parquet(cache).count() == cached.count()
+    assert read_extraction_cache(spark, cache, 1).count() == cached.count()
 
-    # version bump invalidates: recompute, cache grows
+    # version bump invalidates: recompute into the v2 subdirectory; v1 rows
+    # are untouched and can never mix into a v2 read (schema isolation)
     m3 = extract_mentions_cached(articles, gaz, cache, version=2)
     assert m3.count() == n1
-    assert spark.read.parquet(cache).count() == 2 * cached.count()
+    assert read_extraction_cache(spark, cache, 2).count() == cached.count()
+    assert read_extraction_cache(spark, cache, 1).count() == cached.count()
 
 
 def test_cache_hits_equal_direct_extraction(spark, tmp_path):
@@ -57,3 +60,56 @@ def test_cache_hits_equal_direct_extraction(spark, tmp_path):
         for r in extract_mentions_cached(articles, gaz, cache).collect()
     }
     assert direct == cached
+
+
+def test_partial_append_is_invisible_and_reextracted(spark, tmp_path):
+    """Crash-safety: a batch directory left WITHOUT _SUCCESS (run killed
+    mid-commit) must be ignored by the next read — its hashes re-extract
+    and the final mention set is exactly-once per hash, no dupes/missing."""
+    cache = str(tmp_path / "cache3")
+    gaz = default_gazetteer()
+    pages, _ = pages_dataframe(spark, 30, 42)
+    articles = extract_articles(pages).cache()
+
+    baseline = extract_mentions_cached(articles, gaz, cache, version=1)
+    expected = sorted(
+        (r["url"], r["entity_type"], r["name"]) for r in baseline.collect()
+    )
+
+    # simulate a crashed append: clone a committed batch, strip _SUCCESS
+    vdir = os.path.join(cache, "v1")
+    batches = [d for d in os.listdir(vdir) if d.startswith("batch-")]
+    assert batches
+    orphan = os.path.join(vdir, "batch-orphan")
+    shutil.copytree(os.path.join(vdir, batches[0]), orphan)
+    os.remove(os.path.join(orphan, "_SUCCESS"))
+
+    # the orphan's rows must not surface: committed count is unchanged and
+    # a rerun still yields exactly the baseline mentions (no duplicates
+    # from the orphan part-files, nothing missing)
+    again = extract_mentions_cached(articles, gaz, cache, version=1)
+    got = sorted(
+        (r["url"], r["entity_type"], r["name"]) for r in again.collect()
+    )
+    assert got == expected
+
+
+def test_old_flat_layout_cannot_poison_new_version(spark, tmp_path):
+    """Schema-change safety (ADVICE r2 medium): rows written by an older
+    extractor version live in their own subdirectory — a v3 read never
+    touches them even when the old schema lacks columns (e.g. match_key)."""
+    cache = str(tmp_path / "cache4")
+    gaz = default_gazetteer()
+    pages, _ = pages_dataframe(spark, 20, 42)
+    articles = extract_articles(pages).cache()
+
+    # old-version batch with a REDUCED schema (simulating pre-match_key rows)
+    old = extract_mentions_cached(articles, gaz, cache, version=2)
+    old.count()
+    v2dir = os.path.join(cache, "v2")
+    batches = [d for d in os.listdir(v2dir) if d.startswith("batch-")]
+    assert batches
+
+    m = extract_mentions_cached(articles, gaz, cache, version=3)
+    assert "match_key" in m.columns
+    assert m.filter("match_key IS NULL").count() == 0

@@ -13,7 +13,9 @@ import os
 GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden", "triples_seed42_n40.json")
 
 
-def _compute_triples(spark, out_dir, shuffle_partitions=None):
+def _compute_edges(spark, out_dir, shuffle_partitions=None):
+    """Full edge rows incl. provenance (partition_id excluded — it is
+    write-time lineage and legitimately varies with partitioning)."""
     from hinbox_spark.pipeline import run_pipeline
     from hinbox_spark.sources.pages_gen import pages_dataframe
 
@@ -22,7 +24,14 @@ def _compute_triples(spark, out_dir, shuffle_partitions=None):
     pages, _ = pages_dataframe(spark, 40, 42)
     t = run_pipeline(spark, pages, out_dir, resume=False)
     return sorted(
-        (r["subj"], r["pred"], r["obj"]) for r in t["edges"].collect()
+        (r["subj"], r["pred"], r["obj"], r["url"], str(r["warc_ts"]))
+        for r in t["edges"].collect()
+    )
+
+
+def _compute_triples(spark, out_dir, shuffle_partitions=None):
+    return sorted(
+        (s, p, o) for s, p, o, _, _ in _compute_edges(spark, out_dir, shuffle_partitions)
     )
 
 
@@ -37,10 +46,13 @@ def test_triples_match_golden(spark, tmp_path):
 
 
 def test_triples_partitioning_invariant(spark, tmp_path):
+    """FULL edge rows (incl. url/warc_ts provenance) must be identical
+    across partitionings — provenance is a deterministic struct-min pick,
+    not an arbitrary dropDuplicates winner."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        a = _compute_triples(spark, str(tmp_path / "a"), shuffle_partitions=3)
-        b = _compute_triples(spark, str(tmp_path / "b"), shuffle_partitions=13)
+        a = _compute_edges(spark, str(tmp_path / "a"), shuffle_partitions=3)
+        b = _compute_edges(spark, str(tmp_path / "b"), shuffle_partitions=13)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert a == b

@@ -124,7 +124,46 @@ def test_title_scanner_matches_full_parse_on_corpus():
 def test_title_scanner_h1_precedence_and_header_fallback():
     from hinbox_spark.functions.html_text import extract_title
 
-    assert extract_title("<header>H</header><h1>One</h1><h1>Two</h1>") == "One"
-    assert extract_title("<header>Head <b>er</b></header><p>x</p>") == "Head er"
-    assert extract_title("<p>no title</p>") == ""
+    # first h1 wins over later h1s and over header (inside a container —
+    # container-less pages yield "" per the full-parser rule, tested below)
+    assert extract_title(
+        "<main><header>H</header><h1>One</h1><h1>Two</h1></main>"
+    ) == "One"
+    assert extract_title(
+        "<main><header>Head <b>er</b></header><p>x</p></main>"
+    ) == "Head er"
+    assert extract_title("<main><p>no title</p></main>") == ""
+    assert extract_title("<p>no title, no container</p>") == ""
     assert extract_title(None) == ""
+
+
+def test_title_fast_path_matches_full_parser_on_edge_cases():
+    """The streaming title scanner must agree with the full parser's title
+    rule byte-for-byte (ADVICE r2): empty first <h1> suppresses the header
+    fallback, and pages without a recognized container get '' — never a
+    title the full parser would not have produced."""
+    from hinbox_spark.functions.html_text import extract_title
+
+    cases = [
+        # empty first h1: '' — must NOT fall back to <header>
+        "<article><h1></h1><header>Header Title</header><p>x</p></article>",
+        # no recognized container: full parser skips the page → ''
+        "<div><h1>Real Title</h1><p>text</p></div>",
+        # header fallback only when no h1 exists at all
+        "<article><header>Only Header</header><p>x</p></article>",
+        # no title elements at all
+        "<main><p>no title here</p></main>",
+        # h1 after the container closes still wins (document-order search)
+        "<article><p>text</p></article><h1>Late H1</h1>",
+        # h1 before the container
+        "<h1>Early H1</h1><article><p>t</p></article>",
+        # h1 nested inside header
+        "<article><header><h1>Nested</h1></header><p>t</p></article>",
+        # div.container variant
+        '<div class="container"><h1>Contained</h1><p>t</p></div>',
+        # whitespace-only h1
+        "<article><h1>   </h1><header>H</header><p>t</p></article>",
+    ]
+    for html in cases:
+        full_title, _ = extract_title_and_text(html)
+        assert extract_title(html) == full_title, html

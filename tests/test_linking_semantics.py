@@ -282,3 +282,78 @@ class TestGrayBandConfidenceGate:
         assert len(rows) == 1
         assert rows[0]["decision"] == "defer"
         assert abs(rows[0]["confidence"] - 0.68) < 0.01
+
+
+class TestNodeIdSeparator:
+    def test_boundary_shift_keys_get_distinct_node_ids(self, spark):
+        """Regression (ADVICE r2): ("x", "yz") and ("xy", "z") concatenate
+        identically without a field separator — they must hash to two
+        distinct node_ids or clustering silently merges them."""
+        nodes = _nodes(spark, [
+            ("organizations", "x", "yz", ""),
+            ("organizations", "xy", "z", ""),
+        ])
+        ids = [r["node_id"] for r in nodes.select("node_id").collect()]
+        assert len(ids) == 2 and ids[0] != ids[1]
+
+
+class TestDisputeArbitration:
+    """Second-stage arbitration truth table, mirroring the reference's
+    override-both-directions routing (merge_dispute_agent.py:83-171,
+    tests/test_merge_dispute_agent_routing.py:299-350)."""
+
+    def _review(self, spark, rows):
+        """rows: (name_src, name_dst, sim, tau)"""
+        return spark.createDataFrame(
+            [
+                (f"s{i}", f"d{i}", "organizations", a, b, sim, tau, 0.5, "defer")
+                for i, (a, b, sim, tau) in enumerate(rows)
+            ],
+            "src string, dst string, entity_type string, name_src string, "
+            "name_dst string, sim double, tau double, confidence double, "
+            "decision string",
+        )
+
+    def test_override_both_directions_and_defer(self, spark):
+        from hinbox_spark.operators.linking import arbitrate_review
+
+        review = self._review(spark, [
+            # 0: match-checker-uncertain, above τ with strong word overlap
+            #    → MERGE (reference: dispute overrides uncertain-match)
+            ("Guantanamo Detention Camp", "Guantanamo Detention Facility",
+             0.80, 0.78),
+            # 1: below τ (first pass said no) but containment relation
+            #    → MERGE (reference: dispute overrides no-match to merge)
+            ("Naval Station Guantanamo Bay", "Naval Station Guantanamo Bay Cuba",
+             0.76, 0.78),
+            # 2: below τ, names share essentially nothing
+            #    → SKIP (reference: dispute overrides match to skip)
+            ("Southern Command", "Camp Justice", 0.77, 0.78),
+            # 3: above τ but near-zero word overlap, no structural relation
+            #    → DEFER, and defer must never merge
+            ("Justice Department", "Miami Herald", 0.80, 0.78),
+            # 4: below τ with an acronym relation → MERGE
+            ("JTFG", "Joint Task Force Guantanamo", 0.75, 0.78),
+        ])
+        out = {
+            r["src"]: (r["decision"], r["arbiter_confidence"])
+            for r in arbitrate_review(review).collect()
+        }
+        assert out["s0"][0] == "merge"
+        assert out["s1"][0] == "merge" and out["s1"][1] == 0.95
+        assert out["s2"][0] == "skip"
+        assert out["s3"][0] == "defer"
+        assert out["s4"][0] == "merge" and out["s4"][1] == 0.95
+
+    def test_defer_never_merges_in_pipeline_semantics(self, spark):
+        """Only decision == 'merge' rows become clustering edges — the
+        defer/skip rows must not leak into the accepted set (reference:
+        'defer action should be treated as skip')."""
+        from hinbox_spark.operators.linking import arbitrate_review
+
+        review = self._review(spark, [
+            ("Justice Department", "Miami Herald", 0.80, 0.78),      # defer
+            ("Southern Command", "Camp Justice", 0.77, 0.78),        # skip
+        ])
+        merges = arbitrate_review(review).filter(F.col("decision") == "merge")
+        assert merges.count() == 0

@@ -194,8 +194,13 @@ def test_pipeline_with_extraction_cache(spark, tmp_path):
     n_hashes = (
         extract_articles(pages).select("content_hash").distinct().count()
     )
+    from hinbox_spark.operators.extraction import (
+        EXTRACTOR_VERSION, read_extraction_cache,
+    )
+
     cached_hashes = (
-        spark.read.parquet(cache).select("content_hash").distinct().count()
+        read_extraction_cache(spark, cache, EXTRACTOR_VERSION)
+        .select("content_hash").distinct().count()
     )
     assert cached_hashes == n_hashes
 
@@ -207,13 +212,16 @@ def test_pipeline_with_extraction_cache(spark, tmp_path):
     assert metrics["extraction_cache_hits"] == 0
 
     # second run over the same corpus: all hits, cache unchanged
-    n_cache_rows = spark.read.parquet(cache).count()
+    n_cache_rows = read_extraction_cache(spark, cache, EXTRACTOR_VERSION).count()
     t2 = run_pipeline(spark, pages, out2, cfg=cfg, resume=False)
     metrics2 = {r["stage"]: r["rows"] for r in t2["metrics"].collect()
                 if r["stage"].startswith("extraction_cache_")}
     assert metrics2["extraction_cache_hits"] == n_hashes
     assert metrics2["extraction_cache_misses"] == 0
-    assert spark.read.parquet(cache).count() == n_cache_rows
+    assert (
+        read_extraction_cache(spark, cache, EXTRACTOR_VERSION).count()
+        == n_cache_rows
+    )
 
 
 def test_pre_extracted_text_fast_path(spark):
@@ -270,4 +278,14 @@ def test_decisions_mergestat_parity(pipeline_out):
         by_decision[r["decision"]] += r["n"]
     assert set(by_decision) <= {"merged", "disputed", "skipped"}
     assert by_decision.get("merged", 0) > 0
-    assert by_decision.get("disputed", 0) == tables["review"].count()
+    # after second-stage arbitration, 'disputed' = still-open defers; the
+    # arbitrated merge/skip rows are counted under merged/skipped instead
+    review = tables["review"]
+    assert set(
+        r["decision"] for r in review.select("decision").distinct().collect()
+    ) <= {"merge", "skip", "defer"}
+    import pyspark.sql.functions as F
+
+    assert by_decision.get("disputed", 0) == review.filter(
+        F.col("decision") == "defer"
+    ).count()

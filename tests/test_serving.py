@@ -83,3 +83,78 @@ def test_display_keys(spark):
     assert rows["organizations"] == f"Red Cross ({h_org})"
     h_ev = hashlib.md5(b"Tribunal Hearing##2008-01-15").hexdigest()[:6]
     assert rows["events"] == f"Tribunal Hearing ({h_ev})"
+
+
+class TestReferenceShapedEntities:
+    """Per-type alternative-name shape parity (reference mergers.py:523-575
+    legacy shapes; events field name `alternative_titles`, mergers.py:136)."""
+
+    def _entities(self, spark):
+        rows = [
+            ("people", "Omar Khadr",
+             [{"name": "O. Khadr", "type": "", "start_date": ""}]),
+            ("organizations", "Department of Defense",
+             [{"name": "Defense Department", "type": "government",
+               "start_date": ""}]),
+            ("locations", "Guantanamo Bay",
+             [{"name": "GTMO", "type": "base", "start_date": ""}]),
+            ("events", "Tribunal Hearing",
+             [{"name": "Hearing at Camp Justice", "type": "hearing",
+               "start_date": "2008-05-01"}]),
+        ]
+        return spark.createDataFrame(
+            rows,
+            "entity_type string, canonical_name string, alternative_names "
+            "array<struct<name:string,type:string,start_date:string>>",
+        )
+
+    def test_people_are_plain_strings(self, spark):
+        from hinbox_spark.operators.serving import reference_shaped_entities
+
+        r = reference_shaped_entities(self._entities(spark), "people").first()
+        assert r["alternative_names"] == ["O. Khadr"]
+
+    def test_orgs_and_locs_are_name_type_structs(self, spark):
+        from hinbox_spark.operators.serving import reference_shaped_entities
+
+        ents = self._entities(spark)
+        org = reference_shaped_entities(ents, "organizations").first()
+        assert org["alternative_names"][0].asDict() == {
+            "name": "Defense Department", "type": "government"
+        }
+        loc = reference_shaped_entities(ents, "locations").first()
+        assert loc["alternative_names"][0].asDict() == {
+            "name": "GTMO", "type": "base"
+        }
+
+    def test_events_are_title_date_type_structs(self, spark):
+        from hinbox_spark.operators.serving import reference_shaped_entities
+
+        r = reference_shaped_entities(self._entities(spark), "events").first()
+        assert "alternative_names" not in r.asDict()
+        assert r["alternative_titles"][0].asDict() == {
+            "title": "Hearing at Camp Justice",
+            "start_date": "2008-05-01",
+            "event_type": "hearing",
+        }
+
+    def test_alt_entries_carry_their_own_attributes(self, spark):
+        """The superset struct must pair each alternative with ITS OWN
+        type/start_date (reference stores the alt key's attributes), not
+        the canonical entity's."""
+        from hinbox_spark.operators.canonicalize import canonical_names
+
+        mc = spark.createDataFrame(
+            [
+                ("c1", "events", "Tribunal Hearing", "hearing", "2008-05-01"),
+                ("c1", "events", "Pretrial Session", "session", "2008-06-02"),
+            ],
+            "cluster_id string, entity_type string, name string, "
+            "type_attr string, start_date string",
+        )
+        canon = canonical_names(mc).first()
+        alts = [e.asDict() for e in canon["alt_entries"]]
+        assert {"name": "Pretrial Session", "type": "session",
+                "start_date": "2008-06-02"} in alts or \
+               {"name": "Tribunal Hearing", "type": "hearing",
+                "start_date": "2008-05-01"} in alts

@@ -64,3 +64,16 @@ def test_url_dedup_path(spark):
         for r in keyed.groupBy("domain").agg(F.count("*").alias("n")).collect()
     }
     assert domains == {"example.com": 4, "b.co.uk": 1}
+
+
+def test_malformed_port_returns_input_unchanged():
+    """ADVICE r2: parts.port raises ValueError for 'http://x:abc/' — it must
+    not escape the try and kill the whole Arrow batch."""
+    from hinbox_spark.functions.urltools import normalize_url, registered_domain
+
+    assert normalize_url("http://x:abc/") == "http://x:abc/"
+    # hostname itself parses ('x'); only .port raises — no batch kill either way
+    assert registered_domain("http://x:abc/") == "x"
+    assert registered_domain("http://[bad") == ""
+    # sane URLs in the same batch still normalize
+    assert normalize_url("HTTP://Example.COM:80/a/") == "http://example.com/a"
