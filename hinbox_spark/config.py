@@ -160,6 +160,11 @@ class DomainConfig:
     relevance_keywords: tuple[str, ...] = field(
         default_factory=lambda: tuple(_default_relevance_keywords())
     )
+    # When set, each pipeline run also publishes its entities into a
+    # snapshot-versioned store (hinbox_spark.tables.SnapshotTable — the
+    # Iceberg-shaped entity store: atomic optimistic commits, time travel,
+    # merge-on-read upsert by entity_id). SURVEY §1.3 mapping.
+    snapshot_store_path: str | None = None
 
     def threshold_for(self, entity_type: str) -> float:
         """Resolution chain: per-type → default → 0.75

@@ -43,6 +43,62 @@ def list_dirs(spark: SparkSession, path: str) -> list[str]:
     )
 
 
+def list_files(spark: SparkSession, path: str) -> list[str]:
+    """Immediate regular files under `path` (full URIs), [] if absent."""
+    fs, p = _fs_and_path(spark, path)
+    if not fs.exists(p):
+        return []
+    return sorted(
+        str(s.getPath().toString())
+        for s in fs.listStatus(p)
+        if s.isFile()
+    )
+
+
+def read_text(spark: SparkSession, path: str) -> str:
+    # py4j passes arrays BY COPY, so reading into a Python-side buffer
+    # would never fill it — decode fully on the JVM side instead
+    fs, p = _fs_and_path(spark, path)
+    stream = fs.open(p)
+    try:
+        return str(
+            spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        )
+    finally:
+        stream.close()
+
+
+def write_text(spark: SparkSession, path: str, text: str) -> None:
+    fs, p = _fs_and_path(spark, path)
+    stream = fs.create(p, True)
+    try:
+        stream.write(bytearray(text.encode("utf-8")))
+    finally:
+        stream.close()
+
+
+def rename(spark: SparkSession, src: str, dst: str) -> bool:
+    """Rename WITHOUT overwrite: returns False when dst already exists.
+    On HDFS the underlying rename is atomic no-overwrite; on local/posix
+    Hadoop's rename can clobber, so the existence pre-check supplies the
+    no-overwrite contract (with a small TOCTOU window acceptable for a
+    single-host sandbox — on a real cluster HDFS/S3A semantics apply)."""
+    fs, s = _fs_and_path(spark, src)
+    _, d = _fs_and_path(spark, dst)
+    if fs.exists(d):
+        return False
+    return bool(fs.rename(s, d))
+
+
+def delete(spark: SparkSession, path: str, recursive: bool = False) -> bool:
+    fs, p = _fs_and_path(spark, path)
+    if not fs.exists(p):
+        return False
+    return bool(fs.delete(p, recursive))
+
+
 def has_part_files(spark: SparkSession, path: str) -> bool:
     """True iff the table directory contains at least one part file, at the
     top level or one partition level down (partitionBy layout)."""

@@ -263,6 +263,16 @@ def run_pipeline(
         _write(entities, output_dir, "entities", ["entity_type"])
         entities = spark.read.parquet(_table_path(output_dir, "entities"))
 
+        # optional Iceberg-shaped entity store: publish this run's entities
+        # as an atomic snapshot commit (merge-on-read upsert by entity_id —
+        # a re-run of the same corpus supersedes, never duplicates)
+        if cfg.snapshot_store_path:
+            from hinbox_spark.tables import SnapshotTable
+
+            SnapshotTable(
+                spark, cfg.snapshot_store_path.rstrip("/") + "/entities"
+            ).merge(entities)
+
         edges = build_edge_triples(mention_clusters, entities)
         _write(edges, output_dir, "edges", ["pred"])
 

@@ -1,0 +1,192 @@
+"""Snapshot-versioned tables — the Iceberg-shaped entity store (SURVEY §1.3)
+without external jars.
+
+The reference's entity store wants snapshot isolation and atomic upsert
+(reference atomic rewrite at src/utils/file_ops.py:292-303); the sandbox has
+no Iceberg runtime, so this is the same *commit protocol* Iceberg/Delta use,
+reduced to its load-bearing core over plain parquet + the Hadoop FS API:
+
+  table_dir/
+    data/batch-<id>/part-*.parquet    one immutable, separately-committed
+                                      parquet directory per write
+    snapshots/snapshot-%012d.json     manifest: ordered list of (batch, seq)
+                                      visible in that snapshot + operation
+
+  * A batch that never makes it into a committed snapshot manifest is
+    invisible — a crashed writer leaves garbage data files, never a
+    half-visible table (atomicity).
+  * Readers resolve the LATEST snapshot (or any older id — time travel) and
+    read exactly its batch list — concurrent writers never change what an
+    in-flight reader sees (snapshot isolation).
+  * Commits are optimistic: the manifest is written to a temp name and
+    renamed to snapshot-<next_id>. HDFS/posix rename-without-overwrite is
+    atomic, so two racing committers get a winner and a loser; the loser
+    re-reads the new head and retries on top (Iceberg's optimistic
+    concurrency, minus the catalog server).
+  * `merge` is merge-on-read: the upsert batch is appended with a higher
+    sequence number and readers resolve per-key last-writer-wins with one
+    max_by aggregate — no copy-on-write of 100 TB of data files to update
+    one entity partition. (`compact()` folds the resolution back into a
+    single batch when the delta chain grows.)
+
+Scale shape: metadata is O(batches) JSON, data is never rewritten on
+append/merge, and the only shuffle `read_resolved` adds is the per-key
+max_by — the same aggregate the pipeline's last-wins collapse (A6) already
+uses.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hinbox_spark import fs as hfs
+
+_SNAP_FMT = "snapshot-%012d.json"
+
+
+class CommitConflict(Exception):
+    """Another writer committed first and retries were exhausted."""
+
+
+class SnapshotTable:
+    """Minimal log-structured table: append / overwrite / merge / time
+    travel over plain parquet, with atomic optimistic commits."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.data_dir = self.path + "/data"
+        self.snap_dir = self.path + "/snapshots"
+
+    # ── snapshot metadata ──
+
+    def _snapshot_ids(self) -> list[int]:
+        ids = []
+        for f in hfs.list_files(self.spark, self.snap_dir):
+            name = f.rsplit("/", 1)[-1]
+            if name.startswith("snapshot-") and name.endswith(".json"):
+                try:
+                    ids.append(int(name[len("snapshot-"):-len(".json")]))
+                except ValueError:
+                    continue
+        return sorted(ids)
+
+    def latest_snapshot_id(self) -> int | None:
+        ids = self._snapshot_ids()
+        return ids[-1] if ids else None
+
+    def _read_manifest(self, snap_id: int) -> dict:
+        return json.loads(
+            hfs.read_text(self.spark, self.snap_dir + "/" + _SNAP_FMT % snap_id)
+        )
+
+    # ── commit protocol ──
+
+    def _write_batch(self, df: DataFrame) -> str:
+        batch = "batch-" + uuid.uuid4().hex
+        df.write.mode("overwrite").parquet(self.data_dir + "/" + batch)
+        return batch
+
+    def _commit(self, build_entries, operation: str, retries: int = 5) -> int:
+        """Optimistically commit: read head, build the new batch list from
+        it, rename the manifest into place; on collision re-read and retry.
+        `build_entries(parent_entries, next_seq) -> entries`."""
+        for _ in range(retries):
+            head = self.latest_snapshot_id()
+            parent = self._read_manifest(head) if head is not None else None
+            entries = parent["entries"] if parent else []
+            next_seq = (max((e["seq"] for e in entries), default=0)) + 1
+            new_entries = build_entries(list(entries), next_seq)
+            snap_id = (head or 0) + 1
+            manifest = {
+                "id": snap_id,
+                "parent": head,
+                "operation": operation,
+                "entries": new_entries,
+            }
+            tmp = self.snap_dir + f"/_tmp-{uuid.uuid4().hex}.json"
+            hfs.mkdirs(self.spark, self.snap_dir)
+            hfs.write_text(self.spark, tmp, json.dumps(manifest))
+            # atomic publish: rename-without-overwrite — exactly one of two
+            # racing committers wins this snapshot id
+            if hfs.rename(self.spark, tmp, self.snap_dir + "/" + _SNAP_FMT % snap_id):
+                return snap_id
+            hfs.delete(self.spark, tmp)
+        raise CommitConflict(f"lost {retries} optimistic-commit races at {self.path}")
+
+    # ── writes ──
+
+    def append(self, df: DataFrame) -> int:
+        batch = self._write_batch(df)
+        return self._commit(
+            lambda entries, seq: entries + [{"batch": batch, "seq": seq}],
+            "append",
+        )
+
+    def overwrite(self, df: DataFrame) -> int:
+        batch = self._write_batch(df)
+        return self._commit(
+            lambda entries, seq: [{"batch": batch, "seq": seq}], "overwrite"
+        )
+
+    def merge(self, df: DataFrame) -> int:
+        """MERGE-INTO-style upsert, merge-on-read: rows with keys already in
+        the table supersede them at read time (higher seq wins); new keys
+        append. No data rewrite — O(new rows) work at commit."""
+        batch = self._write_batch(df)
+        return self._commit(
+            lambda entries, seq: entries + [{"batch": batch, "seq": seq}],
+            "merge",
+        )
+
+    def compact(self, key_cols: list[str]) -> int:
+        """Fold the delta chain: materialize read_resolved into one batch
+        and commit a snapshot referencing only it. Old snapshots keep their
+        manifests (time travel still works until a GC pass)."""
+        resolved = self.read_resolved(key_cols)
+        batch = self._write_batch(resolved)
+        return self._commit(
+            lambda entries, seq: [{"batch": batch, "seq": seq}], "compact"
+        )
+
+    # ── reads ──
+
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        """Raw union of the snapshot's batches (with `_seq` lineage column).
+        Pass snapshot_id for time travel."""
+        head = snapshot_id if snapshot_id is not None else self.latest_snapshot_id()
+        if head is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.path}")
+        manifest = self._read_manifest(head)
+        if not manifest["entries"]:
+            raise FileNotFoundError(f"snapshot {head} at {self.path} is empty")
+        parts = []
+        for e in manifest["entries"]:
+            parts.append(
+                self.spark.read.parquet(self.data_dir + "/" + e["batch"])
+                .withColumn("_seq", F.lit(e["seq"]))
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def read_resolved(
+        self, key_cols: list[str], snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Merge-on-read resolution: per key, the row from the
+        highest-seq batch wins (last-writer-wins upsert semantics). One
+        max_by aggregate — the same shape as the pipeline's A6 last-wins
+        collapse, so it holds at scale."""
+        raw = self.read(snapshot_id)
+        payload = [c for c in raw.columns if c not in key_cols]
+        return (
+            raw.groupBy(*key_cols)
+            .agg(F.max_by(F.struct(*payload), F.col("_seq")).alias("_row"))
+            .select(*key_cols, *[F.col(f"_row.{c}").alias(c) for c in payload])
+            .drop("_seq")
+        )

@@ -115,3 +115,42 @@ def test_relevance_predicate_and_skip_summary(spark):
         "no_mentions": 0,
         "processed": 1,
     }
+
+
+def test_null_lang_pages_counted_as_wrong_lang(spark):
+    """ADVICE r2: a null-lang page is neither == nor != 'en' under SQL
+    three-valued logic — the null-safe comparison must put it in
+    wrong_lang so the A2 counters still partition the input page set."""
+    import datetime
+
+    from hinbox_spark.config import get_default_config
+    from hinbox_spark.functions.ner import default_gazetteer
+    from hinbox_spark.operators.extraction import (
+        extract_articles, extract_mentions, relevance_predicate,
+        skip_reason_summary,
+    )
+
+    ts = datetime.datetime(2024, 1, 1)
+    mk = lambda body: f"<html><body><article><p>{body}</p></article></body></html>".encode()
+    pages = spark.createDataFrame(
+        [
+            ("r1", ts, mk("Omar Khadr appeared at Guantanamo Bay today."), "", "en"),
+            ("n1", ts, mk("Unlabeled language page."), "", None),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    cfg = get_default_config()
+    articles = extract_articles(pages).cache()
+    mentions = extract_mentions(
+        articles.filter(relevance_predicate(cfg.relevance_keywords)),
+        default_gazetteer(),
+    )
+    counts = {
+        r["reason"]: r["n"]
+        for r in skip_reason_summary(
+            pages, articles, mentions, cfg.relevance_keywords
+        ).collect()
+    }
+    assert counts["wrong_lang"] == 1
+    # every input page lands in exactly one bucket
+    assert sum(counts.values()) == pages.count()

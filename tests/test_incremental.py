@@ -51,3 +51,33 @@ def test_streaming_available_now_incremental(spark, tmp_path):
     stream_extract_mentions(spark, pages_dir, out_dir, ckpt, gaz)
     n3 = spark.read.parquet(out_dir).count()
     assert n3 > n1
+
+
+def test_resume_from_pre_is_relevant_checkpoint(spark, tmp_path):
+    """ADVICE r2: an articles checkpoint written before the is_relevant
+    column existed must not wedge a resumed run — the pipeline stamps the
+    column on the fly."""
+    import pyspark.sql.functions as F
+
+    from hinbox_spark.pipeline import run_pipeline
+    from hinbox_spark.sources.pages_gen import pages_dataframe
+
+    out = str(tmp_path / "out")
+    pages, _ = pages_dataframe(spark, 30, 42)
+    t1 = run_pipeline(spark, pages, out, resume=False)
+    n_edges = t1["edges"].count()
+
+    # rewrite the articles checkpoint WITHOUT is_relevant (old layout) and
+    # delete everything downstream, then resume
+    import shutil
+
+    arts = spark.read.parquet(f"{out}/articles").drop("is_relevant").collect()
+    schema = spark.read.parquet(f"{out}/articles").drop("is_relevant").schema
+    for stage in ["mentions", "entities", "edges", "profiles", "review",
+                  "decisions", "metrics"]:
+        shutil.rmtree(f"{out}/{stage}", ignore_errors=True)
+    shutil.rmtree(f"{out}/articles", ignore_errors=True)
+    spark.createDataFrame(arts, schema).write.parquet(f"{out}/articles")
+
+    t2 = run_pipeline(spark, pages, out, resume=True)
+    assert t2["edges"].count() == n_edges
