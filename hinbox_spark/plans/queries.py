@@ -1078,6 +1078,118 @@ def q_doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — aggregate + global-max semi-join: supplier(s)
+    whose lineitem revenue equals the maximum supplier revenue. The
+    per-supplier aggregate is map-side combinable; the scalar max is a
+    one-row broadcast (a cross-join filter on one value), so no second
+    shuffle of the big side."""
+    l = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (
+        l.groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == mx.mx)
+        .join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("name"),
+            "total_revenue",
+        )
+    )
+
+
+ORACLE_TOP_REV_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem GROUP BY 1
+)
+SELECT s_suppkey AS suppkey, s_name AS name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
+def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — HAVING-filtered IN-subquery: customers with an
+    order whose total quantity exceeds 250. The heavy aggregate runs on
+    lineitem alone (map-side combinable); the tiny surviving key set is
+    broadcast into orders, then customer — the big tables never shuffle."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+    )
+
+
+ORACLE_LARGE_ORDERS = """
+SELECT c_custkey AS custkey, c_name AS name, o_orderkey AS orderkey,
+       o_orderdate AS orderdate, round(total_qty, 2) AS total_qty
+FROM orders
+JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — scalar-average subquery + NOT EXISTS anti-join:
+    above-average-balance customers with no RECENT order (none since
+    2001-01-01). The average is a one-row broadcast; the anti-join is the
+    same primitive the pipeline's resume gate uses; the date predicate
+    pushes into the orders scan before the anti-join."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+    )
+
+
+ORACLE_IDLE_RICH = """
+SELECT c_mktsegment AS segment, count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS total_balance
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY 1
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -1112,6 +1224,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunks": q_doc_chunks,
     "orders_with_late_lineitem": q_orders_with_late_lineitem,
     "promo_revenue_share": q_promo_revenue_share,
+    "top_revenue_suppliers": q_top_revenue_suppliers,
+    "large_order_customers": q_large_order_customers,
+    "idle_rich_customers": q_idle_rich_customers,
     # non-SQL-expressible (rows-only driver check; correctness pinned by
     # tests/test_dedup.py and tests/test_ann.py)
     "doc_minhash_near_dups": q_doc_minhash_near_dups,
@@ -1155,4 +1270,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "doc_chunks": ORACLE_DOC_CHUNKS,
     "orders_with_late_lineitem": ORACLE_LATE_ORDERS,
     "promo_revenue_share": ORACLE_PROMO_SHARE,
+    "top_revenue_suppliers": ORACLE_TOP_REV_SUPPLIER,
+    "large_order_customers": ORACLE_LARGE_ORDERS,
+    "idle_rich_customers": ORACLE_IDLE_RICH,
 }

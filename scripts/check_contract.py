@@ -6,10 +6,15 @@ stringified). Usage: python scripts/check_contract.py [sf_dir]"""
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import warnings
 
 warnings.filterwarnings("ignore")
+
+# runnable as `python scripts/check_contract.py` from anywhere: Python puts
+# the script's own dir (scripts/) on sys.path, not the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",

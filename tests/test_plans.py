@@ -51,3 +51,28 @@ def test_wholestage_codegen_in_agg_path(spark):
     assert "*(1) HashAggregate" in plan and "*(2) HashAggregate" in plan
     # map-side partial aggregation (combine before shuffle)
     assert "partial_sum" in plan
+
+
+def test_new_relational_queries_have_scale_shaped_plans(spark):
+    """Round-3 additions: the semi/anti-join queries must keep the big
+    side un-shuffled where documented — EXISTS via LeftSemi, the scalar
+    max/avg via a broadcast of one row, Q18's HAVING key set broadcast."""
+    from hinbox_spark.plans.queries import (
+        q_idle_rich_customers, q_large_order_customers,
+        q_orders_with_late_lineitem, q_top_revenue_suppliers,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    late = _plan(q_orders_with_late_lineitem(spark, sf))
+    assert "LeftSemi" in late
+
+    q18 = _plan(q_large_order_customers(spark, sf))
+    assert "BroadcastHashJoin" in q18
+
+    q15 = _plan(q_top_revenue_suppliers(spark, sf))
+    assert "BroadcastHashJoin" in q15  # one-row max + supplier dim
+
+    q22 = _plan(q_idle_rich_customers(spark, sf))
+    assert "LeftAnti" in q22
+    # date predicate pushes into the orders scan before the anti-join
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in q22
