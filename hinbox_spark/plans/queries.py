@@ -1190,6 +1190,132 @@ GROUP BY 1
 """
 
 
+
+
+# ── graph queries over the customer—supplier bipartite purchase graph
+#    (downstream consumers of a KG run exactly these shapes on the edges
+#    table; here they run on testdata so DuckDB can oracle them) ──
+
+
+def _purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (custkey, suppkey) edges via orders ⨝ lineitem — the
+    bipartite purchase graph. groupBy-distinct is map-side combinable."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(F.col("o_custkey").alias("custkey"),
+                F.col("l_suppkey").alias("suppkey"))
+        .distinct()
+    )
+
+
+def q_purchase_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the supplier side: for each supplier-degree
+    d, how many customers bought from exactly d suppliers."""
+    deg = _purchase_edges(spark, sf_dir).groupBy("custkey").agg(
+        F.count("*").alias("degree")
+    )
+    return deg.groupBy("degree").agg(F.count("*").alias("n_customers"))
+
+
+ORACLE_GRAPH_DEGREES = """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS custkey, l_suppkey AS suppkey
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), deg AS (
+  SELECT custkey, count(*) AS degree FROM e GROUP BY 1
+)
+SELECT degree, count(*) AS n_customers FROM deg GROUP BY 1
+"""
+
+
+def q_customers_sharing_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop neighborhood size: for each customer, how many OTHER
+    customers share at least one supplier. Top 10 by reach, deterministic
+    tie-break.
+
+    EXACT baseline, oracle-scoped: the self-join is inherently Σ(degree²)
+    — ~24M int-pairs at sf0.01, fine for the DuckDB comparison, quadratic
+    at web scale. The scale path is `copurchase_reach_hll` (HLL sketches:
+    one sketch per supplier, merged per customer — linear in edges)."""
+    e = _purchase_edges(spark, sf_dir)
+    a, b = e.alias("a"), e.alias("b")
+    reach = (
+        a.join(b, (F.col("a.suppkey") == F.col("b.suppkey"))
+               & (F.col("a.custkey") != F.col("b.custkey")))
+        .groupBy(F.col("a.custkey").alias("custkey"))
+        .agg(F.count_distinct(F.col("b.custkey")).alias("n_neighbors"))
+        .orderBy(F.desc("n_neighbors"), F.asc("custkey"))
+        .limit(10)
+    )
+    return reach
+
+
+ORACLE_SHARED_SUPPLIERS = """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS custkey, l_suppkey AS suppkey
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)
+SELECT a.custkey AS custkey, count(DISTINCT b.custkey) AS n_neighbors
+FROM e a JOIN e b ON a.suppkey = b.suppkey AND a.custkey <> b.custkey
+GROUP BY 1
+ORDER BY n_neighbors DESC, custkey ASC
+LIMIT 10
+"""
+
+
+def q_copurchase_reach_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate 2-hop reach at scale: HLL sketch of each supplier's
+    customer set, merged per customer (hll_sketch_agg / hll_union_agg —
+    JVM DataSketches, mergeable = map-side combinable). Linear in edges
+    where the exact self-join is Σ(degree²); estimates within HLL's ~2%
+    standard error (relative accuracy pinned vs the exact count in
+    tests/test_plans.py). Rows-only: DuckDB's HLL differs bit-for-bit."""
+    e = _purchase_edges(spark, sf_dir)
+    sk = e.groupBy("suppkey").agg(F.hll_sketch_agg("custkey").alias("sk"))
+    return (
+        e.join(sk, "suppkey")
+        .groupBy("custkey")
+        .agg(
+            # estimate counts the union of neighbor sets INCLUDING self
+            (F.hll_sketch_estimate(F.hll_union_agg("sk")) - 1).alias(
+                "approx_neighbors"
+            )
+        )
+        .orderBy(F.desc("approx_neighbors"), F.asc("custkey"))
+        .limit(10)
+    )
+
+
+def q_copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the bipartite purchase graph via the
+    pipeline's J11 operator (adaptive driver-UF / distributed min-label
+    propagation) — standalone driver-contract exercise of
+    clustering.connected_components. Node ids are namespaced ("c:"/"s:")
+    so the two key spaces cannot collide. Returns (n_components,
+    n_nodes, largest_component) — rows-only (iterative fixpoint is not
+    single-query SQL)."""
+    from hinbox_spark.operators.clustering import connected_components
+
+    e = _purchase_edges(spark, sf_dir).select(
+        F.concat(F.lit("c:"), F.col("custkey")).alias("src"),
+        F.concat(F.lit("s:"), F.col("suppkey")).alias("dst"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node_id"))
+        .unionByName(e.select(F.col("dst").alias("node_id")))
+        .distinct()
+    )
+    labels = connected_components(nodes, e)
+    comp = labels.groupBy("cluster_id").agg(F.count("*").alias("size"))
+    return comp.agg(
+        F.count("*").alias("n_components"),
+        F.sum("size").alias("n_nodes"),
+        F.max("size").alias("largest_component"),
+    )
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -1227,6 +1353,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_revenue_suppliers": q_top_revenue_suppliers,
     "large_order_customers": q_large_order_customers,
     "idle_rich_customers": q_idle_rich_customers,
+    "purchase_graph_degrees": q_purchase_graph_degrees,
+    "customers_sharing_suppliers": q_customers_sharing_suppliers,
     # non-SQL-expressible (rows-only driver check; correctness pinned by
     # tests/test_dedup.py and tests/test_ann.py)
     "doc_minhash_near_dups": q_doc_minhash_near_dups,
@@ -1234,6 +1362,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "emb_near_dup_pairs_lsh": q_emb_near_dup_pairs_lsh,
     "doc_simhash_near_dups": q_doc_simhash_near_dups,
+    "copurchase_components": q_copurchase_components,
+    "copurchase_reach_hll": q_copurchase_reach_hll,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -1273,4 +1403,6 @@ ORACLE_QUERIES: dict[str, str] = {
     "top_revenue_suppliers": ORACLE_TOP_REV_SUPPLIER,
     "large_order_customers": ORACLE_LARGE_ORDERS,
     "idle_rich_customers": ORACLE_IDLE_RICH,
+    "purchase_graph_degrees": ORACLE_GRAPH_DEGREES,
+    "customers_sharing_suppliers": ORACLE_SHARED_SUPPLIERS,
 }
