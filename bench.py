@@ -44,6 +44,15 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "emb_near_dup_pairs_lsh",
+    # round-3 additions
+    "orders_with_late_lineitem",
+    "promo_revenue_share",
+    "top_revenue_suppliers",
+    "large_order_customers",
+    "idle_rich_customers",
+    "purchase_graph_degrees",
+    "copurchase_reach_hll",
+    "doc_simhash_near_dups",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "20000"))
