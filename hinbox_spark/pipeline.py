@@ -206,10 +206,13 @@ def run_pipeline(
             "src", "dst", "entity_type",
             F.lit("dispute_merge").alias("reason"), "sim",
         )
-        accepted = accepted.unionByName(dispute_merges).localCheckpoint(
-            eager=False
-        )
+        accepted = accepted.unionByName(dispute_merges)
         _write(review, output_dir, "review")
+        # materialize the (tiny, pair-level) accepted-edge set once, NOW —
+        # the decisions job and the clustering chain consume it from two
+        # threads below, and an eager checkpoint removes any double-
+        # materialization race a lazy one would allow
+        accepted = accepted.localCheckpoint()
 
         # A1 parity: merge-decision counters (reference MergeStats —
         # merged/skipped/disputed per type/reason) as a metrics table.
@@ -251,7 +254,17 @@ def run_pipeline(
             )
             .unionByName(skipped.select("entity_type", "reason", "n", "decision"))
         )
-        _write(decisions, output_dir, "decisions")
+        # the decisions job is independent of the clustering →
+        # canonicalization chain (both read only checkpointed/written
+        # inputs), so it runs as a CONCURRENT Spark job from a second
+        # driver thread — at 4N cores the serial tail is ~30% of the run,
+        # and overlapping independent jobs is what converts spare cores
+        # into wall-clock (at N cores everything is compute-bound and the
+        # overlap costs nothing)
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=2)
+        decisions_future = pool.submit(_write, decisions, output_dir, "decisions")
 
         labels = connected_components(
             nodes.select("node_id"), accepted.select("src", "dst")
@@ -273,14 +286,21 @@ def run_pipeline(
                 spark, cfg.snapshot_store_path.rstrip("/") + "/entities"
             ).merge(entities)
 
+        # edges and profiles both read only the cached mention_clusters and
+        # the written entities table — independent jobs, overlapped the
+        # same way as decisions
         edges = build_edge_triples(mention_clusters, entities)
-        _write(edges, output_dir, "edges", ["pred"])
+        edges_future = pool.submit(_write, edges, output_dir, "edges", ["pred"])
 
         # ── stage 6: profiles + grounding ──
         profiles = build_profiles(mention_clusters, entities)
         profiles = ground_profiles(profiles, articles)
         profiles = _with_profile_embedding(profiles, cfg)
         _write(profiles, output_dir, "profiles")
+        # join the concurrent writes BEFORE unpersisting their inputs
+        edges_future.result()
+        decisions_future.result()
+        pool.shutdown()
         mention_clusters.unpersist()
         nodes.unpersist()
 
