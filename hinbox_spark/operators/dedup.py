@@ -229,11 +229,22 @@ def _simhash64(text: str) -> int:
 
 
 def simhash_near_duplicates(
-    docs: DataFrame, max_hamming: int = 6, text_col: str = "text"
+    docs: DataFrame,
+    max_hamming: int = 6,
+    text_col: str = "text",
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """SimHash near-dup: 64-bit signature, blocked on 16-bit chunks (a pair
     within hamming ≤ 6 shares at least one of 4 chunks by pigeonhole),
-    verified with exact popcount. Returns (doc_a, doc_b, hamming)."""
+    verified with exact popcount. Returns (doc_a, doc_b, hamming).
+
+    Scale shape: chunk buckets over BUCKET_CAP are dropped via the same
+    groupBy-count + broadcast anti-join as MinHash (`capped_bucket_entries`
+    — no window, so a mega-bucket never lands in one task). SimHash's
+    target corpora (boilerplate-heavy web text) are exactly the ones that
+    put millions of near-identical signatures into one 16-bit chunk bucket;
+    uncapped that self-join is quadratic. Pass `stats_out` for the
+    truncation counters {"dropped_buckets", "dropped_entries"}."""
 
     @F.pandas_udf("long")
     def _sh(texts: pd.Series) -> pd.Series:
@@ -251,6 +262,13 @@ def simhash_near_duplicates(
             )
         ).alias("e"),
     ).select("doc_id", "sim", "e.chunk", "e.ch")
+
+    # bucket cap with logged truncation — mirrors minhash_near_duplicates;
+    # the checkpoint inside also makes the signature pass run once for the
+    # counts job and the pair join
+    chunks = capped_bucket_entries(
+        chunks, ["chunk", "ch"], BUCKET_CAP, stats_out=stats_out
+    )
 
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (

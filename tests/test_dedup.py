@@ -115,3 +115,37 @@ def test_bucket_cap_is_broadcast_antijoin_not_window(spark):
     assert stats["dropped_buckets"] > 0
     assert stats["dropped_entries"] >= 5000
     assert out.count() == 0  # every bucket was degenerate → all dropped
+
+
+def test_simhash_bucket_cap_degenerate_corpus(spark):
+    """50k-style boilerplate corpus (near-identical 64-bit signatures): the
+    SimHash chunk buckets must be capped the same way as MinHash — groupBy
+    count + broadcast anti-join (no Window), mega-buckets dropped entirely,
+    truncation counted. Uncapped this self-join is quadratic (the r3
+    verdict's one remaining scale-killer)."""
+    rows = [
+        (i, "the exact same boilerplate disclaimer text repeated on every page")
+        for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {}
+    out = simhash_near_duplicates(df, stats_out=stats)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan, "bucket cap must not use a window"
+    # every doc has the identical signature → all 4 chunk buckets are
+    # mega-buckets, all entries dropped, zero pairs materialize
+    assert stats["dropped_buckets"] == 4
+    assert stats["dropped_entries"] == 4 * 5000
+    assert out.count() == 0
+
+
+def test_simhash_results_unchanged_by_cap(docs):
+    """On a normal corpus (buckets far below cap) the capped path returns
+    the same pairs as before the cap was added."""
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_duplicates(docs, max_hamming=8).collect()
+    }
+    assert pairs.get((0, 1)) == 0
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 8
+    assert (0, 3) not in pairs
