@@ -2,22 +2,27 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the KG-construction
 pipeline throughput (docs/sec) on a deterministic synthetic corpus.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints a COMPACT headline JSON object as the LAST stdout line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {min per query},
+   "sf": ..., "kg_docs_per_sec": ..., "cpus": ..., "runs_per_query": N}
+The verbose audit trail (every run's timing + the loadavg samples around
+each run) goes to a SIDECAR file, BENCH_runs_verbose.json next to this
+script — NOT stdout. The driver captures only a bounded stdout tail, and
+round 3's single giant line (per-query run arrays + 55 loadavg samples)
+overflowed it, leaving BENCH_r03.json unparseable ("parsed": null).
 
 Execution is forced with the noop sink (full computation, no driver
 collect). Each query time includes plan + execution, not session startup.
 Noise robustness: every query (and the KG pipeline) runs
 $SPARK_GRAFT_BENCH_RUNS times (default 2) and reports the MIN — a shared
-host's transient load can only inflate a sample, never deflate it — with
-1-minute loadavg sampled around every run so the record is auditable
-("queries_runs" carries all samples, "loadavg" the ambient load).
+host's transient load can only inflate a sample, never deflate it.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import tempfile
 import time
@@ -98,32 +103,50 @@ def main() -> None:
     # KG pipeline throughput: distributed synthetic corpus → full pipeline.
     # A small warm-up run compiles the whole-stage-codegen classes so the
     # measured run reflects data work, not per-plan JIT (see BENCH.md).
+    # Every tempdir is removed in the finally block — repeated bench rounds
+    # must not accumulate full pipeline output trees in /tmp.
     from hinbox_spark.pipeline import run_pipeline
     from hinbox_spark.sources.pages_gen import pages_dataframe_distributed
 
-    warm = pages_dataframe_distributed(spark, 400, seed=7, partitions=8)
-    run_pipeline(spark, warm, tempfile.mkdtemp(prefix="bench_warm_"), resume=False)
+    bench_root = tempfile.mkdtemp(prefix="bench_kg_root_")
+    try:
+        warm = pages_dataframe_distributed(spark, 400, seed=7, partitions=8)
+        run_pipeline(spark, warm, bench_root + "/warm", resume=False)
 
-    pages_dir = tempfile.mkdtemp(prefix="bench_pages_")
-    pages_dataframe_distributed(
-        spark, KG_PAGES, seed=42, partitions=4 * cpus
-    ).write.mode("overwrite").parquet(pages_dir)
-    pages = spark.read.parquet(pages_dir)
-    n_pages = pages.count()
-    kg_runs = []
-    for _ in range(N_RUNS):
+        pages_dir = bench_root + "/pages"
+        pages_dataframe_distributed(
+            spark, KG_PAGES, seed=42, partitions=4 * cpus
+        ).write.mode("overwrite").parquet(pages_dir)
+        pages = spark.read.parquet(pages_dir)
+        n_pages = pages.count()
+        kg_runs = []
+        for i in range(N_RUNS):
+            _sample_load()
+            out_dir = bench_root + f"/run-{i}"
+            t0 = time.time()
+            run_pipeline(spark, pages, out_dir, resume=False)
+            kg_runs.append(round(time.time() - t0, 3))
+            shutil.rmtree(out_dir, ignore_errors=True)
+        all_runs["kg_pipeline"] = kg_runs
+        kg_sec = min(kg_runs)
+        timings["kg_pipeline"] = kg_sec
         _sample_load()
-        out_dir = tempfile.mkdtemp(prefix="bench_kg_")
-        t0 = time.time()
-        run_pipeline(spark, pages, out_dir, resume=False)
-        kg_runs.append(round(time.time() - t0, 3))
-    all_runs["kg_pipeline"] = kg_runs
-    kg_sec = min(kg_runs)
-    timings["kg_pipeline"] = kg_sec
-    _sample_load()
+    finally:
+        shutil.rmtree(bench_root, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    # verbose audit trail → sidecar file (auditable, never on stdout)
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_runs_verbose.json"
+    )
+    with open(sidecar, "w") as f:
+        json.dump(
+            {"queries_runs": all_runs, "loadavg": load_samples, "sf": sf,
+             "cpus": cpus, "kg_pages": n_pages},
+            f,
+        )
+    # compact headline as the LAST stdout line (driver tail-capture contract)
     result = {
         "metric": "headline_total_sec",
         "value": total,
@@ -134,8 +157,6 @@ def main() -> None:
         "kg_pages": n_pages,
         "cpus": cpus,
         "runs_per_query": N_RUNS,
-        "queries_runs": all_runs,
-        "loadavg": load_samples,
     }
     print(json.dumps(result))
 
