@@ -261,48 +261,73 @@ def run_pipeline(
         # and overlapping independent jobs is what converts spare cores
         # into wall-clock (at N cores everything is compute-bound and the
         # overlap costs nothing)
+        import sys
         from concurrent.futures import ThreadPoolExecutor
 
         pool = ThreadPoolExecutor(max_workers=2)
-        decisions_future = pool.submit(_write, decisions, output_dir, "decisions")
+        background = []  # in-flight concurrent writes, joined in finally
+        cached = [nodes]  # cached inputs, unpersisted in finally
+        try:
+            background.append(
+                pool.submit(_write, decisions, output_dir, "decisions")
+            )
 
-        labels = connected_components(
-            nodes.select("node_id"), accepted.select("src", "dst")
-        )
-        mention_clusters = build_clusters(mentions, nodes, labels, articles).cache()
-        canon = canonical_names(mention_clusters)
-        entities = build_entities(mention_clusters, canon)
-        entities = _with_search_embedding(entities, cfg)
-        _write(entities, output_dir, "entities", ["entity_type"])
-        entities = spark.read.parquet(_table_path(output_dir, "entities"))
+            labels = connected_components(
+                nodes.select("node_id"), accepted.select("src", "dst")
+            )
+            mention_clusters = build_clusters(
+                mentions, nodes, labels, articles
+            ).cache()
+            cached.append(mention_clusters)
+            canon = canonical_names(mention_clusters)
+            entities = build_entities(mention_clusters, canon)
+            entities = _with_search_embedding(entities, cfg)
+            _write(entities, output_dir, "entities", ["entity_type"])
+            entities = spark.read.parquet(_table_path(output_dir, "entities"))
 
-        # optional Iceberg-shaped entity store: publish this run's entities
-        # as an atomic snapshot commit (merge-on-read upsert by entity_id —
-        # a re-run of the same corpus supersedes, never duplicates)
-        if cfg.snapshot_store_path:
-            from hinbox_spark.tables import SnapshotTable
+            # optional Iceberg-shaped entity store: publish this run's
+            # entities as an atomic snapshot commit (merge-on-read upsert
+            # by entity_id — a re-run of the same corpus supersedes, never
+            # duplicates)
+            if cfg.snapshot_store_path:
+                from hinbox_spark.tables import SnapshotTable
 
-            SnapshotTable(
-                spark, cfg.snapshot_store_path.rstrip("/") + "/entities"
-            ).merge(entities)
+                SnapshotTable(
+                    spark, cfg.snapshot_store_path.rstrip("/") + "/entities"
+                ).merge(entities)
 
-        # edges and profiles both read only the cached mention_clusters and
-        # the written entities table — independent jobs, overlapped the
-        # same way as decisions
-        edges = build_edge_triples(mention_clusters, entities)
-        edges_future = pool.submit(_write, edges, output_dir, "edges", ["pred"])
+            # edges and profiles both read only the cached mention_clusters
+            # and the written entities table — independent jobs, overlapped
+            # the same way as decisions
+            edges = build_edge_triples(mention_clusters, entities)
+            background.append(
+                pool.submit(_write, edges, output_dir, "edges", ["pred"])
+            )
 
-        # ── stage 6: profiles + grounding ──
-        profiles = build_profiles(mention_clusters, entities)
-        profiles = ground_profiles(profiles, articles)
-        profiles = _with_profile_embedding(profiles, cfg)
-        _write(profiles, output_dir, "profiles")
-        # join the concurrent writes BEFORE unpersisting their inputs
-        edges_future.result()
-        decisions_future.result()
-        pool.shutdown()
-        mention_clusters.unpersist()
-        nodes.unpersist()
+            # ── stage 6: profiles + grounding ──
+            profiles = build_profiles(mention_clusters, entities)
+            profiles = ground_profiles(profiles, articles)
+            profiles = _with_profile_embedding(profiles, cfg)
+            _write(profiles, output_dir, "profiles")
+        finally:
+            # join the concurrent writes BEFORE unwinding — a failure in
+            # the foreground chain must not leave background writes racing
+            # the exception path, and the pool/cached inputs are released
+            # on every path. A background write error surfaces on the
+            # happy path; during an unwind the foreground error stays
+            # primary and the join is best-effort.
+            bg_error = None
+            for fut in background:
+                try:
+                    fut.result()
+                except Exception as exc:
+                    if bg_error is None:
+                        bg_error = exc
+            pool.shutdown(wait=True)
+            for df in cached:
+                df.unpersist()
+            if bg_error is not None and sys.exc_info()[0] is None:
+                raise bg_error
 
     entities = spark.read.parquet(_table_path(output_dir, "entities"))
     edges = spark.read.parquet(_table_path(output_dir, "edges"))

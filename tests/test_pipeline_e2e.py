@@ -224,6 +224,57 @@ def test_pipeline_with_extraction_cache(spark, tmp_path):
     )
 
 
+def test_overlap_exception_safety(spark, tmp_path, monkeypatch):
+    """A profiles-stage failure must not leave the overlapped background
+    writes racing the unwind: both concurrent writes (decisions, edges)
+    are joined to completion before the error propagates, the pool is shut
+    down (structurally guaranteed by the finally), and a subsequent resume
+    completes with outputs identical to a fresh run."""
+    import hinbox_spark.pipeline as pl
+    from hinbox_spark import fs as hfs
+
+    out = str(tmp_path / "boom")
+    pages, _ = pages_dataframe(spark, 40, 5)
+
+    def _boom(*a, **k):
+        raise RuntimeError("profiles stage failure")
+
+    monkeypatch.setattr(pl, "build_profiles", _boom)
+    with pytest.raises(RuntimeError, match="profiles stage failure"):
+        pl.run_pipeline(spark, pages, out, resume=False)
+    # futures were joined before unwinding: both background writes
+    # finished their parquet commit rather than being abandoned mid-write
+    assert hfs.exists(spark, out + "/decisions/_SUCCESS")
+    assert hfs.exists(spark, out + "/edges/_SUCCESS")
+
+    monkeypatch.undo()
+    t = pl.run_pipeline(spark, pages, out, resume=True)
+    ref = pl.run_pipeline(spark, pages, str(tmp_path / "ref"), resume=False)
+    key = lambda r: (r["subj"], r["pred"], r["obj"])
+    assert sorted(map(key, t["edges"].collect())) == sorted(
+        map(key, ref["edges"].collect())
+    )
+
+
+def test_background_write_failure_surfaces(spark, tmp_path, monkeypatch):
+    """An error inside a background (thread-pool) write must not be
+    swallowed: with no foreground error in flight, the joined future's
+    exception is re-raised from the overlap block."""
+    import hinbox_spark.pipeline as pl
+
+    orig = pl._write
+
+    def _w(df, base, name, partition_cols=None):
+        if name == "decisions":
+            raise RuntimeError("decisions write failure")
+        return orig(df, base, name, partition_cols)
+
+    monkeypatch.setattr(pl, "_write", _w)
+    pages, _ = pages_dataframe(spark, 40, 5)
+    with pytest.raises(RuntimeError, match="decisions write failure"):
+        pl.run_pipeline(spark, pages, str(tmp_path / "bg"), resume=False)
+
+
 def test_pre_extracted_text_fast_path(spark):
     """Rows with a populated text column bypass the full-parse UDF: the text
     passes through byte-identically and the title comes from the streaming
