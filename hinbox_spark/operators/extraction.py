@@ -231,6 +231,11 @@ def _committed_batch_dirs(spark, version_dir: str) -> list[str]:
     ]
 
 
+# mention identity inside the cache: duplicate keys across batches carry
+# identical rows (extraction is deterministic), so reads collapse on this
+_CACHE_IDENTITY = ["content_hash", "entity_type", "name", "type", "start_date"]
+
+
 def read_extraction_cache(spark, cache_path: str, version: int) -> DataFrame | None:
     """Read the committed cache rows for one extractor version, or None if
     the version has no committed batches. Concurrent writers can commit the
@@ -239,9 +244,36 @@ def read_extraction_cache(spark, cache_path: str, version: int) -> DataFrame | N
     dirs = _committed_batch_dirs(spark, _cache_version_dir(cache_path, version))
     if not dirs:
         return None
-    return spark.read.parquet(*dirs).dropDuplicates(
-        ["content_hash", "entity_type", "name", "type", "start_date"]
-    )
+    return spark.read.parquet(*dirs).dropDuplicates(_CACHE_IDENTITY)
+
+
+def compact_extraction_cache(
+    spark, cache_path: str, version: int = EXTRACTOR_VERSION
+) -> int:
+    """Fold every committed batch of one version into a single batch
+    (SnapshotTable.compact is the pattern): read cost is O(batch dirs) per
+    run, so a long-lived cache under nightly appends wants periodic
+    folding. Crash-safe ordering — the folded batch commits first (its own
+    dir + _SUCCESS), the superseded dirs are deleted after; a crash
+    between the two steps leaves duplicate rows across batches, which
+    read_extraction_cache already collapses on the mention identity.
+    Uncommitted (in-flight/orphan) dirs are left alone — a concurrent
+    writer may still be appending to one. Returns the number of batch
+    dirs folded (0 = nothing to do)."""
+    import uuid
+
+    from hinbox_spark import fs as hfs
+
+    version_dir = _cache_version_dir(cache_path, version)
+    dirs = _committed_batch_dirs(spark, version_dir)
+    if len(dirs) <= 1:
+        return 0
+    folded = spark.read.parquet(*dirs).dropDuplicates(_CACHE_IDENTITY)
+    new_batch = version_dir + "/batch-" + uuid.uuid4().hex
+    folded.write.mode("overwrite").parquet(new_batch)
+    for d in dirs:
+        hfs.delete(spark, d, recursive=True)
+    return len(dirs)
 
 
 def extract_mentions_cached(
@@ -287,6 +319,7 @@ def extract_mentions_cached(
     else:
         misses = distinct_content
 
+    n_misses: int | None = None
     if stats_out is not None:
         # A10 parity: surfaced hit/miss counters (reference logs cache
         # stats per run — src/utils/extraction_cache.py). Two count jobs,
@@ -297,21 +330,27 @@ def extract_mentions_cached(
         stats_out["misses"] = n_misses
         stats_out["hits"] = n_distinct - n_misses
 
-    new_rows = (
-        extract_mentions(misses, gazetteer)
-        .join(misses.select("url", "content_hash"), "url")
-        .select("content_hash", *mention_cols)
-        .withColumn("extractor_version", F.lit(version))
-    )
-    # crash-safe commit: the batch directory only becomes visible to
-    # readers once its _SUCCESS marker lands (last step of the parquet
-    # commit) — a killed run's half-written batch is ignored, not merged
-    import uuid
+    # a fully-cached rerun has nothing to commit: writing an (empty) batch
+    # dir every run would grow garbage dirs unboundedly and the read side
+    # lists/opens every batch dir — O(runs) cost. Reuse the stats count
+    # when available, else one cheap limit-1 probe on the anti-join.
+    has_misses = n_misses > 0 if n_misses is not None else not misses.isEmpty()
+    if has_misses:
+        new_rows = (
+            extract_mentions(misses, gazetteer)
+            .join(misses.select("url", "content_hash"), "url")
+            .select("content_hash", *mention_cols)
+            .withColumn("extractor_version", F.lit(version))
+        )
+        # crash-safe commit: the batch directory only becomes visible to
+        # readers once its _SUCCESS marker lands (last step of the parquet
+        # commit) — a killed run's half-written batch is ignored, not merged
+        import uuid
 
-    batch_path = (
-        _cache_version_dir(cache_path, version) + "/batch-" + uuid.uuid4().hex
-    )
-    new_rows.write.mode("overwrite").parquet(batch_path)
+        batch_path = (
+            _cache_version_dir(cache_path, version) + "/batch-" + uuid.uuid4().hex
+        )
+        new_rows.write.mode("overwrite").parquet(batch_path)
 
     cache_all = read_extraction_cache(spark, cache_path, version)
     if cache_all is None:  # corpus yielded zero mentions → nothing committed

@@ -94,6 +94,66 @@ def test_partial_append_is_invisible_and_reextracted(spark, tmp_path):
     assert got == expected
 
 
+def test_fully_cached_rerun_writes_no_batch(spark, tmp_path):
+    """A rerun with zero cache misses must not add a batch dir: the batch
+    count in the version dir is unchanged (previously every run appended a
+    garbage empty dir, and reads list/open every dir — O(runs) cost)."""
+    cache = str(tmp_path / "cache5")
+    gaz = default_gazetteer()
+    pages, _ = pages_dataframe(spark, 30, 42)
+    articles = extract_articles(pages).cache()
+
+    extract_mentions_cached(articles, gaz, cache, version=1).count()
+    vdir = os.path.join(cache, "v1")
+    n_before = len([d for d in os.listdir(vdir) if d.startswith("batch-")])
+    assert n_before >= 1
+
+    # rerun over the same corpus: all hits — with and without stats
+    stats = {}
+    extract_mentions_cached(articles, gaz, cache, version=1, stats_out=stats).count()
+    assert stats["misses"] == 0
+    extract_mentions_cached(articles, gaz, cache, version=1).count()
+    n_after = len([d for d in os.listdir(vdir) if d.startswith("batch-")])
+    assert n_after == n_before
+
+
+def test_compaction_folds_batches_preserving_rows(spark, tmp_path):
+    """compact_extraction_cache folds the committed batches into one dir;
+    the deduped row set read back is identical, an uncommitted orphan dir
+    is left alone (a concurrent writer may own it), and a second compact
+    is a no-op."""
+    from hinbox_spark.operators.extraction import compact_extraction_cache
+
+    cache = str(tmp_path / "cache6")
+    gaz = default_gazetteer()
+    pages_a, _ = pages_dataframe(spark, 20, 42)
+    pages_b, _ = pages_dataframe(spark, 20, 7)
+
+    extract_mentions_cached(extract_articles(pages_a), gaz, cache, version=1).count()
+    extract_mentions_cached(extract_articles(pages_b), gaz, cache, version=1).count()
+    vdir = os.path.join(cache, "v1")
+    committed = [d for d in os.listdir(vdir) if d.startswith("batch-")]
+    assert len(committed) == 2
+
+    # plant an uncommitted orphan (crashed writer) — must survive compaction
+    orphan = os.path.join(vdir, "batch-orphan")
+    shutil.copytree(os.path.join(vdir, committed[0]), orphan)
+    os.remove(os.path.join(orphan, "_SUCCESS"))
+
+    key = lambda r: tuple(r[c] for c in
+                          ("content_hash", "entity_type", "name", "type", "start_date"))
+    before = sorted(map(key, read_extraction_cache(spark, cache, 1).collect()))
+
+    assert compact_extraction_cache(spark, cache, version=1) == 2
+    after_dirs = [d for d in os.listdir(vdir) if d.startswith("batch-")]
+    assert len(after_dirs) == 2  # one folded batch + the untouched orphan
+    assert "batch-orphan" in after_dirs
+    after = sorted(map(key, read_extraction_cache(spark, cache, 1).collect()))
+    assert after == before
+
+    assert compact_extraction_cache(spark, cache, version=1) == 0
+
+
 def test_old_flat_layout_cannot_poison_new_version(spark, tmp_path):
     """Schema-change safety (ADVICE r2 medium): rows written by an older
     extractor version live in their own subdirectory — a v3 read never
