@@ -161,12 +161,20 @@ class _TitleScanner(HTMLParser):
     otherwise the first <h1>'s text wins — even when that text is empty —
     falling back to the first <header> only when NO h1 exists. No DOM is
     built; the scan early-exits once the first h1 has closed AND a
-    container has been seen (nothing later can change the answer)."""
+    container has been seen (nothing later can change the answer).
+
+    The scanner keeps the same open-tag stack the tree builder does, so
+    mis-nested HTML closes scopes identically: an end tag pops to the
+    NEAREST open element of that name, implicitly closing every element
+    above it — `<div><h1>T</div>rest` ends the h1 at `</div>` in both
+    paths. Duplicate class attributes also mirror the builder: the last
+    non-empty `class` attr wins."""
 
     def __init__(self):
         super().__init__(convert_charrefs=True)
-        self.h1_depth = 0
-        self.header_depth = 0
+        self._stack: list[str] = []  # open non-void tags, builder order
+        self._h1_at: int | None = None      # stack index of the open first-h1
+        self._header_at: int | None = None  # stack index of the open first-header
         self.h1_parts: list[str] = []
         self.header_parts: list[str] = []
         self.h1_seen = False  # an h1 existed, even if its text is empty
@@ -178,37 +186,56 @@ class _TitleScanner(HTMLParser):
         if tag in ("article", "main"):
             self.container_seen = True
         elif tag == "div":
+            # builder semantics: the LAST non-empty class attribute wins
+            cls = None
             for k, v in attrs:
-                if k == "class" and v and (
-                    "article-body" in v.split() or "container" in v.split()
-                ):
-                    self.container_seen = True
+                if k == "class" and v:
+                    cls = v
+            if cls is not None and (
+                "article-body" in cls.split() or "container" in cls.split()
+            ):
+                self.container_seen = True
 
     def handle_starttag(self, tag, attrs):
         if not self.container_seen:
             self._note_container(tag, attrs)
-        if tag == "h1" and not self.h1_done:
-            self.h1_seen = True
-            self.h1_depth += 1
-        elif tag == "header" and not self.header_seen and self.h1_depth == 0:
-            self.header_depth += 1
+        if tag not in _VOID:
+            self._stack.append(tag)
+            if tag == "h1" and not self.h1_done and self._h1_at is None:
+                self.h1_seen = True
+                self._h1_at = len(self._stack) - 1
+            elif (
+                tag == "header"
+                and not self.header_seen
+                and self._h1_at is None
+                and self._header_at is None
+            ):
+                self._header_at = len(self._stack) - 1
+    def _close_scopes(self, cut: int) -> None:
+        """Scopes opened at stack index ≥ `cut` are now closed."""
+        if self._header_at is not None and self._header_at >= cut:
+            self._header_at = None
+            self.header_seen = True
+        if self._h1_at is not None and self._h1_at >= cut:
+            self._h1_at = None
+            self.h1_done = True
+            if self.container_seen:
+                raise _StopScan  # first h1 closed + container seen: done
 
     def handle_endtag(self, tag):
-        if tag == "h1" and self.h1_depth > 0:
-            self.h1_depth -= 1
-            if self.h1_depth == 0:
-                self.h1_done = True
-                if self.container_seen:
-                    raise _StopScan  # first h1 + container seen: done
-        elif tag == "header" and self.header_depth > 0:
-            self.header_depth -= 1
-            if self.header_depth == 0:
-                self.header_seen = True
+        # mirror the tolerant builder: pop to the nearest open `tag`,
+        # implicitly closing everything stacked above it; an end tag with
+        # no matching open element is ignored
+        for i in range(len(self._stack) - 1, -1, -1):
+            if self._stack[i] == tag:
+                del self._stack[i:]
+                self._close_scopes(i)
+                return
 
     def handle_data(self, data):
-        if self.h1_depth > 0:
+        if self._h1_at is not None:
             self.h1_parts.append(data)
-        elif self.header_depth > 0:
+        elif self._header_at is not None:
             self.header_parts.append(data)
 
     def title(self) -> str:

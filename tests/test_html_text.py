@@ -167,3 +167,60 @@ def test_title_fast_path_matches_full_parser_on_edge_cases():
     for html in cases:
         full_title, _ = extract_title_and_text(html)
         assert extract_title(html) == full_title, html
+
+
+def test_title_fast_path_matches_full_parser_on_misnested_html():
+    """ADVICE r3 (medium): the tolerant full parser implicitly closes an
+    open <h1>/<header> when a parent's end tag arrives; the scanner must
+    mirror that (stack-based pop-to-nearest), and duplicate class
+    attributes must resolve like the tree builder (last non-empty wins).
+    Every case here diverged — or guards a neighbor that did — before the
+    scanner kept the builder's open-tag stack."""
+    from hinbox_spark.functions.html_text import extract_title
+
+    cases = [
+        # </div> implicitly closes the open h1 → title 'T', not 'Trest...'
+        "<article><div><h1>T</div>rest of page</article>",
+        # same for header
+        "<article><div><header>H</div>tail</article>",
+        # </p> implicitly closes the h1
+        "<main><p><h1>T</p>tail</main>",
+        # end tag with no matching open element is ignored by both paths
+        "<article><header>H</div>rest</article>",
+        # duplicate class attrs: LAST non-empty wins (is a container here...)
+        '<article2><div class="x" class="container">c<h1>T</h1></div>',
+        # ...and is NOT a container here (page unrecognized → '')
+        '<div class="container" class="x">c<h1>T</h1></div>',
+        # an empty later class attr does not clear an earlier container one
+        '<div class="container" class="">c<h1>T</h1></div>',
+        # nested h1: inner end tag must not close the outer scope
+        "<h1>A<h1>B</h1>C</h1><article>x</article>",
+        # nested header, same rule
+        "<header>A<header>B</header>C</header><main>m</main>",
+        # self-closing h1 yields an (empty) h1 node in both paths
+        "<main><h1/>after</main>",
+    ]
+    for html in cases:
+        full_title, _ = extract_title_and_text(html)
+        assert extract_title(html) == full_title, html
+
+
+def test_title_fast_path_fuzz_matches_full_parser():
+    """Randomized tag soup (fixed seed): the streaming scanner and the
+    full parser must produce the same title on every mis-nested input."""
+    import random
+
+    from hinbox_spark.functions.html_text import extract_title
+
+    rng = random.Random(1234)
+    tokens = [
+        "<article>", "</article>", "<div>", "</div>",
+        '<div class="container">', '<div class="x" class="article-body">',
+        '<div class="container" class="y">', "<h1>", "</h1>", "<header>",
+        "</header>", "<main>", "</main>", "<p>", "</p>", "<br>", "<span>",
+        "</span>", "text ", "T1 ", "word ",
+    ]
+    for _ in range(800):
+        html = "".join(rng.choice(tokens) for _ in range(rng.randint(3, 25)))
+        full_title, _ = extract_title_and_text(html)
+        assert extract_title(html) == full_title, html
