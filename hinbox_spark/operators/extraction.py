@@ -181,13 +181,32 @@ def skip_reason_summary(
     )
 
 
-def extract_mentions(articles: DataFrame, gazetteer: Gazetteer) -> DataFrame:
-    """articles → mentions (one row per validated typed mention).
+# MENTION_SCHEMA + the article-level QC flag channel: mention rows carry
+# qc_flag = null; flag rows carry (url, entity_type, qc_flag) with empty
+# payload columns. One mapInPandas pass produces both.
+MENTION_QC_SCHEMA = StructType(
+    list(MENTION_SCHEMA.fields) + [StructField("qc_flag", StringType(), True)]
+)
+
+_FLAG_ROW_DEFAULTS = {
+    "name": "", "type": "", "description": "", "start_date": "",
+    "end_date": "", "is_fuzzy_date": False, "aliases": [], "match_key": "",
+}
+
+
+def extract_mentions_with_flags(
+    articles: DataFrame, gazetteer: Gazetteer
+) -> DataFrame:
+    """articles → validated typed mentions PLUS per-(url, entity_type)
+    extraction-QC flag rows (X3: the reference's ExtractionQCReport flags
+    high_drop_rate / many_duplicates / many_low_quality_names,
+    quality_controls.py:83-91,289-306 — kept as metrics, not data).
 
     mapInPandas (not explode-of-UDF-array) so the cardinality change happens
     inside the Arrow batch without materializing nested arrays. Within-article
     QC (X4 exact dedup + X5 variant collapse) runs in the same pass — it is
-    intra-document work, so it costs no shuffle.
+    intra-document work, so it costs no shuffle — and the flag rows ride the
+    same output batch (a handful per million articles; no extra pass).
     """
     gaz_lookup = gazetteer.lookup  # plain dict → serialized into the closure
 
@@ -198,19 +217,38 @@ def extract_mentions(articles: DataFrame, gazetteer: Gazetteer) -> DataFrame:
             rows: list[dict] = []
             for url, text in zip(pdf["url"], pdf["text"]):
                 raw = extract_mentions_from_text(text or "", gaz)
-                rows.extend(_qc_article(url, text or "", raw))
+                flags: list[tuple[str, str]] = []
+                for m in _qc_article(url, text or "", raw, flags_out=flags):
+                    m["qc_flag"] = None
+                    rows.append(m)
+                for etype, flag in flags:
+                    rows.append(
+                        {**_FLAG_ROW_DEFAULTS, "url": url,
+                         "entity_type": etype, "qc_flag": flag}
+                    )
             yield pd.DataFrame(
                 rows,
-                columns=[f.name for f in MENTION_SCHEMA.fields],
+                columns=[f.name for f in MENTION_QC_SCHEMA.fields],
             )
 
-    return articles.mapInPandas(_scan, MENTION_SCHEMA)
+    return articles.mapInPandas(_scan, MENTION_QC_SCHEMA)
+
+
+def extract_mentions(articles: DataFrame, gazetteer: Gazetteer) -> DataFrame:
+    """articles → mentions only (the QC flag rows filtered out) — the
+    stable contract for consumers that don't surface metrics."""
+    return (
+        extract_mentions_with_flags(articles, gazetteer)
+        .filter(F.col("qc_flag").isNull())
+        .drop("qc_flag")
+    )
 
 
 # Bump to invalidate the extraction cache (S8 parity). v3: MENTION_SCHEMA
-# gained match_key — each version lives in its own subdirectory, so a schema
-# change can never mix old and new parquet files in one read.
-EXTRACTOR_VERSION = 3
+# gained match_key; v4: cache rows gained the qc_flag channel — each version
+# lives in its own subdirectory, so a schema change can never mix old and
+# new parquet files in one read.
+EXTRACTOR_VERSION = 4
 
 
 def _cache_version_dir(cache_path: str, version: int) -> str:
@@ -232,8 +270,12 @@ def _committed_batch_dirs(spark, version_dir: str) -> list[str]:
 
 
 # mention identity inside the cache: duplicate keys across batches carry
-# identical rows (extraction is deterministic), so reads collapse on this
-_CACHE_IDENTITY = ["content_hash", "entity_type", "name", "type", "start_date"]
+# identical rows (extraction is deterministic), so reads collapse on this.
+# qc_flag is part of the identity: flag rows of one article share the
+# payload-empty shape and differ only in the flag itself.
+_CACHE_IDENTITY = [
+    "content_hash", "entity_type", "name", "type", "start_date", "qc_flag"
+]
 
 
 def read_extraction_cache(spark, cache_path: str, version: int) -> DataFrame | None:
@@ -244,7 +286,9 @@ def read_extraction_cache(spark, cache_path: str, version: int) -> DataFrame | N
     dirs = _committed_batch_dirs(spark, _cache_version_dir(cache_path, version))
     if not dirs:
         return None
-    return spark.read.parquet(*dirs).dropDuplicates(_CACHE_IDENTITY)
+    df = spark.read.parquet(*dirs)
+    # pre-v4 versions lack qc_flag; dedup on the identity cols present
+    return df.dropDuplicates([c for c in _CACHE_IDENTITY if c in df.columns])
 
 
 def compact_extraction_cache(
@@ -268,7 +312,8 @@ def compact_extraction_cache(
     dirs = _committed_batch_dirs(spark, version_dir)
     if len(dirs) <= 1:
         return 0
-    folded = spark.read.parquet(*dirs).dropDuplicates(_CACHE_IDENTITY)
+    raw = spark.read.parquet(*dirs)
+    folded = raw.dropDuplicates([c for c in _CACHE_IDENTITY if c in raw.columns])
     new_batch = version_dir + "/batch-" + uuid.uuid4().hex
     folded.write.mode("overwrite").parquet(new_batch)
     for d in dirs:
@@ -292,7 +337,9 @@ def extract_mentions_cached(
     url-independent and re-attached by hash, so N duplicate pages cost one
     extraction. Flow: left-anti join articles→cache = misses; extract
     misses; commit them as a new cache batch; hits come straight from the
-    cache join.
+    cache join. Returns the MENTION_QC_SCHEMA shape (mention rows with
+    qc_flag = null plus the article-level QC flag rows) — filter
+    `qc_flag IS NULL` for mentions only.
 
     Layout = `{cache_path}/v{version}/batch-{id}/` (reference version-dir
     scheme, src/utils/extraction_cache.py): each version has its own
@@ -303,7 +350,7 @@ def extract_mentions_cached(
     per hash, never partial.
     """
     spark = articles.sparkSession
-    mention_cols = [f.name for f in MENTION_SCHEMA.fields if f.name != "url"]
+    mention_cols = [f.name for f in MENTION_QC_SCHEMA.fields if f.name != "url"]
 
     # Hadoop FS API underneath: the cache may live on hdfs:/s3a:/file:
     cache = read_extraction_cache(spark, cache_path, version)
@@ -337,7 +384,7 @@ def extract_mentions_cached(
     has_misses = n_misses > 0 if n_misses is not None else not misses.isEmpty()
     if has_misses:
         new_rows = (
-            extract_mentions(misses, gazetteer)
+            extract_mentions_with_flags(misses, gazetteer)
             .join(misses.select("url", "content_hash"), "url")
             .select("content_hash", *mention_cols)
             .withColumn("extractor_version", F.lit(version))
@@ -354,7 +401,7 @@ def extract_mentions_cached(
 
     cache_all = read_extraction_cache(spark, cache_path, version)
     if cache_all is None:  # corpus yielded zero mentions → nothing committed
-        return spark.createDataFrame([], MENTION_SCHEMA)
+        return spark.createDataFrame([], MENTION_QC_SCHEMA)
     # re-attach urls: every article (incl. duplicates) gets the mentions of
     # its content hash
     return articles.select("url", "content_hash").join(
@@ -362,11 +409,29 @@ def extract_mentions_cached(
     ).select("url", *mention_cols)
 
 
-def _qc_article(url: str, text: str, raw: list[dict]) -> list[dict]:
+def _qc_article(
+    url: str, text: str, raw: list[dict], flags_out: list | None = None
+) -> list[dict]:
     """Within-article QC: required fields, NFC normalize, exact-key dedup,
-    variant collapse, mention-in-text validation (X4/X5/F5)."""
+    variant collapse, mention-in-text validation (X4/X5/F5).
+
+    When `flags_out` is given, the reference's per-batch ExtractionQCReport
+    flags (quality_controls.py:83-91,289-306) are appended to it as
+    (entity_type, flag) tuples:
+      high_drop_rate          — required-field drops > 50% of the type's
+                                raw extractions (and > 2 extracted)
+      many_duplicates         — exact-key dedups + collapsed variants >
+                                50% of the type's raw extractions (> 2)
+      many_low_quality_names  — ≥ 2 surviving entities of the type have a
+                                generic/descriptive name
+    """
+    from collections import Counter
+
     out: list[dict] = []
     seen: set[tuple] = set()
+    input_n: Counter = Counter()    # raw extractions per type
+    dropped_req: Counter = Counter()
+    deduped: Counter = Counter()    # exact-key dups + collapsed variants
     # F5 compares the whitespace-normalized name, so normalize the text the
     # same way before the containment check
     flat_text = " ".join(text.split()).lower()
@@ -380,11 +445,14 @@ def _qc_article(url: str, text: str, raw: list[dict]) -> list[dict]:
 
     for m in raw:
         etype = m["entity_type"]
+        input_n[etype] += 1
         # required-field drop (X4a)
         if any(not m.get(f) for f in required.get(etype, ("name",))):
+            dropped_req[etype] += 1
             continue
         name = normalize_display(m["name"])
         if not name:
+            dropped_req[etype] += 1
             continue
         match_key = normalize_for_match(name)
         # dedup key mirrors the reference identity model (mergers.py:114-139)
@@ -395,6 +463,7 @@ def _qc_article(url: str, text: str, raw: list[dict]) -> list[dict]:
         else:
             key = (etype, match_key, m.get("type") or "")
         if key in seen:
+            deduped[etype] += 1
             continue
         seen.add(key)
         # F5: hallucination guard — the surface must appear in the text
@@ -435,6 +504,7 @@ def _qc_article(url: str, text: str, raw: list[dict]) -> list[dict]:
                     keeper["name"], other["name"], keeper["entity_type"]
                 ):
                     absorbed.add(j)
+                    deduped[keeper["entity_type"]] += 1
                     winner, loser = keeper, other
                     if score_canonical_name(other["name"]) > score_canonical_name(
                         keeper["name"]
@@ -445,4 +515,20 @@ def _qc_article(url: str, text: str, raw: list[dict]) -> list[dict]:
                     )
                     keeper = winner
         collapsed.append(keeper)
+
+    if flags_out is not None:
+        from hinbox_spark.functions.names import is_low_quality_name
+
+        lowq: Counter = Counter()
+        for m in collapsed:
+            if is_low_quality_name(m["name"], m["entity_type"]):
+                lowq[m["entity_type"]] += 1
+        for etype in sorted(input_n):
+            n = input_n[etype]
+            if dropped_req[etype] > n * 0.5 and n > 2:
+                flags_out.append((etype, "high_drop_rate"))
+            if deduped[etype] > n * 0.5 and n > 2:
+                flags_out.append((etype, "many_duplicates"))
+            if lowq[etype] >= 2:
+                flags_out.append((etype, "many_low_quality_names"))
     return collapsed

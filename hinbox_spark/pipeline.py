@@ -31,7 +31,7 @@ from hinbox_spark.operators.canonicalize import (
 )
 from hinbox_spark.operators.clustering import connected_components
 from hinbox_spark.operators.extraction import (
-    extract_articles, extract_mentions, extract_mentions_cached,
+    extract_articles, extract_mentions_cached, extract_mentions_with_flags,
     relevance_predicate, skip_reason_summary,
 )
 from hinbox_spark.operators.linking import (
@@ -42,8 +42,8 @@ from hinbox_spark.operators.linking import (
 from hinbox_spark.operators.profiles import build_profiles, ground_profiles
 
 STAGES = (
-    "articles", "mentions", "entities", "edges", "profiles", "review",
-    "decisions", "metrics",
+    "articles", "mentions", "qc_flags", "entities", "edges", "profiles",
+    "review", "decisions", "metrics",
 )
 
 
@@ -157,8 +157,13 @@ def run_pipeline(
 
     # ── stage 2: mentions (optionally through the content-hash cache, S8).
     # F4: only relevance-passing articles reach the NER stage — irrelevant
-    # pages skip it and are counted in the skip-reason summary. ──
-    if not (resume and _done(spark, output_dir, "mentions")):
+    # pages skip it and are counted in the skip-reason summary. The same
+    # extraction pass emits the article-level QC flag rows (X3 parity:
+    # high_drop_rate / many_duplicates / many_low_quality_names), split off
+    # into the tiny qc_flags table — the gate covers both tables so a crash
+    # between the two writes can't wedge a resume. ──
+    if not (resume and _done(spark, output_dir, "mentions")
+            and _done(spark, output_dir, "qc_flags")):
         # resume compatibility: an articles checkpoint written before the
         # is_relevant column existed lacks it — stamp it on the fly (same
         # guard skip_reason_summary uses) instead of crashing the filter
@@ -168,12 +173,25 @@ def run_pipeline(
             )
         relevant = articles.filter(F.col("is_relevant"))
         if cfg.extraction_cache_path:
-            mentions = extract_mentions_cached(
+            extracted = extract_mentions_cached(
                 relevant, gaz, cfg.extraction_cache_path, stats_out=cache_stats
             )
         else:
-            mentions = extract_mentions(relevant, gaz)
-        _write(mentions, output_dir, "mentions", ["entity_type"])
+            extracted = extract_mentions_with_flags(relevant, gaz)
+        # one extraction pass feeds both writes (lazy localCheckpoint:
+        # the first write materializes, the second reuses the blocks)
+        extracted = extracted.localCheckpoint(eager=False)
+        _write(
+            extracted.filter(F.col("qc_flag").isNotNull()).select(
+                "url", "entity_type", "qc_flag"
+            ),
+            output_dir,
+            "qc_flags",
+        )
+        _write(
+            extracted.filter(F.col("qc_flag").isNull()).drop("qc_flag"),
+            output_dir, "mentions", ["entity_type"],
+        )
     mentions = spark.read.parquet(_table_path(output_dir, "mentions"))
 
     # ── stages 3-5: linking → clustering → canonicalization ──
@@ -367,6 +385,21 @@ def run_pipeline(
             )
         )
 
+        # X3: extraction-QC flag counters (high_drop_rate / many_duplicates
+        # / many_low_quality_names per flagged (article, type)) next to the
+        # skip reasons; guarded for checkpoints predating the qc_flags table
+        if _done(spark, output_dir, "qc_flags"):
+            qc = spark.read.parquet(_table_path(output_dir, "qc_flags"))
+            m = m.unionByName(
+                qc.groupBy("qc_flag")
+                .agg(F.count("*").alias("rows"))
+                .select(
+                    F.concat(F.lit("qc_"), "qc_flag").alias("stage"),
+                    F.lit(-1).alias("partition_id"),
+                    "rows",
+                )
+            )
+
         # B5 truncation: dropped name-LSH buckets are counted, not silent —
         # lazily, as part of this metrics job. When the linking block ran
         # this session the counters derive from the SAME checkpointed band
@@ -403,6 +436,7 @@ def run_pipeline(
     return {
         "articles": articles,
         "mentions": spark.read.parquet(_table_path(output_dir, "mentions")),
+        "qc_flags": spark.read.parquet(_table_path(output_dir, "qc_flags")),
         "entities": entities,
         "edges": edges,
         "profiles": profiles,

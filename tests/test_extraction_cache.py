@@ -55,9 +55,12 @@ def test_cache_hits_equal_direct_extraction(spark, tmp_path):
         (r["url"], r["entity_type"], r["name"])
         for r in extract_mentions(articles, gaz).collect()
     }
+    # the cached path returns the MENTION_QC_SCHEMA shape — mentions only
+    # is the qc_flag IS NULL slice
     cached = {
         (r["url"], r["entity_type"], r["name"])
-        for r in extract_mentions_cached(articles, gaz, cache).collect()
+        for r in extract_mentions_cached(articles, gaz, cache)
+        .filter("qc_flag IS NULL").collect()
     }
     assert direct == cached
 

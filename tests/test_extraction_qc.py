@@ -74,6 +74,92 @@ def test_people_never_collapse_in_article():
     assert len(out) == 2
 
 
+def test_qc_flag_high_drop_rate():
+    """>50% required-field drops of a type (and >2 extracted) trips
+    high_drop_rate for that type (reference quality_controls.py:289-290)."""
+    flags = []
+    out = _qc_article("u", "the Hearing happened", [
+        _m("events", "Hearing", "hearing", "d", ""),   # missing start_date
+        _m("events", "Hearing2", "hearing", "d", ""),
+        _m("events", "Hearing3", "hearing", "d", ""),
+        _m("events", "Hearing", "hearing", "d", "2023-01-01"),
+    ], flags_out=flags)
+    assert ("events", "high_drop_rate") in flags
+    assert len(out) == 1
+
+
+def test_qc_flag_many_duplicates():
+    """>50% exact-key dedups + collapsed variants trips many_duplicates
+    (reference quality_controls.py:291-292)."""
+    flags = []
+    out = _qc_article("u", "the FBI met the FBI and the FBI", [
+        _m("organizations", "FBI", "government"),
+        _m("organizations", "FBI", "government"),
+        _m("organizations", "FBI", "government"),
+        _m("organizations", "FBI", "government"),
+    ], flags_out=flags)
+    assert ("organizations", "many_duplicates") in flags
+    assert len(out) == 1
+
+
+def test_qc_flag_many_low_quality_names():
+    """≥2 surviving entities of a type with generic/descriptive names trips
+    many_low_quality_names (reference quality_controls.py:295-306)."""
+    flags = []
+    text = "Senior Officials met Security Forces at the Military Base"
+    out = _qc_article("u", text, [
+        _m("organizations", "Senior Officials", "government"),
+        _m("organizations", "Security Forces", "military"),
+    ], flags_out=flags)
+    assert ("organizations", "many_low_quality_names") in flags
+    assert len(out) == 2
+
+
+def test_qc_flags_not_tripped_on_clean_article():
+    flags = []
+    _qc_article("u", "the FBI met the CIA", [
+        _m("organizations", "FBI", "government"),
+        _m("organizations", "CIA", "government"),
+    ], flags_out=flags)
+    assert flags == []
+
+
+def test_qc_flags_flow_into_metrics(spark, tmp_path):
+    """X3 end-to-end: a crafted duplicate-heavy article produces qc_flag
+    rows from the extraction pass, the qc_flags table lands next to
+    mentions, and the metrics table carries the qc_* counters beside the
+    skip reasons."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    from hinbox_spark.pipeline import run_pipeline
+
+    ts = datetime.datetime(2024, 1, 1)
+    # Guantanamo keyword → relevant; 'CIA' in four sentences → 4 raw
+    # mentions, 3 exact-key dedups = >50% → many_duplicates
+    body = (
+        "The CIA reviewed Guantanamo files. The CIA met again. "
+        "The CIA replied. The CIA closed the case."
+    )
+    html = f"<html><body><article><p>{body}</p></article></body></html>".encode()
+    pages = spark.createDataFrame(
+        [("u1", ts, html, "", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    t = run_pipeline(spark, pages, str(tmp_path / "qc_out"), resume=False)
+
+    qc = {(r["url"], r["entity_type"], r["qc_flag"])
+          for r in t["qc_flags"].collect()}
+    assert ("u1", "organizations", "many_duplicates") in qc
+    # mentions table carries no flag rows and no qc_flag column
+    assert "qc_flag" not in t["mentions"].columns
+    assert t["mentions"].filter(F.col("name") == "").count() == 0
+    # metrics: qc_* counter rows at run level
+    metrics = {r["stage"]: r["rows"] for r in t["metrics"].collect()}
+    assert metrics.get("qc_many_duplicates", 0) >= 1
+
+
 def test_relevance_predicate_and_skip_summary(spark):
     """F4/A2: explicit relevance predicate + per-reason skip counters."""
     import datetime
