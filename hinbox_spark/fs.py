@@ -92,6 +92,42 @@ def rename(spark: SparkSession, src: str, dst: str) -> bool:
     return bool(fs.rename(s, d))
 
 
+def publish_without_overwrite(spark: SparkSession, src: str, dst: str) -> bool:
+    """Publish a fully-written temp file at its final name, failing
+    (returning False) when dst already exists — the commit primitive for
+    optimistic snapshot protocols.
+
+    On file: the publish is a POSIX hard link (os.link), whose
+    create-exclusive semantics are atomic in the kernel — two racing
+    committers get exactly one winner, no TOCTOU window (a plain Hadoop
+    local rename can clobber, and an exists() pre-check races). On HDFS,
+    rename-without-overwrite is natively atomic. On stores without atomic
+    no-overwrite rename (e.g. bare S3A) the exists() pre-check is
+    best-effort only — put a catalog/lock in front for multi-writer use.
+    The temp file is removed on success."""
+    fs, s = _fs_and_path(spark, src)
+    _, d = _fs_and_path(spark, dst)
+    d = fs.makeQualified(d)
+    if str(d.toUri().getScheme()) == "file":
+        import os
+
+        try:
+            os.link(s.toUri().getPath(), d.toUri().getPath())
+        except FileExistsError:
+            return False
+        fs.delete(s, False)  # also drops the checksum sidecar
+        return True
+    if fs.exists(d):
+        return False
+    return bool(fs.rename(s, d))
+
+
+def mtime(spark: SparkSession, path: str) -> int:
+    """Modification time of `path` in epoch millis (Hadoop FS)."""
+    fs, p = _fs_and_path(spark, path)
+    return int(fs.getFileStatus(p).getModificationTime())
+
+
 def delete(spark: SparkSession, path: str, recursive: bool = False) -> bool:
     fs, p = _fs_and_path(spark, path)
     if not fs.exists(p):

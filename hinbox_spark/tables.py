@@ -18,11 +18,13 @@ reduced to its load-bearing core over plain parquet + the Hadoop FS API:
   * Readers resolve the LATEST snapshot (or any older id — time travel) and
     read exactly its batch list — concurrent writers never change what an
     in-flight reader sees (snapshot isolation).
-  * Commits are optimistic: the manifest is written to a temp name and
-    renamed to snapshot-<next_id>. HDFS/posix rename-without-overwrite is
-    atomic, so two racing committers get a winner and a loser; the loser
-    re-reads the new head and retries on top (Iceberg's optimistic
-    concurrency, minus the catalog server).
+  * Commits are optimistic: the manifest is fully written to a temp name,
+    then published create-exclusive at snapshot-<next_id> (a POSIX hard
+    link on file: — atomic in the kernel, no TOCTOU; native no-overwrite
+    rename on HDFS), so two racing committers get exactly one winner; the
+    loser re-reads the new head and retries on top (Iceberg's optimistic
+    concurrency, minus the catalog server). Object stores without atomic
+    no-overwrite publish (bare S3A) need a catalog/lock for multi-writer.
   * `merge` is merge-on-read: the upsert batch is appended with a higher
     sequence number and readers resolve per-key last-writer-wins with one
     max_by aggregate — no copy-on-write of 100 TB of data files to update
@@ -111,9 +113,13 @@ class SnapshotTable:
             tmp = self.snap_dir + f"/_tmp-{uuid.uuid4().hex}.json"
             hfs.mkdirs(self.spark, self.snap_dir)
             hfs.write_text(self.spark, tmp, json.dumps(manifest))
-            # atomic publish: rename-without-overwrite — exactly one of two
-            # racing committers wins this snapshot id
-            if hfs.rename(self.spark, tmp, self.snap_dir + "/" + _SNAP_FMT % snap_id):
+            # atomic publish: create-exclusive at the final name (hard
+            # link on file:, no-overwrite rename on HDFS) — exactly one
+            # of two racing committers wins this snapshot id, and the
+            # manifest is fully written before it becomes visible
+            if hfs.publish_without_overwrite(
+                self.spark, tmp, self.snap_dir + "/" + _SNAP_FMT % snap_id
+            ):
                 return snap_id
             hfs.delete(self.spark, tmp)
         raise CommitConflict(f"lost {retries} optimistic-commit races at {self.path}")
@@ -152,6 +158,74 @@ class SnapshotTable:
         return self._commit(
             lambda entries, seq: [{"batch": batch, "seq": seq}], "compact"
         )
+
+    # ── maintenance ──
+
+    def expire_snapshots(
+        self, keep_last: int = 1, orphan_grace_ms: int | None = None
+    ) -> dict:
+        """GC the snapshot history (Iceberg's expire_snapshots): drop every
+        manifest older than the newest `keep_last`, then delete the batch
+        dirs no kept manifest references — without this, compact()/merge()
+        strand every superseded batch forever (unbounded storage under
+        continuous upsert).
+
+        Crash-safe ordering: old manifests are deleted BEFORE the batches
+        they referenced, so an expiry interrupted mid-delete leaves the
+        table fully readable — the kept snapshots and their batches are
+        never touched, and a batch is only removed once every manifest
+        naming it is gone (a half-deleted batch can at worst break time
+        travel to an already-expired snapshot). Re-running expiry finishes
+        the job.
+
+        `orphan_grace_ms`: when set, also delete batch dirs referenced by
+        NO manifest at all (crashed writers) whose modification time is at
+        least that many ms older than the newest manifest's — the grace
+        window keeps an in-flight writer's just-written batch safe (it
+        commits its manifest after writing data, same reasoning as
+        Iceberg's orphan-file cleanup horizon).
+
+        Returns {"snapshots_removed", "batches_removed", "orphans_removed"}.
+        """
+        ids = self._snapshot_ids()
+        keep_last = max(1, keep_last)
+        drop, keep = ids[:-keep_last], ids[-keep_last:]
+        kept_batches: set[str] = set()
+        for sid in keep:
+            kept_batches |= {e["batch"] for e in self._read_manifest(sid)["entries"]}
+        dropped_batches: set[str] = set()
+        for sid in drop:
+            dropped_batches |= {
+                e["batch"] for e in self._read_manifest(sid)["entries"]
+            }
+        # 1. manifests first (oldest first): the moment a manifest is gone
+        #    its exclusive batches are unreachable garbage, never the
+        #    other way around
+        for sid in drop:
+            hfs.delete(self.spark, self.snap_dir + "/" + _SNAP_FMT % sid)
+        # 2. then the now-unreferenced batches
+        garbage = sorted(dropped_batches - kept_batches)
+        for b in garbage:
+            hfs.delete(self.spark, self.data_dir + "/" + b, recursive=True)
+
+        orphans_removed = 0
+        if orphan_grace_ms is not None and keep:
+            head_mtime = hfs.mtime(
+                self.spark, self.snap_dir + "/" + _SNAP_FMT % keep[-1]
+            )
+            referenced = kept_batches | dropped_batches
+            for d in hfs.list_dirs(self.spark, self.data_dir):
+                name = d.rsplit("/", 1)[-1]
+                if name in referenced:
+                    continue
+                if hfs.mtime(self.spark, d) <= head_mtime - orphan_grace_ms:
+                    hfs.delete(self.spark, d, recursive=True)
+                    orphans_removed += 1
+        return {
+            "snapshots_removed": len(drop),
+            "batches_removed": len(garbage),
+            "orphans_removed": orphans_removed,
+        }
 
     # ── reads ──
 

@@ -99,9 +99,115 @@ def test_commit_conflict_after_exhausted_retries(spark, tmp_path, monkeypatch):
     t.append(_df(spark, [("a", "Alpha", 1)]))
     from hinbox_spark import fs as hfs
 
-    monkeypatch.setattr(hfs, "rename", lambda *_a, **_k: False)
+    monkeypatch.setattr(hfs, "publish_without_overwrite", lambda *_a, **_k: False)
     with pytest.raises(CommitConflict):
         t.append(_df(spark, [("b", "Beta", 1)]))
+
+
+def test_publish_without_overwrite_is_create_exclusive(spark, tmp_path):
+    """ADVICE r3: the commit publish on file: is a hard link (atomic
+    create-exclusive in the kernel), not an exists()-precheck rename — a
+    pre-existing destination loses cleanly and the temp file survives for
+    the caller to clean up; a winning publish removes the temp."""
+    from hinbox_spark import fs as hfs
+
+    src = str(tmp_path / "tmp-manifest.json")
+    dst = str(tmp_path / "snapshot-1.json")
+    with open(src, "w") as f:
+        f.write('{"id": 1}')
+    with open(dst, "w") as f:
+        f.write('{"id": "other writer"}')
+    assert hfs.publish_without_overwrite(spark, src, dst) is False
+    assert os.path.exists(src)  # loser keeps its temp (caller deletes)
+    with open(dst) as f:
+        assert "other writer" in f.read()  # winner untouched
+
+    dst2 = str(tmp_path / "snapshot-2.json")
+    assert hfs.publish_without_overwrite(spark, src, dst2) is True
+    assert not os.path.exists(src)  # temp consumed on success
+    with open(dst2) as f:
+        assert f.read() == '{"id": 1}'
+
+
+def test_expire_snapshots_gc(spark, tmp_path):
+    """expire_snapshots drops old manifests, deletes the batches only they
+    referenced, keeps every batch the head still needs, and GCs aged
+    orphan batches (crashed writers) under the grace window."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [("a", "Alpha", 1)]))
+    t.merge(_df(spark, [("a", "Alpha2", 2)]))
+    t.compact(["entity_id"])  # head now references ONE folded batch
+
+    # plant an aged orphan batch (crashed writer, never committed)
+    _df(spark, [("x", "Ghost", 1)]).write.mode("overwrite").parquet(
+        t.data_dir + "/batch-orphan"
+    )
+    old = 1_000_000_000  # epoch seconds, far older than any manifest
+    os.utime(t.data_dir + "/batch-orphan", (old, old))
+
+    stats = t.expire_snapshots(keep_last=1, orphan_grace_ms=0)
+    assert stats == {
+        "snapshots_removed": 2, "batches_removed": 2, "orphans_removed": 1,
+    }
+    # table still reads correctly from the kept snapshot
+    assert t.latest_snapshot_id() == 3
+    assert {(r["entity_id"], r["name"]) for r in
+            t.read_resolved(["entity_id"]).collect()} == {("a", "Alpha2")}
+    # on disk: exactly the head's batch remains
+    batches = [d for d in os.listdir(os.path.join(str(tmp_path / "t"), "data"))]
+    head_batches = {e["batch"] for e in t._read_manifest(3)["entries"]}
+    assert set(batches) == head_batches
+
+
+def test_expire_snapshots_spares_fresh_orphans(spark, tmp_path):
+    """A just-written orphan (an in-flight writer's batch) survives the
+    grace window."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [("a", "Alpha", 1)]))
+    _df(spark, [("x", "InFlight", 1)]).write.mode("overwrite").parquet(
+        t.data_dir + "/batch-inflight"
+    )
+    stats = t.expire_snapshots(keep_last=1, orphan_grace_ms=60_000)
+    assert stats["orphans_removed"] == 0
+    assert os.path.isdir(t.data_dir.replace("file:", "") + "/batch-inflight")
+
+
+def test_expire_interrupted_mid_delete_leaves_table_readable(
+    spark, tmp_path, monkeypatch
+):
+    """Crash safety: manifests are deleted before their batches, so an
+    expiry that dies mid-way leaves the head snapshot fully readable and a
+    re-run finishes the GC."""
+    from hinbox_spark import fs as hfs
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [("a", "Alpha", 1)]))
+    t.merge(_df(spark, [("a", "Alpha2", 2)]))
+    t.compact(["entity_id"])
+
+    real_delete = hfs.delete
+    calls = {"n": 0}
+
+    def _dying_delete(spark_, path, recursive=False):
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise RuntimeError("interrupted mid-expiry")
+        return real_delete(spark_, path, recursive)
+
+    monkeypatch.setattr(hfs, "delete", _dying_delete)
+    with pytest.raises(RuntimeError, match="interrupted mid-expiry"):
+        t.expire_snapshots(keep_last=1)
+    monkeypatch.undo()
+
+    # head is untouched and resolves correctly after the partial expiry
+    assert t.latest_snapshot_id() == 3
+    assert {(r["entity_id"], r["name"]) for r in
+            t.read_resolved(["entity_id"]).collect()} == {("a", "Alpha2")}
+    # re-running completes the GC
+    t.expire_snapshots(keep_last=1)
+    head_batches = {e["batch"] for e in t._read_manifest(3)["entries"]}
+    batches = set(os.listdir(os.path.join(str(tmp_path / "t"), "data")))
+    assert batches == head_batches
 
 
 def test_pipeline_publishes_entity_snapshots(spark, tmp_path):
