@@ -238,6 +238,23 @@ def run_pipeline(
         # (failed the match check / a guard) — lazy anti-joins, evaluated
         # once at the decisions write.
         review_back = spark.read.parquet(_table_path(output_dir, "review"))
+
+        # append-only review queue (reference parity: the dispute queue is
+        # append-only JSONL, merge_dispute_agent.py:211-219 — humans drain
+        # it across runs). The per-run `review` table stays overwrite
+        # (coherent with the checkpoint model); when a snapshot store is
+        # configured, this run's rows are ALSO appended there with run
+        # attribution, so cross-run dispute history survives. Reads the
+        # just-written table back — no plan recompute.
+        if cfg.snapshot_store_path:
+            import uuid as _uuid
+
+            from hinbox_spark.tables import SnapshotTable as _ST
+
+            _ST(
+                spark, cfg.snapshot_store_path.rstrip("/") + "/review_queue"
+            ).append(review_back.withColumn("run_id", F.lit(_uuid.uuid4().hex)))
+
         skipped = (
             pairs.join(accepted.select("src", "dst"), ["src", "dst"], "left_anti")
             .join(review_back.select("src", "dst"), ["src", "dst"], "left_anti")

@@ -210,6 +210,34 @@ def test_expire_interrupted_mid_delete_leaves_table_readable(
     assert batches == head_batches
 
 
+def test_review_queue_is_append_only_across_runs(spark, tmp_path):
+    """Reference parity (append-only dispute queue): two pipeline runs over
+    different corpora into one snapshot store accumulate BOTH runs' review
+    rows in the review_queue table, each attributed to its run, while the
+    per-run review tables keep their overwrite semantics."""
+    from hinbox_spark.config import DomainConfig
+    from hinbox_spark.pipeline import run_pipeline
+    from hinbox_spark.sources.pages_gen import pages_dataframe
+
+    store = str(tmp_path / "store")
+    cfg = DomainConfig(snapshot_store_path=store)
+    pages_a, _ = pages_dataframe(spark, 60, 7)
+    pages_b, _ = pages_dataframe(spark, 60, 13)
+
+    t1 = run_pipeline(spark, pages_a, str(tmp_path / "o1"), cfg=cfg, resume=False)
+    t2 = run_pipeline(spark, pages_b, str(tmp_path / "o2"), cfg=cfg, resume=False)
+    n1, n2 = t1["review"].count(), t2["review"].count()
+    assert n1 > 0 and n2 > 0
+
+    q = SnapshotTable(spark, store + "/review_queue").read()
+    assert q.count() == n1 + n2
+    assert q.select("run_id").distinct().count() == 2
+    # every queued row keeps its decision payload
+    assert {r["decision"] for r in q.select("decision").distinct().collect()} <= {
+        "merge", "skip", "defer"
+    }
+
+
 def test_pipeline_publishes_entity_snapshots(spark, tmp_path):
     """snapshot_store_path wiring: each pipeline run commits its entities
     as one snapshot; re-processing upserts by entity_id (no duplicates in
