@@ -138,60 +138,106 @@ def run_pipeline(
     gaz = default_gazetteer()
     hfs.mkdirs(spark, output_dir)
 
-    # ── stage 1: articles ──
-    if not (resume and _done(spark, output_dir, "articles")):
-        # F4 relevance is stamped HERE, while the text is already flowing
-        # through the stage — downstream consumers filter on the persisted
-        # boolean (parquet predicate pushdown) instead of re-scanning text
-        articles = extract_articles(pages).withColumn(
-            "is_relevant", relevance_predicate(cfg.relevance_keywords)
-        )
-        _write(articles, output_dir, "articles")
-    articles = spark.read.parquet(_table_path(output_dir, "articles"))
-
     # run-level counters (filled by the stages below when they execute;
     # empty on a resumed run whose stages were skipped)
     cache_stats: dict = {}
     # shared B5 band entries (set by the linking block; None on resume)
     band_entries = None
 
-    # ── stage 2: mentions (optionally through the content-hash cache, S8).
-    # F4: only relevance-passing articles reach the NER stage — irrelevant
-    # pages skip it and are counted in the skip-reason summary. The same
-    # extraction pass emits the article-level QC flag rows (X3 parity:
-    # high_drop_rate / many_duplicates / many_low_quality_names), split off
-    # into the tiny qc_flags table — the gate covers both tables so a crash
-    # between the two writes can't wedge a resume. ──
-    if not (resume and _done(spark, output_dir, "mentions")
-            and _done(spark, output_dir, "qc_flags")):
-        # resume compatibility: an articles checkpoint written before the
-        # is_relevant column existed lacks it — stamp it on the fly (same
-        # guard skip_reason_summary uses) instead of crashing the filter
-        if "is_relevant" not in articles.columns:
-            articles = articles.withColumn(
+    import sys
+    from concurrent.futures import ThreadPoolExecutor
+
+    # ── stages 1-2: articles ∥ mentions (+ qc_flags) ──
+    # The measured 480k-page Amdahl residue is the chain of sequential
+    # stage commits, so when both stages run this session the articles
+    # table's parquet commit overlaps mention extraction: the parsed
+    # articles are eagerly localCheckpoint'ed (the HTML parse runs ONCE),
+    # the articles write goes to a background thread, and the NER pass
+    # consumes the same blocks concurrently. The qc_flags write likewise
+    # overlaps the mentions write off one eagerly-checkpointed extraction.
+    # Stage 2's gate covers mentions AND qc_flags so a crash between the
+    # two writes can't wedge a resume; F4: only relevance-passing articles
+    # reach the NER stage — the rest land in the skip-reason counters.
+    stage2_needed = not (
+        resume and _done(spark, output_dir, "mentions")
+        and _done(spark, output_dir, "qc_flags")
+    )
+    pool = ThreadPoolExecutor(max_workers=2)
+    background = []  # in-flight concurrent writes, joined in finally
+    ckpts = []       # checkpointed inputs, unpersisted in finally
+    try:
+        if not (resume and _done(spark, output_dir, "articles")):
+            # F4 relevance is stamped HERE, while the text is already
+            # flowing through the stage — downstream consumers filter on
+            # the persisted boolean (parquet predicate pushdown) instead
+            # of re-scanning text
+            articles = extract_articles(pages).withColumn(
                 "is_relevant", relevance_predicate(cfg.relevance_keywords)
             )
-        relevant = articles.filter(F.col("is_relevant"))
-        if cfg.extraction_cache_path:
-            extracted = extract_mentions_cached(
-                relevant, gaz, cfg.extraction_cache_path, stats_out=cache_stats
-            )
+            if stage2_needed:
+                articles = articles.localCheckpoint()  # parse once, eager
+                ckpts.append(articles)
+                background.append(
+                    pool.submit(_write, articles, output_dir, "articles")
+                )
+            else:
+                _write(articles, output_dir, "articles")
+                articles = spark.read.parquet(_table_path(output_dir, "articles"))
         else:
-            extracted = extract_mentions_with_flags(relevant, gaz)
-        # one extraction pass feeds both writes (lazy localCheckpoint:
-        # the first write materializes, the second reuses the blocks)
-        extracted = extracted.localCheckpoint(eager=False)
-        _write(
-            extracted.filter(F.col("qc_flag").isNotNull()).select(
-                "url", "entity_type", "qc_flag"
-            ),
-            output_dir,
-            "qc_flags",
-        )
-        _write(
-            extracted.filter(F.col("qc_flag").isNull()).drop("qc_flag"),
-            output_dir, "mentions", ["entity_type"],
-        )
+            articles = spark.read.parquet(_table_path(output_dir, "articles"))
+
+        if stage2_needed:
+            # resume compatibility: an articles checkpoint written before
+            # the is_relevant column existed lacks it — stamp it on the
+            # fly (same guard skip_reason_summary uses)
+            if "is_relevant" not in articles.columns:
+                articles = articles.withColumn(
+                    "is_relevant", relevance_predicate(cfg.relevance_keywords)
+                )
+            relevant = articles.filter(F.col("is_relevant"))
+            if cfg.extraction_cache_path:
+                extracted = extract_mentions_cached(
+                    relevant, gaz, cfg.extraction_cache_path,
+                    stats_out=cache_stats,
+                )
+            else:
+                extracted = extract_mentions_with_flags(relevant, gaz)
+            # eager checkpoint: the NER pass runs once, then the mentions
+            # and qc_flags writes serialize its blocks concurrently
+            extracted = extracted.localCheckpoint()
+            ckpts.append(extracted)
+            background.append(
+                pool.submit(
+                    _write,
+                    extracted.filter(F.col("qc_flag").isNotNull()).select(
+                        "url", "entity_type", "qc_flag"
+                    ),
+                    output_dir,
+                    "qc_flags",
+                )
+            )
+            _write(
+                extracted.filter(F.col("qc_flag").isNull()).drop("qc_flag"),
+                output_dir, "mentions", ["entity_type"],
+            )
+    finally:
+        # join background writes before unwinding (same discipline as the
+        # linking block): bg errors surface on the happy path, a
+        # foreground error stays primary during an unwind
+        bg_error = None
+        for fut in background:
+            try:
+                fut.result()
+            except Exception as exc:
+                if bg_error is None:
+                    bg_error = exc
+        pool.shutdown(wait=True)
+        for df in ckpts:
+            df.unpersist()
+        if bg_error is not None and sys.exc_info()[0] is None:
+            raise bg_error
+
+    articles = spark.read.parquet(_table_path(output_dir, "articles"))
     mentions = spark.read.parquet(_table_path(output_dir, "mentions"))
 
     # ── stages 3-5: linking → clustering → canonicalization ──
@@ -218,14 +264,17 @@ def run_pipeline(
         # second-stage dispute arbitration (merge_dispute_agent parity):
         # a deterministic richer-feature pass over the gray-band rows can
         # override in both directions — merges feed back as clustering
-        # edges, skips are final, defers stay queued for humans
-        review = arbitrate_review(review)
+        # edges, skips are final, defers stay queued for humans. The
+        # arbitrated set is eagerly checkpointed: the review write, the
+        # queue append, and the decisions aggregates all consume the same
+        # materialized blocks, and the write itself moves to a background
+        # thread instead of serializing the chain.
+        review = arbitrate_review(review).localCheckpoint()
         dispute_merges = review.filter(F.col("decision") == "merge").select(
             "src", "dst", "entity_type",
             F.lit("dispute_merge").alias("reason"), "sim",
         )
         accepted = accepted.unionByName(dispute_merges)
-        _write(review, output_dir, "review")
         # materialize the (tiny, pair-level) accepted-edge set once, NOW —
         # the decisions job and the clustering chain consume it from two
         # threads below, and an eager checkpoint removes any double-
@@ -237,27 +286,9 @@ def run_pipeline(
         # skipped = candidate pairs that neither merged nor deferred
         # (failed the match check / a guard) — lazy anti-joins, evaluated
         # once at the decisions write.
-        review_back = spark.read.parquet(_table_path(output_dir, "review"))
-
-        # append-only review queue (reference parity: the dispute queue is
-        # append-only JSONL, merge_dispute_agent.py:211-219 — humans drain
-        # it across runs). The per-run `review` table stays overwrite
-        # (coherent with the checkpoint model); when a snapshot store is
-        # configured, this run's rows are ALSO appended there with run
-        # attribution, so cross-run dispute history survives. Reads the
-        # just-written table back — no plan recompute.
-        if cfg.snapshot_store_path:
-            import uuid as _uuid
-
-            from hinbox_spark.tables import SnapshotTable as _ST
-
-            _ST(
-                spark, cfg.snapshot_store_path.rstrip("/") + "/review_queue"
-            ).append(review_back.withColumn("run_id", F.lit(_uuid.uuid4().hex)))
-
         skipped = (
             pairs.join(accepted.select("src", "dst"), ["src", "dst"], "left_anti")
-            .join(review_back.select("src", "dst"), ["src", "dst"], "left_anti")
+            .join(review.select("src", "dst"), ["src", "dst"], "left_anti")
             .join(
                 nodes.select(F.col("node_id").alias("src"), "entity_type"), "src"
             )
@@ -272,7 +303,7 @@ def run_pipeline(
             .unionByName(
                 # still-deferred rows are the open disputes; arbitration
                 # merges are already counted under merged/dispute_merge
-                review_back.filter(F.col("decision") == "defer")
+                review.filter(F.col("decision") == "defer")
                 .groupBy("entity_type")
                 .agg(F.count("*").alias("n"))
                 .withColumn("reason", F.lit("gray_band"))
@@ -280,7 +311,7 @@ def run_pipeline(
                 .select("entity_type", "reason", "n", "decision")
             )
             .unionByName(
-                review_back.filter(F.col("decision") == "skip")
+                review.filter(F.col("decision") == "skip")
                 .groupBy("entity_type")
                 .agg(F.count("*").alias("n"))
                 .withColumn("reason", F.lit("dispute_skip"))
@@ -289,20 +320,39 @@ def run_pipeline(
             )
             .unionByName(skipped.select("entity_type", "reason", "n", "decision"))
         )
-        # the decisions job is independent of the clustering →
-        # canonicalization chain (both read only checkpointed/written
-        # inputs), so it runs as a CONCURRENT Spark job from a second
-        # driver thread — at 4N cores the serial tail is ~30% of the run,
-        # and overlapping independent jobs is what converts spare cores
-        # into wall-clock (at N cores everything is compute-bound and the
+        # the review/queue/decisions jobs are independent of the
+        # clustering → canonicalization chain (all read only checkpointed
+        # inputs), so they run as CONCURRENT Spark jobs from driver
+        # threads — at 4N cores the serial tail is ~30% of the run, and
+        # overlapping independent jobs is what converts spare cores into
+        # wall-clock (at N cores everything is compute-bound and the
         # overlap costs nothing)
-        import sys
-        from concurrent.futures import ThreadPoolExecutor
-
-        pool = ThreadPoolExecutor(max_workers=2)
+        pool = ThreadPoolExecutor(max_workers=3)
         background = []  # in-flight concurrent writes, joined in finally
-        cached = [nodes]  # cached inputs, unpersisted in finally
+        # cached/checkpointed inputs, unpersisted in finally
+        cached = [nodes, review, accepted]
         try:
+            background.append(
+                pool.submit(_write, review, output_dir, "review")
+            )
+            if cfg.snapshot_store_path:
+                # append-only review queue (reference parity: the dispute
+                # queue is append-only JSONL — humans drain it across
+                # runs). The per-run review table stays overwrite; the
+                # queue accumulates every run's rows with attribution.
+                import uuid as _uuid
+
+                from hinbox_spark.tables import SnapshotTable as _ST
+
+                background.append(
+                    pool.submit(
+                        _ST(
+                            spark,
+                            cfg.snapshot_store_path.rstrip("/") + "/review_queue",
+                        ).append,
+                        review.withColumn("run_id", F.lit(_uuid.uuid4().hex)),
+                    )
+                )
             background.append(
                 pool.submit(_write, decisions, output_dir, "decisions")
             )
