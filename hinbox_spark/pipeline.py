@@ -42,7 +42,7 @@ from hinbox_spark.operators.linking import (
 from hinbox_spark.operators.profiles import build_profiles, ground_profiles
 
 STAGES = (
-    "articles", "mentions", "qc_flags", "entities", "edges", "profiles",
+    "articles", "mentions", "entities", "edges", "profiles",
     "review", "decisions", "metrics",
 )
 
@@ -147,21 +147,19 @@ def run_pipeline(
     import sys
     from concurrent.futures import ThreadPoolExecutor
 
-    # ── stages 1-2: articles ∥ mentions (+ qc_flags) ──
+    # ── stages 1-2: articles ∥ mentions ──
     # The measured 480k-page Amdahl residue is the chain of sequential
     # stage commits, so when both stages run this session the articles
     # table's parquet commit overlaps mention extraction: the parsed
     # articles are eagerly localCheckpoint'ed (the HTML parse runs ONCE),
     # the articles write goes to a background thread, and the NER pass
-    # consumes the same blocks concurrently. The qc_flags write likewise
-    # overlaps the mentions write off one eagerly-checkpointed extraction.
-    # Stage 2's gate covers mentions AND qc_flags so a crash between the
-    # two writes can't wedge a resume; F4: only relevance-passing articles
-    # reach the NER stage — the rest land in the skip-reason counters.
-    stage2_needed = not (
-        resume and _done(spark, output_dir, "mentions")
-        and _done(spark, output_dir, "qc_flags")
-    )
+    # consumes the same blocks concurrently. The extraction-QC flag rows
+    # (X3) ride the mentions table itself (qc_flag null on mention rows)
+    # so the NER+write job stays FUSED — no extra materialization pass,
+    # no second commit; readers slice the table by qc_flag. F4: only
+    # relevance-passing articles reach the NER stage — the rest land in
+    # the skip-reason counters.
+    stage2_needed = not (resume and _done(spark, output_dir, "mentions"))
     pool = ThreadPoolExecutor(max_workers=2)
     background = []  # in-flight concurrent writes, joined in finally
     ckpts = []       # checkpointed inputs, unpersisted in finally
@@ -202,24 +200,9 @@ def run_pipeline(
                 )
             else:
                 extracted = extract_mentions_with_flags(relevant, gaz)
-            # eager checkpoint: the NER pass runs once, then the mentions
-            # and qc_flags writes serialize its blocks concurrently
-            extracted = extracted.localCheckpoint()
-            ckpts.append(extracted)
-            background.append(
-                pool.submit(
-                    _write,
-                    extracted.filter(F.col("qc_flag").isNotNull()).select(
-                        "url", "entity_type", "qc_flag"
-                    ),
-                    output_dir,
-                    "qc_flags",
-                )
-            )
-            _write(
-                extracted.filter(F.col("qc_flag").isNull()).drop("qc_flag"),
-                output_dir, "mentions", ["entity_type"],
-            )
+            # one FUSED NER+write job (flag rows included, qc_flag null on
+            # mention rows — a handful of flag rows per million articles)
+            _write(extracted, output_dir, "mentions", ["entity_type"])
     finally:
         # join background writes before unwinding (same discipline as the
         # linking block): bg errors surface on the happy path, a
@@ -238,7 +221,20 @@ def run_pipeline(
             raise bg_error
 
     articles = spark.read.parquet(_table_path(output_dir, "articles"))
-    mentions = spark.read.parquet(_table_path(output_dir, "mentions"))
+    mentions_raw = spark.read.parquet(_table_path(output_dir, "mentions"))
+    # slice the flag channel off the mentions table (parquet filter
+    # pushdown — qc_flag IS NULL on every mention row); checkpoints
+    # written before the column existed mean "no flags"
+    if "qc_flag" in mentions_raw.columns:
+        mentions = mentions_raw.filter(F.col("qc_flag").isNull()).drop("qc_flag")
+        qc_flags = mentions_raw.filter(F.col("qc_flag").isNotNull()).select(
+            "url", "entity_type", "qc_flag"
+        )
+    else:
+        mentions = mentions_raw
+        qc_flags = spark.createDataFrame(
+            [], "url string, entity_type string, qc_flag string"
+        )
 
     # ── stages 3-5: linking → clustering → canonicalization ──
     # the gate must include EVERY table the block writes — profiles is
@@ -453,19 +449,18 @@ def run_pipeline(
         )
 
         # X3: extraction-QC flag counters (high_drop_rate / many_duplicates
-        # / many_low_quality_names per flagged (article, type)) next to the
-        # skip reasons; guarded for checkpoints predating the qc_flags table
-        if _done(spark, output_dir, "qc_flags"):
-            qc = spark.read.parquet(_table_path(output_dir, "qc_flags"))
-            m = m.unionByName(
-                qc.groupBy("qc_flag")
-                .agg(F.count("*").alias("rows"))
-                .select(
-                    F.concat(F.lit("qc_"), "qc_flag").alias("stage"),
-                    F.lit(-1).alias("partition_id"),
-                    "rows",
-                )
+        # / many_low_quality_names per flagged (article, type)) next to
+        # the skip reasons — one pushdown-filtered slice of the mentions
+        # table, no extra stage commit
+        m = m.unionByName(
+            qc_flags.groupBy("qc_flag")
+            .agg(F.count("*").alias("rows"))
+            .select(
+                F.concat(F.lit("qc_"), "qc_flag").alias("stage"),
+                F.lit(-1).alias("partition_id"),
+                "rows",
             )
+        )
 
         # B5 truncation: dropped name-LSH buckets are counted, not silent —
         # lazily, as part of this metrics job. When the linking block ran
@@ -502,8 +497,8 @@ def run_pipeline(
 
     return {
         "articles": articles,
-        "mentions": spark.read.parquet(_table_path(output_dir, "mentions")),
-        "qc_flags": spark.read.parquet(_table_path(output_dir, "qc_flags")),
+        "mentions": mentions,
+        "qc_flags": qc_flags,
         "entities": entities,
         "edges": edges,
         "profiles": profiles,

@@ -76,3 +76,26 @@ def test_new_relational_queries_have_scale_shaped_plans(spark):
     assert "LeftAnti" in q22
     # date predicate pushes into the orders scan before the anti-join
     assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in q22
+
+
+def test_round4_relational_queries_have_scale_shaped_plans(spark):
+    """Round-4 additions: Q7's dims all broadcast (lineitem shuffles only
+    for the orderkey join + the aggregate), Q11's global scalar reaches
+    the filter via a one-row broadcast (no second lineitem pass), Q16's
+    supplier exclusion is a broadcast anti-join before the count-distinct."""
+    from hinbox_spark.plans.queries import (
+        q_brand_supplier_counts, q_nation_trade_volume, q_top_value_parts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    q7 = _plan(q_nation_trade_volume(spark, sf))
+    assert q7.count("BroadcastHashJoin") >= 2  # supplier+nation, customer+nation
+
+    q11 = _plan(q_top_value_parts(spark, sf))
+    assert "BroadcastNestedLoopJoin" in q11 or "BroadcastHashJoin" in q11
+    # exactly one scan of lineitem feeds the per-part aggregate; the total
+    # re-aggregates the per-part rows, not the base table
+    assert q11.count("lineitem.parquet") <= 2
+
+    q16 = _plan(q_brand_supplier_counts(spark, sf))
+    assert "LeftAnti" in q16 and "BroadcastHashJoin" in q16
