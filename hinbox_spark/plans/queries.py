@@ -1066,6 +1066,180 @@ GROUP BY 1
 """
 
 
+def q_click_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operator Spark lacks — operators/asof.py): every click
+    event matched to the same user's latest purchase at or before it.
+    Spark side: union-tag + carry-forward window (ONE shuffle on user_id,
+    no range cross-join); oracle side: DuckDB's native ASOF JOIN — two
+    independent engines, two different algorithms, same rows."""
+    from hinbox_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    out = asof_join(
+        clicks, purchases,
+        on=["user_id"], left_ts="ts", right_ts="p_ts",
+        payload_cols=["purchase_event_id", "purchase_value"],
+        tiebreak="purchase_event_id",
+    )
+    # coalesce the no-prior-purchase nulls so both engines agree on dtypes
+    return out.select(
+        "event_id",
+        "user_id",
+        F.coalesce("purchase_event_id", F.lit(-1)).alias("purchase_event_id"),
+        F.round(F.coalesce("purchase_value", F.lit(0.0)), 2).alias(
+            "purchase_value"
+        ),
+    )
+
+
+ORACLE_CLICK_ASOF = """
+SELECT c.event_id AS event_id,
+       c.user_id AS user_id,
+       coalesce(p.event_id, -1) AS purchase_event_id,
+       round(coalesce(p.value, 0.0), 2) AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — cross-nation trade volume: revenue between
+    (supplier nation, customer nation) pairs per year. Both nation lookups
+    and both dimension joins broadcast (supplier/customer are small dims);
+    the only shuffle is lineitem⋈orders on the orderkey plus the final
+    map-side-combinable aggregate."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp_n = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_n = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    # the measure is summed as integer CENTS (per-item round, then an
+    # exactly-associative integer sum) — a float sum's result depends on
+    # partition order, so two engines disagree in the last cent and a
+    # value-hash compare would flap
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        l.join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_n), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("o_orderdate").alias("year"),
+        )
+        .agg(
+            (F.sum(rev_cents) / 100.0).alias("volume"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+ORACLE_NATION_TRADE = """
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       year(o_orderdate) AS year,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+         / 100.0 AS volume,
+       count(*) AS n_lines
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+def q_top_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — per-group value vs a global scalar threshold:
+    parts whose revenue exceeds 1.5× the average per-part revenue. The
+    scalar is a one-row aggregate over the per-part rows, broadcast into
+    the filter (no second pass over lineitem, no driver collect)."""
+    l = _t(spark, sf_dir, "lineitem")
+    # integer-cents sum: exactly associative, engine-order-independent
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    per_part = l.groupBy("l_partkey").agg(
+        F.sum(rev_cents).alias("part_cents")
+    )
+    total = per_part.agg(F.avg("part_cents").alias("avg_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_cents") > 1.5 * F.col("avg_cents"))
+        .select(
+            "l_partkey", (F.col("part_cents") / 100.0).alias("part_value")
+        )
+    )
+
+
+ORACLE_TOP_VALUE_PARTS = """
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS part_cents
+  FROM lineitem GROUP BY 1
+)
+SELECT l_partkey, part_cents / 100.0 AS part_value
+FROM per_part
+WHERE part_cents > 1.5 * (SELECT avg(part_cents) FROM per_part)
+"""
+
+
+def q_brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — distinct-supplier counts per part attribute with a
+    NOT-IN exclusion: suppliers in deficit (negative acctbal) are removed
+    via a broadcast anti-join BEFORE the count-distinct, so the exclusion
+    never shuffles the big side."""
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+ORACLE_BRAND_SUPPLIER_COUNTS = """
+SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2
+"""
+
+
 def q_doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicates (rows-only driver check — the 64-bit
     signature is a numpy UDF, not SQL-expressible; hamming/pigeonhole
@@ -1355,6 +1529,11 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "idle_rich_customers": q_idle_rich_customers,
     "purchase_graph_degrees": q_purchase_graph_degrees,
     "customers_sharing_suppliers": q_customers_sharing_suppliers,
+    # round-4 additions
+    "click_asof_purchase": q_click_asof_purchase,
+    "nation_trade_volume": q_nation_trade_volume,
+    "top_value_parts": q_top_value_parts,
+    "brand_supplier_counts": q_brand_supplier_counts,
     # non-SQL-expressible (rows-only driver check; correctness pinned by
     # tests/test_dedup.py and tests/test_ann.py)
     "doc_minhash_near_dups": q_doc_minhash_near_dups,
@@ -1405,4 +1584,8 @@ ORACLE_QUERIES: dict[str, str] = {
     "idle_rich_customers": ORACLE_IDLE_RICH,
     "purchase_graph_degrees": ORACLE_GRAPH_DEGREES,
     "customers_sharing_suppliers": ORACLE_SHARED_SUPPLIERS,
+    "click_asof_purchase": ORACLE_CLICK_ASOF,
+    "nation_trade_volume": ORACLE_NATION_TRADE,
+    "top_value_parts": ORACLE_TOP_VALUE_PARTS,
+    "brand_supplier_counts": ORACLE_BRAND_SUPPLIER_COUNTS,
 }
