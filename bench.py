@@ -58,6 +58,11 @@ HEADLINE = [
     "purchase_graph_degrees",
     "copurchase_reach_hll",
     "doc_simhash_near_dups",
+    # round-4 additions
+    "click_asof_purchase",
+    "nation_trade_volume",
+    "top_value_parts",
+    "brand_supplier_counts",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "20000"))

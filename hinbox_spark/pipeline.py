@@ -51,6 +51,16 @@ def _table_path(base: str, name: str) -> str:
     return base.rstrip("/") + "/" + name
 
 
+def _stage_counts(df: DataFrame, stage: str) -> DataFrame:
+    """Per-partition row counts for the lineage metrics table."""
+    return (
+        df.groupBy("partition_id")
+        .agg(F.count("*").alias("rows"))
+        .withColumn("stage", F.lit(stage))
+        .select("stage", "partition_id", "rows")
+    )
+
+
 def _done(spark: SparkSession, base: str, name: str) -> bool:
     # Hadoop FS API, not os.path — the output dir may be hdfs:/s3a:/file:
     return hfs.exists(spark, _table_path(base, name) + "/_SUCCESS")
@@ -236,6 +246,74 @@ def run_pipeline(
             [], "url string, entity_type string, qc_flag string"
         )
 
+    def _metrics_early() -> DataFrame:
+        """The metrics rows that need only pages/articles/mentions — the
+        EXPENSIVE scans of the metrics stage (skip-reason partition of the
+        whole page set, QC flag slice, B5 truncation counters). The
+        linking block checkpoints this from a background thread overlapped
+        with the clustering chain, so the final metrics job only counts
+        the small freshly-written tables."""
+        m = _stage_counts(articles, "articles").unionByName(
+            _stage_counts(mentions, "mentions")
+        )
+        # A2: per-reason skip counters
+        m = m.unionByName(
+            skip_reason_summary(
+                pages, articles, mentions, cfg.relevance_keywords
+            ).select(
+                F.when(F.col("reason") == "processed", F.lit("processed"))
+                .otherwise(F.concat(F.lit("skip_"), "reason"))
+                .alias("stage"),
+                F.lit(-1).alias("partition_id"),
+                F.col("n").alias("rows"),
+            )
+        )
+        # X3: extraction-QC flag counters next to the skip reasons — one
+        # pushdown-filtered slice of the mentions table
+        m = m.unionByName(
+            qc_flags.groupBy("qc_flag")
+            .agg(F.count("*").alias("rows"))
+            .select(
+                F.concat(F.lit("qc_"), "qc_flag").alias("stage"),
+                F.lit(-1).alias("partition_id"),
+                "rows",
+            )
+        )
+        # B5 truncation: dropped name-LSH buckets are counted, not silent.
+        # When the linking block ran this session the counters derive from
+        # the SAME checkpointed band entries (no signature recompute);
+        # only a resumed run that skipped linking but lost its metrics
+        # pays the standalone fallback.
+        trunc = (
+            name_lsh_truncation_stats_from_entries(band_entries)
+            if band_entries is not None
+            else name_lsh_truncation_stats(mention_nodes(mentions))
+        )
+        m = m.unionByName(
+            trunc.select(
+                "stage", F.lit(-1).alias("partition_id"),
+                F.col("n").alias("rows"),
+            )
+        )
+        run_counters = {
+            # A10: extraction-cache hit/miss counters
+            **{f"extraction_cache_{k}": v for k, v in cache_stats.items()},
+            # F2 skip-if-unchanged analog: cache hits = articles whose
+            # content hash was already extracted in a previous run
+            "skip_unchanged_hash": cache_stats.get("hits", 0),
+        }
+        if run_counters:
+            # partition_id −1 = run-level counter, not tied to a partition
+            m = m.unionByName(
+                spark.createDataFrame(
+                    [(k, -1, v) for k, v in run_counters.items()],
+                    "stage string, partition_id int, rows long",
+                )
+            )
+        return m
+
+    early_metrics_fut = None
+
     # ── stages 3-5: linking → clustering → canonicalization ──
     # the gate must include EVERY table the block writes — profiles is
     # written last, so a crash between edges and profiles would otherwise
@@ -323,7 +401,7 @@ def run_pipeline(
         # overlapping independent jobs is what converts spare cores into
         # wall-clock (at N cores everything is compute-bound and the
         # overlap costs nothing)
-        pool = ThreadPoolExecutor(max_workers=3)
+        pool = ThreadPoolExecutor(max_workers=4)
         background = []  # in-flight concurrent writes, joined in finally
         # cached/checkpointed inputs, unpersisted in finally
         cached = [nodes, review, accepted]
@@ -352,6 +430,16 @@ def run_pipeline(
             background.append(
                 pool.submit(_write, decisions, output_dir, "decisions")
             )
+            # the expensive half of the metrics stage (full scans of
+            # pages/articles/mentions) overlaps the clustering chain as a
+            # background checkpoint; safe to start here because the
+            # eager `accepted`/`review` checkpoints above already
+            # materialized pairs and the shared band entries (no
+            # double-materialization race on the lazy checkpoints)
+            early_metrics_fut = pool.submit(
+                lambda: _metrics_early().localCheckpoint()
+            )
+            background.append(early_metrics_fut)
 
             labels = connected_components(
                 nodes.select("node_id"), accepted.select("src", "dst")
@@ -416,83 +504,22 @@ def run_pipeline(
     review = spark.read.parquet(_table_path(output_dir, "review"))
 
     # ── metrics table: per-stage / per-partition lineage counters ──
-    # partition_id is persisted at write time by _write, so this is one
-    # column-pruned scan per table, unioned into a single job
+    # partition_id is persisted at write time by _write, so the late half
+    # is one column-pruned scan per small table; the expensive early half
+    # (pages/articles/mentions scans) was checkpointed in the background
+    # during the linking block when it ran this session
     if not (resume and _done(spark, output_dir, "metrics")):
-        def _stage_counts(df: DataFrame, stage: str) -> DataFrame:
-            return (
-                df.groupBy("partition_id")
-                .agg(F.count("*").alias("rows"))
-                .withColumn("stage", F.lit(stage))
-                .select("stage", "partition_id", "rows")
-            )
-
         m = (
-            _stage_counts(articles, "articles")
-            .unionByName(_stage_counts(mentions, "mentions"))
-            .unionByName(_stage_counts(entities, "entities"))
+            early_metrics_fut.result()
+            if early_metrics_fut is not None
+            else _metrics_early()
+        )
+        m = (
+            m.unionByName(_stage_counts(entities, "entities"))
             .unionByName(_stage_counts(edges, "edges"))
             .unionByName(_stage_counts(profiles, "profiles"))
             .unionByName(_stage_counts(review, "review"))
         )
-        # A2: per-reason skip counters (lazy aggregates — one job at write)
-        m = m.unionByName(
-            skip_reason_summary(
-                pages, articles, mentions, cfg.relevance_keywords
-            ).select(
-                F.when(F.col("reason") == "processed", F.lit("processed"))
-                .otherwise(F.concat(F.lit("skip_"), "reason"))
-                .alias("stage"),
-                F.lit(-1).alias("partition_id"),
-                F.col("n").alias("rows"),
-            )
-        )
-
-        # X3: extraction-QC flag counters (high_drop_rate / many_duplicates
-        # / many_low_quality_names per flagged (article, type)) next to
-        # the skip reasons — one pushdown-filtered slice of the mentions
-        # table, no extra stage commit
-        m = m.unionByName(
-            qc_flags.groupBy("qc_flag")
-            .agg(F.count("*").alias("rows"))
-            .select(
-                F.concat(F.lit("qc_"), "qc_flag").alias("stage"),
-                F.lit(-1).alias("partition_id"),
-                "rows",
-            )
-        )
-
-        # B5 truncation: dropped name-LSH buckets are counted, not silent —
-        # lazily, as part of this metrics job. When the linking block ran
-        # this session the counters derive from the SAME checkpointed band
-        # entries (no signature recompute); only a resumed run that skipped
-        # linking but lost its metrics pays the standalone fallback.
-        trunc = (
-            name_lsh_truncation_stats_from_entries(band_entries)
-            if band_entries is not None
-            else name_lsh_truncation_stats(mention_nodes(mentions))
-        )
-        m = m.unionByName(
-            trunc.select(
-                "stage", F.lit(-1).alias("partition_id"), F.col("n").alias("rows")
-            )
-        )
-
-        run_counters = {
-            # A10: extraction-cache hit/miss counters
-            **{f"extraction_cache_{k}": v for k, v in cache_stats.items()},
-            # F2 skip-if-unchanged analog: cache hits = articles whose
-            # content hash was already extracted in a previous run
-            "skip_unchanged_hash": cache_stats.get("hits", 0),
-        }
-        if run_counters:
-            # partition_id −1 = run-level counter, not tied to a partition
-            m = m.unionByName(
-                spark.createDataFrame(
-                    [(k, -1, v) for k, v in run_counters.items()],
-                    "stage string, partition_id int, rows long",
-                )
-            )
         _write(m, output_dir, "metrics")
 
     return {
