@@ -80,8 +80,17 @@ def orchestrate(n_pages: int) -> None:
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "2")))
     log_path = os.path.join(REPO, "BENCH_scaling_runs.jsonl")
     samples: dict[int, list[dict]] = {c: [] for c in SCALING_CORES}
+    gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2.0"))
     for _ in range(n_runs):
         for cores in SCALING_CORES:
+            # load gate: the 1-min loadavg decays slowly after the
+            # previous worker, so back-to-back samples start ~3-4 loaded
+            # and the later (small, fast) config eats the decay — wait
+            # (bounded) for a quiet start so samples are comparable
+            waited = 0
+            while os.getloadavg()[0] >= gate and waited < 300:
+                time.sleep(15)
+                waited += 15
             load_before = round(os.getloadavg()[0], 2)
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--worker", str(cores), str(n_pages)],
