@@ -312,7 +312,7 @@ def run_pipeline(
             )
         return m
 
-    early_metrics_fut = None
+
 
     # ── stages 3-5: linking → clustering → canonicalization ──
     # the gate must include EVERY table the block writes — profiles is
@@ -430,16 +430,14 @@ def run_pipeline(
             background.append(
                 pool.submit(_write, decisions, output_dir, "decisions")
             )
-            # the expensive half of the metrics stage (full scans of
-            # pages/articles/mentions) overlaps the clustering chain as a
-            # background checkpoint; safe to start here because the
-            # eager `accepted`/`review` checkpoints above already
-            # materialized pairs and the shared band entries (no
-            # double-materialization race on the lazy checkpoints)
-            early_metrics_fut = pool.submit(
-                lambda: _metrics_early().localCheckpoint()
-            )
-            background.append(early_metrics_fut)
+            # NOTE: overlapping the expensive half of the metrics stage
+            # (full pages/articles/mentions scans) with the clustering
+            # chain from a background thread was tried and MEASURED SLOWER
+            # at 480k (local[16] ~111 s → ~150 s): the fat html-bearing
+            # pages scan competes with the cached mention_clusters /
+            # iterative CC jobs for block-manager memory and FIFO task
+            # slots, stretching the critical path. The metrics scans stay
+            # in the final stage where the cluster is otherwise idle.
 
             labels = connected_components(
                 nodes.select("node_id"), accepted.select("src", "dst")
@@ -505,17 +503,13 @@ def run_pipeline(
 
     # ── metrics table: per-stage / per-partition lineage counters ──
     # partition_id is persisted at write time by _write, so the late half
-    # is one column-pruned scan per small table; the expensive early half
-    # (pages/articles/mentions scans) was checkpointed in the background
-    # during the linking block when it ran this session
+    # is one column-pruned scan per small table; the early half scans the
+    # big tables on an otherwise-idle cluster (overlapping it with the
+    # clustering chain measured slower — see the note in the linking block)
     if not (resume and _done(spark, output_dir, "metrics")):
         m = (
-            early_metrics_fut.result()
-            if early_metrics_fut is not None
-            else _metrics_early()
-        )
-        m = (
-            m.unionByName(_stage_counts(entities, "entities"))
+            _metrics_early()
+            .unionByName(_stage_counts(entities, "entities"))
             .unionByName(_stage_counts(edges, "edges"))
             .unionByName(_stage_counts(profiles, "profiles"))
             .unionByName(_stage_counts(review, "review"))
