@@ -63,6 +63,8 @@ HEADLINE = [
     "nation_trade_volume",
     "top_value_parts",
     "brand_supplier_counts",
+    "doc_holdout_split",
+    "doc_stratified_sample",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "20000"))

@@ -41,6 +41,9 @@ def asof_join(
     `left_ts` matches. When several right rows share the winning
     timestamp, `tiebreak` (a right column, ascending — the LAST one wins)
     makes the choice deterministic.
+
+    `payload_cols` must be disjoint from the left frame's column names
+    (alias the right side first), since the output carries both.
     """
     l_tagged = left.select(
         *[F.col(c) for c in left.columns],

@@ -1240,6 +1240,88 @@ GROUP BY 1, 2
 """
 
 
+def q_doc_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation holdout split — the standard
+    training-data-pipeline op for carving an eval set out of a corpus
+    WITHOUT an RNG: split = f(md5(doc_id)), so every run, every engine,
+    and every retry assigns each document identically, and the split
+    survives corpus growth (new docs don't reshuffle old assignments —
+    unlike `ORDER BY rand() LIMIT n`). The hex-prefix comparison
+    ('0x1a'/'0x100' ≈ 10.2%) is a pure string compare, identical across
+    engines and collation-free. Scale: stateless per-row map, no
+    shuffle until the final small aggregate — safe at 10¹² docs."""
+    d = _t(spark, sf_dir, "documents")
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "1a",
+        F.lit("val"),
+    ).otherwise("train")
+    toks = F.size(F.split(F.col("text"), " "))
+    return (
+        d.select("lang", split.alias("split"), toks.alias("n_toks"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+        )
+    )
+
+
+ORACLE_DOC_HOLDOUT_SPLIT = """
+SELECT lang,
+       CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < '1a'
+            THEN 'val' ELSE 'train' END AS split,
+       count(*) AS n_docs,
+       sum(len(string_split(text, ' '))) AS total_tokens
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quota sampling (k docs per stratum) — the
+    training-data op for building a balanced eval/inspection slice from a
+    wildly imbalanced corpus. Deterministic pseudo-random order within a
+    stratum: sort by (md5(doc_id), doc_id) — uniform, engine-agnostic,
+    and stable across runs. The Spark side routes through
+    `skew.bounded_topk` (two bounded tournament rounds) instead of a
+    naive per-stratum window sort, so a stratum with 10¹¹ docs never
+    funnels into one sort task; the oracle uses the plain window — two
+    different algorithms, identical rows."""
+    from hinbox_spark.functions.skew import bounded_topk
+
+    d = _t(spark, sf_dir, "documents")
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    top = bounded_topk(
+        ranked,
+        keys=["lang"],
+        order_by=[F.col("h"), F.col("doc_id")],
+        k=20,
+        salt_expr=F.xxhash64("doc_id"),
+    )
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return top.withColumn("sample_rank", F.row_number().over(w)).select(
+        "lang", "doc_id", "sample_rank"
+    )
+
+
+ORACLE_DOC_STRATIFIED_SAMPLE = """
+SELECT lang, doc_id, sample_rank
+FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(doc_id::VARCHAR), doc_id
+         ) AS sample_rank
+  FROM documents
+)
+WHERE sample_rank <= 20
+"""
+
+
 def q_doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicates (rows-only driver check — the 64-bit
     signature is a numpy UDF, not SQL-expressible; hamming/pigeonhole
@@ -1534,6 +1616,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_trade_volume": q_nation_trade_volume,
     "top_value_parts": q_top_value_parts,
     "brand_supplier_counts": q_brand_supplier_counts,
+    "doc_holdout_split": q_doc_holdout_split,
+    "doc_stratified_sample": q_doc_stratified_sample,
     # non-SQL-expressible (rows-only driver check; correctness pinned by
     # tests/test_dedup.py and tests/test_ann.py)
     "doc_minhash_near_dups": q_doc_minhash_near_dups,
@@ -1588,4 +1672,6 @@ ORACLE_QUERIES: dict[str, str] = {
     "nation_trade_volume": ORACLE_NATION_TRADE,
     "top_value_parts": ORACLE_TOP_VALUE_PARTS,
     "brand_supplier_counts": ORACLE_BRAND_SUPPLIER_COUNTS,
+    "doc_holdout_split": ORACLE_DOC_HOLDOUT_SPLIT,
+    "doc_stratified_sample": ORACLE_DOC_STRATIFIED_SAMPLE,
 }

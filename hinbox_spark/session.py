@@ -38,7 +38,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         # autoBroadcastJoinThreshold default 10MB is right for dim tables;
         # AQE converts to broadcast at runtime when sizes allow.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode runs everything in the driver JVM: size the heap like
+        # a real executor fleet (~1.5 GB/core at local[16], not 0.5).
+        # A/B at 1.5M pages showed 8g vs 24g makes no measurable wall-time
+        # difference on this corpus, but 24g leaves headroom for cached
+        # stages + concurrent scans on a 128 GiB host and mirrors a
+        # realistic per-executor memory budget.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.host", "127.0.0.1")

@@ -99,3 +99,35 @@ def test_round4_relational_queries_have_scale_shaped_plans(spark):
 
     q16 = _plan(q_brand_supplier_counts(spark, sf))
     assert "LeftAnti" in q16 and "BroadcastHashJoin" in q16
+
+
+def test_sampling_queries_match_duckdb_and_are_deterministic(spark):
+    """Round-4 training-data ops: the hash-based holdout split and the
+    stratified quota sample must agree with the DuckDB oracle row-for-row
+    (two engines, two algorithms — bounded_topk tournament vs plain
+    window) and be bit-stable across reruns (no RNG anywhere)."""
+    import duckdb
+
+    from hinbox_spark.plans.queries import ORACLE_QUERIES, SPARK_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{sf}/documents.parquet')"
+    )
+    for name in ("doc_holdout_split", "doc_stratified_sample"):
+        sdf = SPARK_QUERIES[name](spark, sf).toPandas()
+        ddf = con.execute(ORACLE_QUERIES[name]).df()
+        cols = sorted(sdf.columns)
+        assert cols == sorted(ddf.columns)
+        got = sorted(map(tuple, sdf[cols].itertuples(index=False)))
+        want = sorted(map(tuple, ddf[cols].itertuples(index=False)))
+        assert got == want, f"{name}: spark != duckdb"
+        rerun = SPARK_QUERIES[name](spark, sf).toPandas()
+        assert sorted(map(tuple, rerun[cols].itertuples(index=False))) == got
+    # both splits must be non-trivial (the hex threshold actually splits)
+    splits = set(
+        SPARK_QUERIES["doc_holdout_split"](spark, sf)
+        .select("split").distinct().toPandas()["split"]
+    )
+    assert splits == {"train", "val"}
