@@ -63,6 +63,7 @@ HEADLINE = [
     "nation_trade_volume",
     "top_value_parts",
     "brand_supplier_counts",
+    "click_purchase_window",
     "doc_holdout_split",
     "doc_stratified_sample",
 ]

@@ -1240,6 +1240,48 @@ GROUP BY 1, 2
 """
 
 
+def q_click_purchase_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join — operator Spark lacks (`operators/rangejoin.py`):
+    purchases by the same user strictly-after a click and within one hour,
+    aggregated per click. Spark side: bucketized equi-join on
+    (user_id, time-bucket) + exact filter — no BroadcastNestedLoopJoin
+    (plan pinned in tests/test_rangejoin.py); oracle side: DuckDB's native
+    inequality join. Two engines, two algorithms, same rows."""
+    from hinbox_spark.operators.rangejoin import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    joined = range_join(
+        clicks, purchases, on=["user_id"], left_ts="ts", right_ts="p_ts",
+        lower_s=1, upper_s=3600,
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count("*").alias("n_purchases_1h"),
+        F.round(F.sum("p_value"), 2).alias("purchase_value_1h"),
+    )
+
+
+ORACLE_CLICK_PURCHASE_WINDOW = """
+SELECT c.event_id AS event_id,
+       c.user_id AS user_id,
+       count(*) AS n_purchases_1h,
+       round(sum(p.value), 2) AS purchase_value_1h
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts + INTERVAL 1 SECOND
+ AND p.ts <= c.ts + INTERVAL 3600 SECOND
+GROUP BY 1, 2
+"""
+
+
 def q_doc_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/validation holdout split — the standard
     training-data-pipeline op for carving an eval set out of a corpus
@@ -1616,6 +1658,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_trade_volume": q_nation_trade_volume,
     "top_value_parts": q_top_value_parts,
     "brand_supplier_counts": q_brand_supplier_counts,
+    "click_purchase_window": q_click_purchase_window,
     "doc_holdout_split": q_doc_holdout_split,
     "doc_stratified_sample": q_doc_stratified_sample,
     # non-SQL-expressible (rows-only driver check; correctness pinned by
@@ -1672,6 +1715,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "nation_trade_volume": ORACLE_NATION_TRADE,
     "top_value_parts": ORACLE_TOP_VALUE_PARTS,
     "brand_supplier_counts": ORACLE_BRAND_SUPPLIER_COUNTS,
+    "click_purchase_window": ORACLE_CLICK_PURCHASE_WINDOW,
     "doc_holdout_split": ORACLE_DOC_HOLDOUT_SPLIT,
     "doc_stratified_sample": ORACLE_DOC_STRATIFIED_SAMPLE,
 }
