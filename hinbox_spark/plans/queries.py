@@ -1313,7 +1313,7 @@ SELECT lang,
        CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < '1a'
             THEN 'val' ELSE 'train' END AS split,
        count(*) AS n_docs,
-       sum(len(string_split(text, ' '))) AS total_tokens
+       sum(len(string_split(text, ' ')))::BIGINT AS total_tokens
 FROM documents
 GROUP BY 1, 2
 """
