@@ -249,10 +249,11 @@ def run_pipeline(
     def _metrics_early() -> DataFrame:
         """The metrics rows that need only pages/articles/mentions — the
         EXPENSIVE scans of the metrics stage (skip-reason partition of the
-        whole page set, QC flag slice, B5 truncation counters). The
-        linking block checkpoints this from a background thread overlapped
-        with the clustering chain, so the final metrics job only counts
-        the small freshly-written tables."""
+        whole page set, QC flag slice, B5 truncation counters). These run
+        in the FINAL metrics stage, where the cluster is otherwise idle:
+        overlapping them with the clustering chain from a background
+        thread was tried and measured SLOWER (see the note in the linking
+        block) — the fat pages scan evicts the cached clustering inputs."""
         m = _stage_counts(articles, "articles").unionByName(
             _stage_counts(mentions, "mentions")
         )
