@@ -66,6 +66,11 @@ HEADLINE = [
     "click_purchase_window",
     "doc_holdout_split",
     "doc_stratified_sample",
+    "customer_order_distribution",
+    "small_quantity_revenue",
+    "disjunctive_promo_revenue",
+    "priority_by_returnflag",
+    "top_return_customers",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "20000"))

@@ -1614,6 +1614,208 @@ def q_copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — order-count histogram over an outer join: how many
+    customers placed exactly k (non-default-priority) orders, including the
+    zero-order customers the inner join would drop. Scale shape: orders is
+    pre-aggregated to one row per custkey BEFORE the join (map-side
+    combinable), so the outer join moves |customers| + |active customers|
+    rows, never |orders|; the final histogram groupBy is over tiny
+    (c_count, custdist) pairs."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return (
+        c.join(per_cust, "c_custkey", "left")
+        .select(F.coalesce("n_orders", F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+ORACLE_CUSTOMER_ORDER_DIST = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_custkey) AS c_count
+  FROM customer
+  LEFT JOIN (SELECT o_custkey FROM orders
+             WHERE o_orderpriority <> '4-NOT SPECIFIED') o
+    ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated per-key scalar: revenue from lineitems
+    of one brand whose quantity is below half that part's average quantity.
+    The correlated avg is a window over l_partkey on the already-brand-
+    filtered rows (the predicate correlates on partkey only, so filtering
+    first is equivalence-preserving) — ONE scan of lineitem, one bounded
+    shuffle (≲30 lineitems per part, no skew), no self-join second pass."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    w = Window.partitionBy("l_partkey")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .withColumn("half_avg_qty", 0.5 * F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            (F.sum(cents) / 700.0).alias("avg_yearly"),
+            F.count("*").alias("n_small_items"),
+        )
+    )
+
+
+ORACLE_SMALL_QTY_REVENUE = """
+SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 700.0
+         AS avg_yearly,
+       count(*) AS n_small_items
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+"""
+
+
+def q_disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — OR-of-ANDs predicate over a broadcast join: three
+    disjoint (brand, size-range, quantity-range) branches summed in one
+    pass. The disjunction stays a single JVM filter after the broadcast
+    hash join — no union of three scans, no shuffle of lineitem."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    cond = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(16, 30)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(31, 50)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            (F.sum(rev_cents) / 100.0).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+ORACLE_DISJUNCTIVE_PROMO = """
+SELECT sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+         / 100.0 AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 16 AND 30
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 31 AND 50
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — conditional two-way counts over a join with a
+    pushed date range: per returnflag, how many 1997-shipped lineitems
+    belong to high- vs low-priority orders. The date predicate reaches the
+    lineitem scan (partition-prunable at scale); the case-sums are one
+    map-side-combinable aggregate after the orderkey join."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+ORACLE_PRIORITY_BY_RETURNFLAG = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+"""
+
+
+def q_top_return_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — top-20 customers by returned-item revenue: filter
+    pushed to the lineitem scan (returnflag = 'R'), orderkey join, then a
+    customer rollup joined to broadcast nation. Revenue is summed as
+    integer cents (exactly associative → engine-order-independent), and
+    the top-k has a deterministic c_custkey tie-break."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg((F.sum(rev_cents) / 100.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+ORACLE_TOP_RETURN_CUSTOMERS = """
+SELECT c_custkey, c_name, n_name AS nation,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+         / 100.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -1661,6 +1863,11 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "click_purchase_window": q_click_purchase_window,
     "doc_holdout_split": q_doc_holdout_split,
     "doc_stratified_sample": q_doc_stratified_sample,
+    "customer_order_distribution": q_customer_order_distribution,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "disjunctive_promo_revenue": q_disjunctive_promo_revenue,
+    "priority_by_returnflag": q_priority_by_returnflag,
+    "top_return_customers": q_top_return_customers,
     # non-SQL-expressible (rows-only driver check; correctness pinned by
     # tests/test_dedup.py and tests/test_ann.py)
     "doc_minhash_near_dups": q_doc_minhash_near_dups,
@@ -1718,4 +1925,9 @@ ORACLE_QUERIES: dict[str, str] = {
     "click_purchase_window": ORACLE_CLICK_PURCHASE_WINDOW,
     "doc_holdout_split": ORACLE_DOC_HOLDOUT_SPLIT,
     "doc_stratified_sample": ORACLE_DOC_STRATIFIED_SAMPLE,
+    "customer_order_distribution": ORACLE_CUSTOMER_ORDER_DIST,
+    "small_quantity_revenue": ORACLE_SMALL_QTY_REVENUE,
+    "disjunctive_promo_revenue": ORACLE_DISJUNCTIVE_PROMO,
+    "priority_by_returnflag": ORACLE_PRIORITY_BY_RETURNFLAG,
+    "top_return_customers": ORACLE_TOP_RETURN_CUSTOMERS,
 }

@@ -131,3 +131,37 @@ def test_sampling_queries_match_duckdb_and_are_deterministic(spark):
         .select("split").distinct().toPandas()["split"]
     )
     assert splits == {"train", "val"}
+
+
+def test_late_round4_relational_queries_have_scale_shaped_plans(spark):
+    """Q13/Q17/Q19/Q12/Q10 shapes: the outer-join histogram pre-aggregates
+    orders before joining, the correlated-avg query scans lineitem once
+    (window, not self-join), the disjunctive filter rides one broadcast
+    join, Q12's date range pushes into the lineitem scan, and Q10's
+    returnflag filter reaches the scan with nation broadcast."""
+    from hinbox_spark.plans.queries import (
+        q_customer_order_distribution, q_disjunctive_promo_revenue,
+        q_priority_by_returnflag, q_small_quantity_revenue,
+        q_top_return_customers,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    q13 = _plan(q_customer_order_distribution(spark, sf))
+    # per-custkey pre-aggregate sits below the outer join
+    assert q13.index("HashAggregate") > q13.index("Join") or \
+        q13.count("HashAggregate") >= 3  # partial+final pre-agg + histogram
+
+    q17 = _plan(q_small_quantity_revenue(spark, sf))
+    assert q17.count("lineitem.parquet") == 1  # one scan — window, no self-join
+    assert "BroadcastHashJoin" in q17
+
+    q19 = _plan(q_disjunctive_promo_revenue(spark, sf))
+    assert "BroadcastHashJoin" in q19
+    assert q19.count("lineitem.parquet") == 1  # one pass for all 3 branches
+
+    q12 = _plan(q_priority_by_returnflag(spark, sf))
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in q12
+
+    q10 = _plan(q_top_return_customers(spark, sf))
+    assert "EqualTo(l_returnflag,R)" in q10
+    assert "BroadcastHashJoin" in q10
