@@ -71,6 +71,8 @@ HEADLINE = [
     "disjunctive_promo_revenue",
     "priority_by_returnflag",
     "top_return_customers",
+    "copurchase_pagerank",
+    "doc_dedup_keepers",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "20000"))

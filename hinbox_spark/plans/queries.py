@@ -1816,6 +1816,101 @@ LIMIT 20
 """
 
 
+def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the bidirected bipartite purchase graph — the iterative
+    graph-analytics shape a KG consumer runs on the materialized edges
+    (reference serves a static entity graph; ranking its nodes is the
+    canonical downstream query). Fixed 8 power iterations, damping 0.85 —
+    deterministic, no convergence RNG. Scale shape per iteration: ONE
+    shuffle (edges ⋈ ranks on src, contributions groupBy dst); out-degrees
+    are precomputed once; ranks are localCheckpointed each round so the
+    lineage (and the physical plan) stays O(1) in the iteration count
+    instead of nesting 8 joins. No dangling-mass term is needed: every
+    node of this graph has degree ≥ 1 by construction (nodes come from
+    the edge list). Rows-only driver check (iterative fixpoint is not
+    single-query SQL); values pinned vs a numpy power iteration in
+    tests/test_graph_queries.py. Returns top-10 (node_id, rank)."""
+    e = _purchase_edges(spark, sf_dir)
+    fwd = e.select(
+        F.concat(F.lit("c:"), F.col("custkey")).alias("src"),
+        F.concat(F.lit("s:"), F.col("suppkey")).alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = deg.select(F.col("src").alias("node_id")).localCheckpoint(eager=True)
+    n_nodes = nodes.count()
+    d = 0.85
+    ranks = nodes.select("node_id", F.lit(1.0 / n_nodes).alias("rank"))
+    out_edges = edges.join(deg, "src").localCheckpoint(eager=True)
+    for _ in range(8):
+        contrib = (
+            out_edges.join(
+                ranks, out_edges.src == ranks.node_id
+            )
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node_id == contrib.dst, "left")
+            .select(
+                "node_id",
+                (
+                    F.lit((1.0 - d) / n_nodes)
+                    + d * F.coalesce("contrib", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ranks.select("node_id", F.round("rank", 8).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node_id"))
+        .limit(10)
+    )
+
+
+def q_doc_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution — the composition a training-data
+    pipeline actually ships (RefinedWeb/CCNet shape): MinHash-LSH pair
+    generation → connected components over the near-dup graph → one
+    deterministic keeper (min doc_id) per duplicate cluster. Reuses the
+    tested U-family and J11 operators end-to-end; every stage is the
+    capped/banded scale path (no all-pairs anywhere). Node ids are
+    zero-padded so the component label (lexicographic min) equals the
+    numeric min. Rows-only driver check; pinned vs an independent
+    union-find over the same pairs in tests/test_dedup.py.
+    Returns (cluster_id, keeper_doc_id, n_docs, n_removed)."""
+    from hinbox_spark.operators.clustering import connected_components
+    from hinbox_spark.operators.dedup import minhash_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = minhash_near_duplicates(docs, jaccard_threshold=0.7)
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
+    edges = pairs.select(pad("doc_a").alias("src"), pad("doc_b").alias("dst"))
+    nodes = (
+        edges.select(F.col("src").alias("node_id"))
+        .unionByName(edges.select(F.col("dst").alias("node_id")))
+        .distinct()
+    )
+    labels = connected_components(nodes, edges)
+    return (
+        labels.groupBy("cluster_id")
+        .agg(
+            F.min(F.col("node_id").cast("long")).alias("keeper_doc_id"),
+            F.count("*").alias("n_docs"),
+            (F.count("*") - 1).alias("n_removed"),
+        )
+        .select(
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            "keeper_doc_id",
+            "n_docs",
+            "n_removed",
+        )
+    )
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -1877,6 +1972,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_simhash_near_dups": q_doc_simhash_near_dups,
     "copurchase_components": q_copurchase_components,
     "copurchase_reach_hll": q_copurchase_reach_hll,
+    "copurchase_pagerank": q_copurchase_pagerank,
+    "doc_dedup_keepers": q_doc_dedup_keepers,
 }
 
 ORACLE_QUERIES: dict[str, str] = {

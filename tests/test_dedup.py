@@ -149,3 +149,49 @@ def test_simhash_results_unchanged_by_cap(docs):
     assert pairs.get((0, 1)) == 0
     assert (0, 2) in pairs and pairs[(0, 2)] <= 8
     assert (0, 3) not in pairs
+
+
+def test_doc_dedup_keepers_match_union_find(spark):
+    """The keeper-selection composition (MinHash pairs → connected
+    components → min-doc_id keeper) must agree with an independent
+    union-find over the SAME pair set: same clusters, same keepers,
+    same member counts."""
+    from hinbox_spark.operators.dedup import minhash_near_duplicates
+    from hinbox_spark.plans.queries import q_doc_dedup_keepers
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_near_duplicates(docs, jaccard_threshold=0.7).collect()
+    ]
+    assert pairs, "fixture must contain near-duplicates"
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    comps: dict = {}
+    for n in list(parent):
+        comps.setdefault(find(n), []).append(n)
+    expected = {
+        min(members): (len(members), len(members) - 1)
+        for members in comps.values()
+    }
+
+    got = {
+        r["keeper_doc_id"]: (r["n_docs"], r["n_removed"])
+        for r in q_doc_dedup_keepers(spark, sf).collect()
+    }
+    assert got == expected
+    # the component label itself must be the numeric-min doc id (zero-pad
+    # invariant), i.e. cluster_id == keeper everywhere
+    for r in q_doc_dedup_keepers(spark, sf).collect():
+        assert r["cluster_id"] == r["keeper_doc_id"]

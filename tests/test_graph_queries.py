@@ -63,3 +63,52 @@ def test_copurchase_components_match_union_find(spark):
     assert row["n_components"] == len(comps)
     assert row["n_nodes"] == len(parent)
     assert row["largest_component"] == max(len(v) for v in comps.values())
+
+
+def test_copurchase_pagerank_matches_numpy_power_iteration(spark):
+    """The Spark PageRank (8 fixed iterations, d=0.85, no dangling term —
+    every node has degree ≥ 1) must agree with an independent dense numpy
+    power iteration on the same graph to ~float precision, and be
+    deterministic across reruns."""
+    import numpy as np
+
+    from hinbox_spark.plans.queries import (
+        _purchase_edges, q_copurchase_pagerank,
+    )
+
+    fwd = [
+        (f"c:{r['custkey']}", f"s:{r['suppkey']}")
+        for r in _purchase_edges(spark, SF).collect()
+    ]
+    edges = fwd + [(b, a) for a, b in fwd]
+    nodes = sorted({x for e in edges for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for s, _ in edges:
+        deg[idx[s]] += 1
+    rank = np.full(n, 1.0 / n)
+    d = 0.85
+    for _ in range(8):
+        contrib = np.zeros(n)
+        for s, t in edges:
+            contrib[idx[t]] += rank[idx[s]] / deg[idx[s]]
+        rank = (1.0 - d) / n + d * contrib
+
+    got = q_copurchase_pagerank(spark, SF).collect()
+    assert len(got) == 10
+    expected_order = sorted(
+        ((nodes[i], rank[i]) for i in range(n)),
+        key=lambda t: (-round(t[1], 8), t[0]),
+    )[:10]
+    for row, (name, r) in zip(got, expected_order):
+        assert row["node_id"] == name
+        # the query rounds to 8 decimals; compare against the rounded ref
+        assert abs(row["rank"] - round(r, 8)) < 1e-9, (
+            row["node_id"], row["rank"], r,
+        )
+
+    rerun = q_copurchase_pagerank(spark, SF).collect()
+    assert [(r["node_id"], r["rank"]) for r in rerun] == [
+        (r["node_id"], r["rank"]) for r in got
+    ]
