@@ -73,6 +73,7 @@ HEADLINE = [
     "top_return_customers",
     "copurchase_pagerank",
     "doc_dedup_keepers",
+    "corpus_vocab_topk",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "20000"))

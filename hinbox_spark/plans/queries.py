@@ -1816,6 +1816,36 @@ LIMIT 20
 """
 
 
+def q_corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-k — the tokenizer/vocab-building scan every
+    training-data pipeline runs. Scale shape: explode to words, count with
+    map-side partial aggregation (word counts shrink the data before the
+    one shuffle), then a global top-50 via TakeOrderedAndProject — Spark's
+    distributed tournament, so no task ever sorts the full vocabulary.
+    Deterministic (count desc, word asc) tie-break."""
+    words = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(50)
+    )
+
+
+ORACLE_CORPUS_VOCAB = """
+SELECT word, count(*) AS n
+FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word
+ORDER BY n DESC, word ASC
+LIMIT 50
+"""
+
+
 def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the bidirected bipartite purchase graph — the iterative
     graph-analytics shape a KG consumer runs on the materialized edges
@@ -1967,6 +1997,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "disjunctive_promo_revenue": q_disjunctive_promo_revenue,
     "priority_by_returnflag": q_priority_by_returnflag,
     "top_return_customers": q_top_return_customers,
+    "corpus_vocab_topk": q_corpus_vocab_topk,
     # non-SQL-expressible (rows-only driver check; correctness pinned by
     # tests/test_dedup.py and tests/test_ann.py)
     "doc_minhash_near_dups": q_doc_minhash_near_dups,
@@ -2031,4 +2062,5 @@ ORACLE_QUERIES: dict[str, str] = {
     "disjunctive_promo_revenue": ORACLE_DISJUNCTIVE_PROMO,
     "priority_by_returnflag": ORACLE_PRIORITY_BY_RETURNFLAG,
     "top_return_customers": ORACLE_TOP_RETURN_CUSTOMERS,
+    "corpus_vocab_topk": ORACLE_CORPUS_VOCAB,
 }

@@ -165,3 +165,15 @@ def test_late_round4_relational_queries_have_scale_shaped_plans(spark):
     q10 = _plan(q_top_return_customers(spark, sf))
     assert "EqualTo(l_returnflag,R)" in q10
     assert "BroadcastHashJoin" in q10
+
+
+def test_corpus_vocab_topk_is_tournament_not_global_sort(spark):
+    """The vocabulary top-50 must be a TakeOrdered tournament (no task
+    sorts the full vocabulary) with map-side partial counts."""
+    from hinbox_spark.plans.queries import q_corpus_vocab_topk
+
+    df = q_corpus_vocab_topk(spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
