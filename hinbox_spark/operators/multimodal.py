@@ -137,3 +137,102 @@ def media_metadata_stats(media: DataFrame) -> DataFrame:
         F.avg("duration_ms").alias("avg_duration_ms"),
         F.sum(F.length("mime")).alias("mime_bytes"),
     )
+
+RESIZED_SCHEMA_DDL = (
+    "media_id long, kind string, mime string, width int, height int, "
+    "duration_ms int, payload binary, resize_ok boolean"
+)
+
+
+def resize_media(media: DataFrame, target_w: int, target_h: int,
+                 decoder: str = "synth") -> DataFrame:
+    """payload → payload resized to (target_w, target_h) — the standard
+    image-normalization pass before feature extraction / training.
+
+    The pixel resample itself is the stubbed decode step (deterministic
+    nearest-neighbor over the synthetic body; a real deployment swaps in
+    cv2.resize via DECODERS): what is real and tested is the Spark
+    plumbing — cardinality-preserving mapInPandas over Arrow batches,
+    payload re-encoded with the updated header so downstream decoders see
+    a consistent blob, audio rows passed through untouched (resize is a
+    no-op for kind='audio'), and poison-pill payloads yielding
+    resize_ok=false rows instead of killing the task."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                try:
+                    if row.kind != "image":
+                        out.append(tuple(row) + (True,))
+                        continue
+                    d = decode_media(bytes(row.payload), decoder)
+                    body = d["body"]
+                    n = max(1, target_w * target_h // 64)
+                    idx = (np.arange(n) * max(1, len(body)) // n) % max(1, len(body))
+                    resized = body[idx] if len(body) else body
+                    payload = (
+                        _MAGIC + b"i"
+                        + struct.pack("<iii", target_w, target_h, 0)
+                        + resized.tobytes()
+                    )
+                    out.append((row.media_id, row.kind, row.mime, target_w,
+                                target_h, row.duration_ms, payload, True))
+                except Exception:
+                    out.append((row.media_id, row.kind, row.mime, row.width,
+                                row.height, row.duration_ms, row.payload, False))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "kind", "mime", "width", "height",
+                         "duration_ms", "payload", "resize_ok"],
+            )
+
+    return media.select(
+        "media_id", "kind", "mime", "width", "height", "duration_ms", "payload"
+    ).mapInPandas(_resize, RESIZED_SCHEMA_DDL)
+
+
+FRAME_SCHEMA_DDL = (
+    "media_id long, frame_idx int, ts_ms int, frame binary, decode_ok boolean"
+)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000,
+                  max_frames: int = 32, decoder: str = "synth") -> DataFrame:
+    """Temporal frame sampling — one row per sampled frame (images emit a
+    single frame at ts 0; audio/video emit one per `every_ms` of
+    duration). The per-media fan-out is HARD-CAPPED at `max_frames` so a
+    corrupt duration header can never explode one task's output (the cap
+    is the multimodal analogue of the dedup bucket caps — bounded fan-out
+    by construction, not by hope). Frame bytes are a deterministic slice
+    of the decoded body (the stubbed stand-in for a real keyframe
+    decoder); schema/batching/poison-pill semantics are the real,
+    tested plumbing."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
+                                          pdf["payload"]):
+                try:
+                    d = decode_media(bytes(payload), decoder)
+                    body = d["body"]
+                    n = 1 if d["duration_ms"] <= 0 else min(
+                        max_frames, 1 + d["duration_ms"] // every_ms
+                    )
+                    n = max(1, min(int(n), max_frames))
+                    step = max(1, len(body) // n)
+                    for i in range(n):
+                        sl = body[i * step:(i + 1) * step]
+                        out.append((int(mid), i, int(i * every_ms),
+                                    sl.tobytes(), True))
+                except Exception:
+                    out.append((int(mid), 0, 0, b"", False))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "frame_idx", "ts_ms", "frame", "decode_ok"],
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        _sample, FRAME_SCHEMA_DDL
+    )
