@@ -74,6 +74,7 @@ HEADLINE = [
     "copurchase_pagerank",
     "doc_dedup_keepers",
     "corpus_vocab_topk",
+    "doc_weighted_mix",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "20000"))

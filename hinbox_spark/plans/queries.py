@@ -1816,6 +1816,66 @@ LIMIT 20
 """
 
 
+def q_doc_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted dataset mix — the corpus-blending step before
+    training (keep 100% of high-quality sources, 50% of mid, ~10% of the
+    rest). RNG-free like the holdout split: keep iff the 4-hex-char
+    md5(doc_id) prefix is below the source's hex threshold, so every
+    engine/run/retry keeps the identical document set and upweighting a
+    source later only ADDS documents (monotone under weight increases —
+    `ORDER BY rand()` resampling has neither property). The per-source
+    rates ride a broadcast weights dim (at 10¹² docs the weights table is
+    still tiny); the filter is a stateless per-row map — no shuffle until
+    the final small per-source aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(
+        [(f"src{i}", "g" if i < 5 else ("8000" if i < 10 else "199a"))
+         for i in range(20)],
+        "source string, hex_cap string",
+    )
+    kept = d.join(F.broadcast(weights), "source").filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+        < F.col("hex_cap")
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("total_tokens"),
+    )
+
+
+ORACLE_DOC_WEIGHTED_MIX = """
+WITH weights(source, hex_cap) AS (
+  VALUES ('src0', 'g'),
+         ('src1', 'g'),
+         ('src2', 'g'),
+         ('src3', 'g'),
+         ('src4', 'g'),
+         ('src5', '8000'),
+         ('src6', '8000'),
+         ('src7', '8000'),
+         ('src8', '8000'),
+         ('src9', '8000'),
+         ('src10', '199a'),
+         ('src11', '199a'),
+         ('src12', '199a'),
+         ('src13', '199a'),
+         ('src14', '199a'),
+         ('src15', '199a'),
+         ('src16', '199a'),
+         ('src17', '199a'),
+         ('src18', '199a'),
+         ('src19', '199a')
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+FROM documents
+JOIN weights USING (source)
+WHERE substr(md5(doc_id::VARCHAR), 1, 4) < hex_cap
+GROUP BY source
+"""
+
+
 def q_corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary top-k — the tokenizer/vocab-building scan every
     training-data pipeline runs. Scale shape: explode to words, count with
@@ -1998,6 +2058,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "priority_by_returnflag": q_priority_by_returnflag,
     "top_return_customers": q_top_return_customers,
     "corpus_vocab_topk": q_corpus_vocab_topk,
+    "doc_weighted_mix": q_doc_weighted_mix,
     # non-SQL-expressible (rows-only driver check; correctness pinned by
     # tests/test_dedup.py and tests/test_ann.py)
     "doc_minhash_near_dups": q_doc_minhash_near_dups,
@@ -2063,4 +2124,5 @@ ORACLE_QUERIES: dict[str, str] = {
     "priority_by_returnflag": ORACLE_PRIORITY_BY_RETURNFLAG,
     "top_return_customers": ORACLE_TOP_RETURN_CUSTOMERS,
     "corpus_vocab_topk": ORACLE_CORPUS_VOCAB,
+    "doc_weighted_mix": ORACLE_DOC_WEIGHTED_MIX,
 }

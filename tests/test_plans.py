@@ -115,7 +115,7 @@ def test_sampling_queries_match_duckdb_and_are_deterministic(spark):
     con.execute(
         f"create view documents as select * from read_parquet('{sf}/documents.parquet')"
     )
-    for name in ("doc_holdout_split", "doc_stratified_sample"):
+    for name in ("doc_holdout_split", "doc_stratified_sample", "doc_weighted_mix"):
         sdf = SPARK_QUERIES[name](spark, sf).toPandas()
         ddf = con.execute(ORACLE_QUERIES[name]).df()
         cols = sorted(sdf.columns)
