@@ -2005,6 +2005,210 @@ def q_doc_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHINGLE_N = 4
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word-{_SHINGLE_N}-gram shingles per document, exploded to
+    (doc_id, sh) rows — the shared substrate for decontamination and
+    novelty. JVM-only: split → sequence/transform/slice → array_distinct →
+    explode, all whole-stage-codegen column expressions (no UDF). The
+    `when` guard matters: Spark's `sequence(1, size-3)` DESCENDS when
+    size < 4, which would fabricate shingles for short docs."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    span = _SHINGLE_N - 1
+    sh = F.when(
+        F.size(w) > span,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - span),
+            lambda i: F.concat_ws(" ", F.slice(w, i, _SHINGLE_N)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select(
+        "doc_id", F.explode(F.array_distinct(sh)).alias("sh")
+    )
+
+
+def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the n-gram-overlap scan every serious
+    training-data pipeline runs before training (GPT-3/PaLM-style: flag
+    corpus documents sharing word n-grams with the held-out eval set).
+    Eval set = doc_id % 50 == 0, a deterministic stand-in for the
+    benchmark suite. Scale shape: the eval side is DISTINCT shingles of
+    the (small) benchmark set and is BROADCAST — at 10¹² corpus docs the
+    benchmark suite is still a few million shingles, so the corpus side
+    never shuffles for the join; the only shuffles are the two per-doc
+    groupBy counts (map-side combinable). Short 4-gram shingles =
+    high-recall stage; hits feed an exact verifier downstream.
+    Returns (doc_id, n_shared, n_shingles, contamination)."""
+    sh = _doc_shingles(spark, sf_dir)
+    eval_sh = (
+        sh.filter(F.col("doc_id") % 50 == 0)
+        .select("sh")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = sh.filter(F.col("doc_id") % 50 != 0)
+    # single pass: left-broadcast-join the eval flag onto every corpus
+    # shingle, then ONE per-doc groupBy yields both counts — the corpus
+    # is exploded once and shuffled once (vs the naive
+    # totals-join-shared shape: 2 explosions + 2 shuffles + a join).
+    return (
+        corpus.join(F.broadcast(eval_sh), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_shared"),
+            F.count("*").alias("n_shingles"),
+        )
+        .filter(F.col("n_shared") > 0)
+        .select(
+            "doc_id",
+            "n_shared",
+            "n_shingles",
+            F.round(F.col("n_shared") / F.col("n_shingles"), 4).alias(
+                "contamination"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DOC_CONTAMINATION = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, array_to_string(w[g:g+3], ' ') AS sh
+  FROM words, unnest(generate_series(1, greatest(len(w) - 3, 0))) AS t(g)
+),
+eval_sh AS (SELECT DISTINCT sh FROM shingles WHERE doc_id % 50 = 0),
+corpus AS (SELECT * FROM shingles WHERE doc_id % 50 <> 0),
+totals AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id),
+shared AS (
+  SELECT c.doc_id, count(*) AS n_shared
+  FROM corpus c JOIN eval_sh e USING (sh)
+  GROUP BY c.doc_id
+)
+SELECT s.doc_id, s.n_shared, t.n_shingles,
+       round(s.n_shared::DOUBLE / t.n_shingles, 4) AS contamination
+FROM shared s JOIN totals t USING (doc_id)
+ORDER BY s.doc_id
+"""
+
+
+def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty — fraction of a doc's distinct 4-gram
+    shingles first seen in THIS doc (min doc_id over the corpus), the
+    running-freshness metric crawl pipelines use to rank recrawl value
+    and detect boilerplate saturation. Scale shape: one groupBy(sh) with
+    map-side-combined min (shingle cardinality ≪ exploded rows on real
+    boilerplate-heavy corpora), then the join back to the exploded rows
+    reuses the same hash partitioning on sh (no extra exchange under
+    AQE), then a per-doc groupBy. Nothing is all-pairs and nothing is
+    collected. Returns (doc_id, n_shingles, n_novel, novelty)."""
+    sh = _doc_shingles(spark, sf_dir)
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        F.round(F.col("n_novel") / F.col("n_shingles"), 4).alias("novelty"),
+    ).orderBy("doc_id")
+
+
+ORACLE_DOC_NGRAM_NOVELTY = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, array_to_string(w[g:g+3], ' ') AS sh
+  FROM words, unnest(generate_series(1, greatest(len(w) - 3, 0))) AS t(g)
+),
+first_seen AS (SELECT sh, min(doc_id) AS first_doc FROM shingles GROUP BY sh)
+SELECT s.doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       round(CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT)::DOUBLE / count(*), 4) AS novelty
+FROM shingles s JOIN first_seen f USING (sh)
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+"""
+
+
+def q_source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive vocabulary — top-3 terms per source by an
+    integer-exact TF-IDF variant: score = tf × (N_docs − df). Same
+    ranking intent as tf·log(N/df) (monotone in tf, anti-monotone in df)
+    but exactly reproducible across engines — transcendental log would
+    make the DuckDB-vs-JVM value hash flaky at the last ulp. Scale
+    shape: term frequencies shrink map-side before their one shuffle;
+    the document-frequency table is vocabulary-sized and BROADCAST; the
+    per-source window ranks at most |vocab| rows per source. Ties break
+    (score desc, term asc) — deterministic.
+    Returns (source, term, tf, df, score)."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", "source", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    df_tbl = words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    total = d.agg(F.count("*").alias("n_docs"))
+    tf = words.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn("score", F.col("tf") * (F.col("n_docs") - F.col("df")))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("source", "term", "tf", "df", "score")
+        .orderBy("source", "term")
+    )
+
+
+ORACLE_SOURCE_DISTINCTIVE_TERMS = """
+WITH w AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT source, term, count(*) AS tf
+  FROM w WHERE term <> '' GROUP BY source, term
+),
+dft AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM w WHERE term <> '' GROUP BY term
+),
+tot AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT source, term, tf, df, tf * (n_docs - df) AS score
+  FROM tf JOIN dft USING (term) CROSS JOIN tot
+)
+SELECT source, term, tf, df, score
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY source ORDER BY score DESC, term ASC) AS rk
+  FROM scored
+)
+WHERE rk <= 3
+ORDER BY source, term
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -2059,6 +2263,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_return_customers": q_top_return_customers,
     "corpus_vocab_topk": q_corpus_vocab_topk,
     "doc_weighted_mix": q_doc_weighted_mix,
+    "doc_contamination": q_doc_contamination,
+    "doc_ngram_novelty": q_doc_ngram_novelty,
+    "source_distinctive_terms": q_source_distinctive_terms,
     # non-SQL-expressible (rows-only driver check; correctness pinned by
     # tests/test_dedup.py and tests/test_ann.py)
     "doc_minhash_near_dups": q_doc_minhash_near_dups,
@@ -2125,4 +2332,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "top_return_customers": ORACLE_TOP_RETURN_CUSTOMERS,
     "corpus_vocab_topk": ORACLE_CORPUS_VOCAB,
     "doc_weighted_mix": ORACLE_DOC_WEIGHTED_MIX,
+    "doc_contamination": ORACLE_DOC_CONTAMINATION,
+    "doc_ngram_novelty": ORACLE_DOC_NGRAM_NOVELTY,
+    "source_distinctive_terms": ORACLE_SOURCE_DISTINCTIVE_TERMS,
 }

@@ -177,3 +177,60 @@ def test_corpus_vocab_topk_is_tournament_not_global_sort(spark):
     plan = _plan(df)
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan
+
+
+def test_text_analysis_round4b_queries_scale_shaped_plans(spark):
+    """Decontamination/novelty/TF-IDF plans: eval shingles and the df
+    vocabulary table are BROADCAST (the corpus side never shuffles for
+    those joins), shingle generation is pure column expressions (no
+    Python UDF anywhere in the plan), and the text column is pruned from
+    the scan wherever it isn't needed."""
+    from hinbox_spark.plans.queries import (
+        q_doc_contamination, q_doc_ngram_novelty, q_source_distinctive_terms,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cont = _plan(q_doc_contamination(spark, sf))
+    assert "BroadcastHashJoin" in cont
+    assert "BatchEvalPython" not in cont and "ArrowEvalPython" not in cont
+
+    nov = _plan(q_doc_ngram_novelty(spark, sf))
+    assert "BatchEvalPython" not in nov and "ArrowEvalPython" not in nov
+    # only doc_id + text are read from the documents scan
+    read = nov.split("ReadSchema")[-1]
+    assert "source" not in read and "lang" not in read
+
+    tfidf = _plan(q_source_distinctive_terms(spark, sf))
+    assert tfidf.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in tfidf  # 1-row total is broadcast
+    assert "BatchEvalPython" not in tfidf
+
+
+def test_doc_contamination_flags_planted_near_dup(spark):
+    """Semantics probe on crafted docs: a doc sharing a 4-gram run with an
+    eval doc (doc_id % 50 == 0) is flagged with the exact shared count; a
+    disjoint doc is not flagged; a 3-word doc produces no shingles."""
+    import pyspark.sql.functions as F
+    from hinbox_spark.plans.queries import q_doc_contamination
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f", "en", "src0", 11),      # eval doc
+            (1, "a b c d x y z", "en", "src0", 13),    # shares 'a b c d'
+            (2, "p q r s t u", "en", "src0", 11),      # disjoint
+            (3, "a b c", "en", "src0", 5),             # too short: no shingles
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.createOrReplaceTempView("___cont_docs")
+    import hinbox_spark.plans.queries as Q
+    orig = Q._t
+    try:
+        Q._t = lambda spark, sf_dir, name: spark.table("___cont_docs")
+        out = {r["doc_id"]: r.asDict() for r in
+               q_doc_contamination(spark, "unused").collect()}
+    finally:
+        Q._t = orig
+    assert set(out) == {1}
+    assert out[1]["n_shared"] == 1 and out[1]["n_shingles"] == 4
+    assert out[1]["contamination"] == 0.25
