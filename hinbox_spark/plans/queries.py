@@ -2209,6 +2209,200 @@ ORDER BY source, term
 """
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: per user, the
+    first view, the first click strictly AFTER that view, and the first
+    purchase strictly after that click (the standard product-analytics
+    funnel with step ordering enforced, not mere set membership). Scale
+    shape: each step is a map-side-combinable min-aggregation per user;
+    the step joins are all keyed on user_id, so at 10¹² events AQE
+    co-partitions the three step tables on one exchange each — no
+    window over a user's full history and no per-user collect_list.
+    Returns (user_id, t_view, t_click, t_purchase) with NULLs where the
+    funnel was abandoned."""
+    e = _t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "t_view", "t_click", "t_purchase")
+        .orderBy("user_id")
+    )
+
+
+ORACLE_EVENTS_FUNNEL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+ORDER BY v.user_id
+"""
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — users grouped by first-activity day,
+    counted on each later active day as an offset from their cohort day
+    (the canonical D1/D7/D30 retention triangle). Scale shape: the
+    cohort table is a map-side-combinable min per user; per-user active
+    days are a distinct (user, day) projection; both sides are keyed on
+    user_id for the one join, then the (cohort, offset) aggregate is
+    tiny (days²). Nothing scans a user's history twice.
+    Returns (cohort_day, day_offset, n_active)."""
+    e = _t(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort"))
+    act = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort").cast("long").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+ORACLE_EVENTS_RETENTION = """
+WITH first AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+  FROM events GROUP BY user_id
+),
+act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', f.cohort, a.day) AS BIGINT) AS day_offset,
+       count(DISTINCT a.user_id) AS n_active
+FROM act a JOIN first f USING (user_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def q_training_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone data-prep flow as ONE declarative plan: per source,
+    how many documents survive the standard training-corpus gauntlet —
+    language gate (en), length gate (≥ 20 words), repetition gate (top
+    word ≤ 25% of tokens, Gopher-style), and exact-dup gate (keeper =
+    min doc_id per 32-char-prefix fingerprint group) — with
+    first-failing-reason attribution in that fixed order, so every
+    engine assigns each drop to exactly one gate. Scale shape: the word
+    stats are one map-side-combined pass over the text; the dup-keeper
+    rule is a fingerprint groupBy (hash-partitioned, no window over the
+    corpus); the final per-source rollup is tiny. This is the query a
+    platform team actually runs nightly; everything upstream of it in
+    this file is one of its stages. Returns per-source counts."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    n_words = F.size(words)
+    top_ratio = (
+        F.array_max(
+            F.transform(
+                F.array_distinct(words),
+                lambda w: F.size(F.filter(words, lambda x: x == w)),
+            )
+        )
+        / n_words
+    )
+    fp = F.substring(F.col("text"), 1, 32)
+    keeper = d.groupBy(fp.alias("fp")).agg(F.min("doc_id").alias("keep_id"))
+    staged = (
+        d.join(keeper, fp == F.col("fp"))
+        .withColumn("n_words", n_words)
+        .withColumn("top_ratio", top_ratio)
+        .withColumn(
+            "drop_reason",
+            F.when(F.col("lang") != "en", "lang")
+            .when(F.col("n_words") < 20, "short")
+            .when(F.col("top_ratio") > 0.25, "repetition")
+            .when(F.col("doc_id") != F.col("keep_id"), "duplicate")
+            .otherwise("kept"),
+        )
+    )
+    return (
+        staged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("drop_reason") == "kept", 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("drop_reason") == "lang", 1).otherwise(0)).alias("n_lang"),
+            F.sum(F.when(F.col("drop_reason") == "short", 1).otherwise(0)).alias("n_short"),
+            F.sum(F.when(F.col("drop_reason") == "repetition", 1).otherwise(0)).alias("n_repetition"),
+            F.sum(F.when(F.col("drop_reason") == "duplicate", 1).otherwise(0)).alias("n_duplicate"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_TRAINING_CORPUS_FILTER = """
+WITH stats AS (
+  SELECT doc_id, max(c) AS top_c, sum(c) AS n_words
+  FROM (
+    SELECT doc_id, w, count(*) AS c
+    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+          FROM documents)
+    WHERE w <> ''
+    GROUP BY doc_id, w
+  )
+  GROUP BY doc_id
+),
+keeper AS (
+  SELECT substr(text, 1, 32) AS fp, min(doc_id) AS keep_id
+  FROM documents GROUP BY 1
+),
+staged AS (
+  SELECT d.source,
+         CASE WHEN d.lang <> 'en' THEN 'lang'
+              WHEN coalesce(s.n_words, 0) < 20 THEN 'short'
+              WHEN s.top_c::DOUBLE / s.n_words > 0.25 THEN 'repetition'
+              WHEN d.doc_id <> k.keep_id THEN 'duplicate'
+              ELSE 'kept' END AS drop_reason
+  FROM documents d
+  LEFT JOIN stats s USING (doc_id)
+  JOIN keeper k ON substr(d.text, 1, 32) = k.fp
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN drop_reason = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN drop_reason = 'lang' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+       CAST(sum(CASE WHEN drop_reason = 'short' THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+       CAST(sum(CASE WHEN drop_reason = 'repetition' THEN 1 ELSE 0 END) AS BIGINT) AS n_repetition,
+       CAST(sum(CASE WHEN drop_reason = 'duplicate' THEN 1 ELSE 0 END) AS BIGINT) AS n_duplicate
+FROM staged
+GROUP BY source
+ORDER BY source
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -2266,6 +2460,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_contamination": q_doc_contamination,
     "doc_ngram_novelty": q_doc_ngram_novelty,
     "source_distinctive_terms": q_source_distinctive_terms,
+    "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
+    "training_corpus_filter": q_training_corpus_filter,
     # non-SQL-expressible (rows-only driver check; correctness pinned by
     # tests/test_dedup.py and tests/test_ann.py)
     "doc_minhash_near_dups": q_doc_minhash_near_dups,
@@ -2335,4 +2532,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "doc_contamination": ORACLE_DOC_CONTAMINATION,
     "doc_ngram_novelty": ORACLE_DOC_NGRAM_NOVELTY,
     "source_distinctive_terms": ORACLE_SOURCE_DISTINCTIVE_TERMS,
+    "events_funnel": ORACLE_EVENTS_FUNNEL,
+    "events_retention": ORACLE_EVENTS_RETENTION,
+    "training_corpus_filter": ORACLE_TRAINING_CORPUS_FILTER,
 }

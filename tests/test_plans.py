@@ -234,3 +234,64 @@ def test_doc_contamination_flags_planted_near_dup(spark):
     assert set(out) == {1}
     assert out[1]["n_shared"] == 1 and out[1]["n_shingles"] == 4
     assert out[1]["contamination"] == 0.25
+
+
+def test_analytics_capstone_queries_scale_shaped_plans(spark):
+    """Funnel/retention/corpus-filter plans: no Python eval nodes
+    anywhere, funnel step aggregates have map-side partial_min, and the
+    corpus filter reads only the columns it needs."""
+    from hinbox_spark.plans.queries import (
+        q_events_funnel, q_events_retention, q_training_corpus_filter,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    fun = _plan(q_events_funnel(spark, sf))
+    assert "partial_min" in fun
+    assert "BatchEvalPython" not in fun and "ArrowEvalPython" not in fun
+
+    ret = _plan(q_events_retention(spark, sf))
+    assert "BatchEvalPython" not in ret and "ArrowEvalPython" not in ret
+    read = ret.split("ReadSchema")[-1]
+    assert "props" not in read and "value" not in read  # pruned
+
+    tcf = _plan(q_training_corpus_filter(spark, sf))
+    assert "BatchEvalPython" not in tcf and "ArrowEvalPython" not in tcf
+    assert "n_chars" not in tcf.split("ReadSchema")[-1]
+
+
+def test_events_funnel_enforces_step_order(spark):
+    """A click BEFORE the first view must not advance the funnel, and a
+    purchase before the first qualifying click must not either."""
+    import datetime
+    import pyspark.sql.functions as F  # noqa: F401
+    import hinbox_spark.plans.queries as Q
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 12, m)  # noqa: E731
+    ev = spark.createDataFrame(
+        [
+            # u1: click at :00 BEFORE view at :10 -> funnel stops at view
+            (1, t(0), 1, "click", 0.0, "{}"),
+            (2, t(10), 1, "view", 0.0, "{}"),
+            # u2: proper view -> click -> purchase chain
+            (3, t(0), 2, "view", 0.0, "{}"),
+            (4, t(5), 2, "click", 0.0, "{}"),
+            (5, t(9), 2, "purchase", 0.0, "{}"),
+            # u3: purchase BETWEEN view and click -> no purchase credited
+            (6, t(0), 3, "view", 0.0, "{}"),
+            (7, t(2), 3, "purchase", 0.0, "{}"),
+            (8, t(4), 3, "click", 0.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    ev.createOrReplaceTempView("___funnel_events")
+    orig = Q._t
+    try:
+        Q._t = lambda spark, sf_dir, name: spark.table("___funnel_events")
+        rows = {r["user_id"]: r for r in
+                Q.q_events_funnel(spark, "unused").collect()}
+    finally:
+        Q._t = orig
+    assert rows[1]["t_click"] is None and rows[1]["t_purchase"] is None
+    assert rows[2]["t_click"] == t(5) and rows[2]["t_purchase"] == t(9)
+    assert rows[3]["t_click"] == t(4) and rows[3]["t_purchase"] is None
