@@ -75,6 +75,12 @@ HEADLINE = [
     "doc_dedup_keepers",
     "corpus_vocab_topk",
     "doc_weighted_mix",
+    "doc_contamination",
+    "doc_ngram_novelty",
+    "source_distinctive_terms",
+    "events_funnel",
+    "events_retention",
+    "training_corpus_filter",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "20000"))
