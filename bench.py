@@ -81,6 +81,7 @@ HEADLINE = [
     "events_funnel",
     "events_retention",
     "training_corpus_filter",
+    "ann_pq_topk",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "20000"))

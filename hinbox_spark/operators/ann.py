@@ -1,14 +1,21 @@
 """Approximate nearest-neighbor search over an embedding column.
 
-Two tiers (SURVEY training-data ops):
+Four paths (SURVEY training-data ops), one per scale lever:
 - `brute_force_topk`: exact cosine top-k via broadcast of the query set —
   the correctness baseline (oracle-checked in plans/queries.py knn_top5).
 - `lsh_topk`: random-hyperplane LSH — signatures are JVM-free numpy in a
   pandas UDF, bucketing + multiprobe (flip one bit) keeps recall high while
   candidate generation scales with bucket sizes instead of N×Q.
+- `ivf_topk`: cell partitioning — a coarse k-means quantizer; each query
+  probes n_probe/n_centroids of the corpus.
+- `pq_topk`: product-quantization compression — the corpus scan reads
+  m-byte codes instead of float vectors (asymmetric-distance lookup
+  tables), with exact re-rank on the ADC survivors. This is the memory
+  lever: at 10¹² vectors the code table is ~2 orders of magnitude smaller
+  than the float32 corpus.
 
-Hyperplanes are derived deterministically from a fixed seed so results are
-reproducible across runs and executors.
+Hyperplanes and k-means seeds are derived deterministically (fixed seed /
+xxhash64 ordering) so results are reproducible across runs and executors.
 """
 
 from __future__ import annotations
@@ -352,6 +359,210 @@ def lsh_topk(
     return (
         joined.dropDuplicates(["query_id", "neighbor_id"])
         .filter((nq > 0) & (nc > 0))
+        .withColumn("cos", dot / (nq * nc))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos_sim"))
+    )
+
+
+def pq_fit_codebooks(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 32,
+    iters: int = 3,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Deterministic product-quantization codebooks: split the vector into
+    `m` subspaces of dim/m floats, k-means each subspace with `ksub`
+    centroids — the compression layer a 100-TB embedding store actually
+    needs (an m=8/ksub=16 code is 4 BYTES per vector vs 256 for the raw
+    float32s; the corpus scan for a query then reads codes, not vectors).
+
+    Scale shape per Lloyd round: ONE pass over the data. A mapInPandas
+    stage emits per-Arrow-batch sufficient statistics (per (subspace,
+    code): float64 sum vector + count — an (m × ksub × dsub) array, a few
+    KB); the driver collects ONLY these partials (rows ∝ #batches, never
+    vectors), sorts them by (batch, subspace, code) and folds in that
+    FIXED order so float accumulation is reproducible regardless of task
+    scheduling. Init = the `ksub` vectors with the smallest
+    xxhash64(id) (TakeOrdered k-heap — no global sort), each split into
+    its m subvectors. Returns array shape (m, ksub, dim//m), float32.
+    """
+    dsub = dim // m
+    assert m * dsub == dim, "dim must divide evenly into m subspaces"
+    seed_rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(ksub)
+        .collect()
+    )
+    seeds = np.array([r[vec_col] for r in seed_rows], dtype=np.float32)
+    books = np.stack(
+        [seeds[:, j * dsub:(j + 1) * dsub] for j in range(m)]
+    )  # (m, ksub, dsub)
+
+    out_schema = (
+        "batch_key string, sub int, code int, s array<double>, n long"
+    )
+    for _ in range(iters):
+        bk = books  # closure snapshot for this round
+
+        def _partials(batches):
+            for pdf in batches:
+                mat = np.array(pdf["__v"].tolist(), dtype=np.float32)
+                # stable batch key: smallest id in the batch (ids are
+                # unique, so keys are distinct and scheduling-independent)
+                key = str(pdf["__id"].min())
+                rows = []
+                for j in range(m):
+                    sub = mat[:, j * dsub:(j + 1) * dsub]
+                    d2 = (
+                        (sub * sub).sum(1)[:, None]
+                        - 2.0 * (sub @ bk[j].T)
+                        + (bk[j] * bk[j]).sum(1)[None, :]
+                    )
+                    code = d2.argmin(axis=1)
+                    for c in np.unique(code):
+                        sel = sub[code == c].astype(np.float64)
+                        rows.append(
+                            (key, j, int(c), sel.sum(axis=0).tolist(),
+                             int(sel.shape[0]))
+                        )
+                yield pd.DataFrame(
+                    rows, columns=["batch_key", "sub", "code", "s", "n"]
+                )
+
+        partials = (
+            emb.select(
+                F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+            )
+            .mapInPandas(_partials, out_schema)
+            .collect()
+        )
+        sums = np.zeros((m, ksub, dsub), dtype=np.float64)
+        counts = np.zeros((m, ksub), dtype=np.int64)
+        for r in sorted(
+            partials, key=lambda r: (r["batch_key"], r["sub"], r["code"])
+        ):
+            sums[r["sub"], r["code"]] += np.array(r["s"])
+            counts[r["sub"], r["code"]] += r["n"]
+        new = books.copy()  # empty codes keep their previous centroid
+        nz = counts > 0
+        new[nz] = (sums[nz] / counts[nz][:, None]).astype(np.float32)
+        books = new
+    return books
+
+
+def pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 32,
+    iters: int = 3,
+    dim: int = 64,
+    refine: int = 16,
+) -> DataFrame:
+    """PQ-compressed ANN top-k with asymmetric distance (ADC) + exact
+    re-rank — the third scale path beside `lsh_topk` (bucketing) and
+    `ivf_topk` (cell partitioning): compress every corpus vector to an
+    m-byte code, scan CODES (not vectors) against per-query lookup
+    tables, keep k×refine ADC candidates, then join the true vectors
+    back for exact cosine on that small survivor set.
+
+    Scale shape: the corpus is scanned once by a mapInPandas stage that
+    holds the (m × ksub) LUT per query (queries × codebooks are closure
+    state, a few KB) and emits only its per-batch top-(k×refine) per
+    query — a partial tournament, so the shuffle carries
+    O(#batches × q × k·refine) rows, never the corpus. The exact re-rank
+    joins `emb` on the surviving neighbor ids only. Approximation error
+    from ADC is repaired by the re-rank for any true neighbor that
+    survives the candidate cut; recall vs brute force is pinned in
+    tests/test_ann.py. Returns (query_id, rank, neighbor_id, cos_sim) —
+    the brute_force_topk/lsh_topk/ivf_topk contract, zero-norm vectors
+    excluded."""
+    dsub = dim // m
+    books = pq_fit_codebooks(emb, m, ksub, iters, dim)
+    qrows = queries.select("query_id", "qvec").collect()
+    qids = np.array([r["query_id"] for r in qrows])
+    qmat = np.array([r["qvec"] for r in qrows], dtype=np.float32)
+    qnorm = np.sqrt((qmat * qmat).sum(1))
+    # per-query LUT: lut[q][j, c] = dot(q_j, books[j][c]); approx corpus
+    # norm per code from the codebook entries themselves
+    lut = np.stack(
+        [qmat[:, j * dsub:(j + 1) * dsub] @ books[j].T for j in range(m)],
+        axis=1,
+    )  # (Q, m, ksub)
+    cnorm2 = (books * books).sum(axis=2)  # (m, ksub)
+    keep = k * refine
+
+    def _scan(batches):
+        for pdf in batches:
+            mat = np.array(pdf["__v"].tolist(), dtype=np.float32)
+            ids = pdf["__id"].to_numpy()
+            codes = np.empty((mat.shape[0], m), dtype=np.int64)
+            for j in range(m):
+                sub = mat[:, j * dsub:(j + 1) * dsub]
+                d2 = (
+                    (sub * sub).sum(1)[:, None]
+                    - 2.0 * (sub @ books[j].T)
+                    + (books[j] * books[j]).sum(1)[None, :]
+                )
+                codes[:, j] = d2.argmin(axis=1)
+            # ADC dot + approx norm from codes, all queries at once
+            approx_n = np.sqrt(cnorm2[np.arange(m)[None, :], codes].sum(1))
+            ok = approx_n > 0
+            rows = []
+            for qi in range(len(qids)):
+                if qnorm[qi] == 0:
+                    continue
+                adc = lut[qi][np.arange(m)[None, :], codes].sum(1)
+                score = np.where(
+                    ok, adc / (qnorm[qi] * np.maximum(approx_n, 1e-30)), -2.0
+                )
+                score = np.where(ids == qids[qi], -2.0, score)
+                top = np.argsort(-score)[:keep]
+                for t in top:
+                    if score[t] > -2.0:
+                        rows.append((int(qids[qi]), int(ids[t]), float(score[t])))
+            yield pd.DataFrame(
+                rows, columns=["query_id", "neighbor_id", "adc"]
+            )
+
+    cand = (
+        emb.select(F.col("vec_id").alias("__id"), F.col("embedding").alias("__v"))
+        .mapInPandas(_scan, "query_id long, neighbor_id long, adc double")
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    survivors = (
+        cand.withColumn("r", F.row_number().over(wk))
+        .filter(F.col("r") <= keep)
+        .select("query_id", "neighbor_id")
+    )
+    qdf = queries.select("query_id", "qvec")
+    rer = (
+        survivors.join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qdf), "query_id")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qvec, embedding, (a, b) ->"
+        " CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+    )
+    nq = F.expr(
+        "sqrt(aggregate(qvec, 0.0D, (acc,x) -> acc + CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))"
+    )
+    nc = F.expr(
+        "sqrt(aggregate(embedding, 0.0D, (acc,x) -> acc + CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        rer.filter((nq > 0) & (nc > 0))
         .withColumn("cos", dot / (nq * nc))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

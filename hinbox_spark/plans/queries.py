@@ -976,6 +976,22 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, q, k=5, n_centroids=32, n_probe=8, iters=2)
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-5 — the memory-lever scale path: the
+    corpus scan reads m-byte PQ codes via per-query ADC lookup tables
+    (per-batch partial tournaments, shuffle carries only candidate ids),
+    exact cosine re-rank on survivors. Non-SQL-expressible (learned
+    codebooks + ADC); rows-only driver check; recall ≥0.8 vs brute force
+    and codebook determinism pinned in tests/test_ann.py."""
+    from hinbox_spark.operators.ann import pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return pq_topk(e, q, k=5, m=8, ksub=32, iters=2, refine=16)
+
+
 def q_emb_near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed embedding near-dup threshold pairs — the scale path of
     emb_near_dup_pairs (which stays the brute-force oracle). Non-SQL-
@@ -2463,6 +2479,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
     "training_corpus_filter": q_training_corpus_filter,
+    "ann_pq_topk": q_ann_pq_topk,
     # non-SQL-expressible (rows-only driver check; correctness pinned by
     # tests/test_dedup.py and tests/test_ann.py)
     "doc_minhash_near_dups": q_doc_minhash_near_dups,

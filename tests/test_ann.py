@@ -144,3 +144,61 @@ def test_ivf_centroids_deterministic(spark, vectors):
     c1 = ivf_fit_centroids(vectors, n_centroids=8, iters=2)
     c2 = ivf_fit_centroids(vectors, n_centroids=8, iters=2)
     assert np.array_equal(c1, c2)
+
+
+def test_pq_recall_vs_brute(spark, vectors):
+    """PQ+ADC path: ≥0.8 recall vs brute force on the clustered fixture;
+    every emitted cos_sim is the EXACT value (re-rank repairs ADC error),
+    and the output contract matches the other paths."""
+    from hinbox_spark.operators.ann import pq_topk
+
+    queries = vectors.limit(5).selectExpr(
+        "vec_id as query_id", "embedding as qvec"
+    )
+    brute = {}
+    for r in brute_force_topk(vectors, queries, k=10).collect():
+        brute.setdefault(r["query_id"], {})[r["neighbor_id"]] = r["cos_sim"]
+
+    approx = {}
+    for r in pq_topk(vectors, queries, k=10, m=8, ksub=32, iters=3).collect():
+        approx.setdefault(r["query_id"], {})[r["neighbor_id"]] = r["cos_sim"]
+
+    recalls = []
+    for q, b in brute.items():
+        a = approx.get(q, {})
+        recalls.append(len(set(b) & set(a)) / len(b))
+        for n, cos in a.items():
+            if n in b:
+                assert abs(cos - b[n]) < 1e-9  # exact re-rank values
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_pq_codebooks_deterministic_and_shaped(spark, vectors):
+    """Hash-seeded init + fixed-order partial folding ⇒ identical codebooks
+    on re-fit; shape is (m, ksub, dim//m) — the compression contract
+    (m single-byte codes per vector)."""
+    from hinbox_spark.operators.ann import pq_fit_codebooks
+
+    b1 = pq_fit_codebooks(vectors, m=8, ksub=16, iters=2)
+    b2 = pq_fit_codebooks(vectors, m=8, ksub=16, iters=2)
+    assert b1.shape == (8, 16, 8)
+    assert np.array_equal(b1, b2)
+
+
+def test_pq_excludes_self_and_zero_norm(spark):
+    """A zero vector must neither be a neighbor nor poison scores; a query
+    never returns itself."""
+    from hinbox_spark.operators.ann import pq_topk
+
+    rng = np.random.RandomState(3)
+    rows = [(i, (rng.standard_normal(64) * 2).astype(np.float32).tolist())
+            for i in range(40)]
+    rows.append((40, [0.0] * 64))  # zero-norm vector
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = vecs.filter("vec_id in (0, 40)").selectExpr(
+        "vec_id as query_id", "embedding as qvec"
+    )
+    out = pq_topk(vecs, queries, k=5, m=8, ksub=8, iters=1).collect()
+    assert all(r["neighbor_id"] != r["query_id"] for r in out)
+    assert all(r["neighbor_id"] != 40 for r in out)
+    assert all(r["query_id"] != 40 for r in out)  # zero-norm query dropped
