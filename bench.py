@@ -82,6 +82,7 @@ HEADLINE = [
     "events_retention",
     "training_corpus_filter",
     "ann_pq_topk",
+    "events_percentiles_sketch",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "20000"))

@@ -742,6 +742,26 @@ GROUP BY event_type
 """
 
 
+def q_events_percentiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-path quantiles beside the exact `events_percentiles` oracle
+    baseline — `approx_percentile` (Greenwald-Khanna with relative-error
+    accuracy 10000), the quantile sibling of the HLL 2-hop path: the
+    sketch is MERGEABLE, so partial aggregates combine map-side and the
+    shuffle carries one bounded-size summary per (partition, type)
+    instead of the value multiset — at 10¹² events the exact
+    `percentile()` must materialize/sort each group's values while this
+    plan's state is O(accuracy) per group. Deterministic for a fixed
+    input+accuracy (GK is rank-based, not sampled). Rows-only driver
+    check; error vs the exact percentiles is pinned ≤1% of each type's
+    value range in tests/test_plans.py."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("approx_percentile(value, 0.25, 10000)"), 4).alias("p25"),
+        F.round(F.expr("approx_percentile(value, 0.5, 10000)"), 4).alias("p50"),
+        F.round(F.expr("approx_percentile(value, 0.9, 10000)"), 4).alias("p90"),
+    )
+
+
 def q_nation_customer_supplier_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations: nations with both customers and suppliers
     (INTERSECT) vs customer-only nations (EXCEPT)."""
@@ -2480,6 +2500,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_retention": q_events_retention,
     "training_corpus_filter": q_training_corpus_filter,
     "ann_pq_topk": q_ann_pq_topk,
+    "events_percentiles_sketch": q_events_percentiles_sketch,
     # non-SQL-expressible (rows-only driver check; correctness pinned by
     # tests/test_dedup.py and tests/test_ann.py)
     "doc_minhash_near_dups": q_doc_minhash_near_dups,

@@ -73,3 +73,61 @@ def run_windowed_counts(
         .start()
     )
     q.awaitTermination()
+
+
+def session_windowed_user_counts(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """streaming events → one row per closed user session:
+    (user_id, session_start, session_end, n_events).
+
+    The NATIVE dynamic-gap sibling of the batch sessionization oracle
+    (`events_sessions` — lag/cumsum over a static table): Spark's
+    `session_window` merges a user's events into a session that extends
+    while consecutive events arrive within `gap`, and the state store
+    keeps only OPEN sessions — a session finalizes (emitted once, append
+    mode) when the watermark passes its close. State is bounded by
+    (active users × open sessions), never the stream; this is the
+    session shape to reach for before the custom
+    applyInPandasWithState operator (streaming/stateful.py), which
+    remains for semantics session_window can't express (running
+    per-key emission while the key is still open)."""
+    return (
+        events_stream.withWatermark("ts", watermark_delay)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_session_counts(
+    spark: SparkSession,
+    events_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark_delay: str = "30 minutes",
+) -> None:
+    """AvailableNow driver for `session_windowed_user_counts` over a
+    parquet file stream of events (doc feed shape: user_id + ts)."""
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(events_dir)
+    q = (
+        session_windowed_user_counts(stream, gap, watermark_delay)
+        .writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -295,3 +295,36 @@ def test_events_funnel_enforces_step_order(spark):
     assert rows[1]["t_click"] is None and rows[1]["t_purchase"] is None
     assert rows[2]["t_click"] == t(5) and rows[2]["t_purchase"] == t(9)
     assert rows[3]["t_click"] == t(4) and rows[3]["t_purchase"] is None
+
+
+def test_events_percentiles_sketch_accuracy_and_plan(spark):
+    """The GK-sketch quantile path must (a) stay within 1% of each type's
+    value range vs the exact interpolated percentiles, (b) aggregate
+    with map-side partials (mergeable sketch), (c) be deterministic on
+    rerun."""
+    from hinbox_spark.plans.queries import (
+        q_events_percentiles, q_events_percentiles_sketch,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r["event_type"]: r for r in q_events_percentiles(spark, sf).collect()}
+    sk1 = {r["event_type"]: r for r in
+           q_events_percentiles_sketch(spark, sf).collect()}
+    sk2 = {r["event_type"]: r for r in
+           q_events_percentiles_sketch(spark, sf).collect()}
+    assert sk1.keys() == exact.keys()
+    import pyspark.sql.functions as F
+    rng = {
+        r["event_type"]: r["rng"]
+        for r in spark.read.parquet(sf + "/events.parquet")
+        .groupBy("event_type")
+        .agg((F.max("value") - F.min("value")).alias("rng"))
+        .collect()
+    }
+    for et, ex in exact.items():
+        for p in ("p25", "p50", "p90"):
+            assert abs(sk1[et][p] - ex[p]) <= 0.01 * rng[et] + 1e-9, (et, p)
+            assert sk1[et][p] == sk2[et][p]  # deterministic
+
+    plan = _plan(q_events_percentiles_sketch(spark, sf))
+    assert "partial_approx_percentile" in plan

@@ -63,3 +63,54 @@ def test_windows_finalize_once_and_drop_late_data(spark, tmp_path):
     assert [e for e in out3 if e[0] == 13] == [(13, "organizations", 1)]
     # no window emitted twice
     assert len({(h, t) for h, t, _ in out3}) == len(out3)
+
+
+def test_session_windows_merge_and_finalize(spark, tmp_path):
+    """Native session_window: events within the gap merge into one session
+    (its end extends), a gap closes the session exactly once when the
+    watermark passes, and sessions for different users are independent."""
+    import datetime
+
+    from hinbox_spark.streaming.windows import run_session_counts
+
+    def _events(rows):
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+
+    def _t(h, m=0):
+        return datetime.datetime(2024, 1, 1, h, m)
+
+    events_dir = str(tmp_path / "events")
+    out_dir = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt")
+
+    # run 1: u1 has two events 10 min apart (one session, 30-min gap);
+    # u2 one event. An 18:00 row pushes the watermark far past both.
+    _events([
+        (1, _t(10, 0), 1, "view", 0.0, "{}"),
+        (2, _t(10, 10), 1, "click", 0.0, "{}"),
+        (3, _t(10, 5), 2, "view", 0.0, "{}"),
+        (4, _t(18, 0), 9, "view", 0.0, "{}"),
+    ]).write.mode("append").parquet(events_dir)
+    run_session_counts(spark, events_dir, out_dir, ckpt, gap="30 minutes")
+    # second drain with a later row finalizes anything still open
+    _events([
+        (5, _t(23, 0), 9, "view", 0.0, "{}"),
+    ]).write.mode("append").parquet(events_dir)
+    run_session_counts(spark, events_dir, out_dir, ckpt, gap="30 minutes")
+
+    rows = {
+        (r["user_id"], r["session_start"]): r
+    for r in spark.read.parquet(out_dir).collect()}
+    u1 = rows[(1, _t(10, 0))]
+    # session end = last event + gap; both events merged
+    assert u1["n_events"] == 2
+    assert u1["session_end"] == _t(10, 40)
+    u2 = rows[(2, _t(10, 5))]
+    assert u2["n_events"] == 1 and u2["session_end"] == _t(10, 35)
+    # exactly-once: no duplicate (user, start) rows
+    all_rows = spark.read.parquet(out_dir).collect()
+    assert len(all_rows) == len(rows)
