@@ -2361,15 +2361,29 @@ def q_training_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
     n_words = F.size(words)
-    top_ratio = (
-        F.array_max(
-            F.transform(
-                F.array_distinct(words),
-                lambda w: F.size(F.filter(words, lambda x: x == w)),
-            )
-        )
-        / n_words
+    # max word multiplicity = longest equal-run in the SORTED word array,
+    # folded in one aggregate pass — O(n log n) per doc. (The tempting
+    # transform(array_distinct, w -> size(filter(...))) shape is
+    # O(distinct × words) per row: quadratic on exactly the long
+    # boilerplate documents this filter exists to catch.)
+    top_count = F.aggregate(
+        F.array_sort(words),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            F.when(w == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(w == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
     )
+    top_ratio = top_count / n_words
     fp = F.substring(F.col("text"), 1, 32)
     keeper = d.groupBy(fp.alias("fp")).agg(F.min("doc_id").alias("keep_id"))
     staged = (
