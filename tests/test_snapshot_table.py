@@ -259,3 +259,41 @@ def test_pipeline_publishes_entity_snapshots(spark, tmp_path):
     resolved = t.read_resolved(["entity_id"])
     assert resolved.count() == n_entities            # upsert, not duplicate
     assert t.read(snapshot_id=1).count() == n_entities  # time travel intact
+
+
+def test_compact_sort_by_clusters_file_layout(spark, tmp_path):
+    """Sorted compaction (rewrite-with-sort-order): after
+    compact(sort_by=[key]), each parquet file of the compacted batch
+    covers a disjoint key range (file-level min/max don't overlap), so
+    min/max pruning serves point lookups from one file; resolved content
+    is identical to an unsorted compact."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    rows = [("e%04d" % i, "N%d" % i, i % 3) for i in range(400)]
+    t.append(_df(spark, rows))
+    t.merge(_df(spark, [("e0001", "Renamed", 9)]))
+    before = {(r["entity_id"], r["name"])
+              for r in t.read_resolved(["entity_id"]).collect()}
+    t.compact(["entity_id"], sort_by=["entity_id"], sort_partitions=4)
+    after = {(r["entity_id"], r["name"])
+             for r in t.read_resolved(["entity_id"]).collect()}
+    assert after == before  # layout change only, same table
+
+    manifest = t._read_manifest(t.latest_snapshot_id())
+    batch_dir = t.data_dir + "/" + manifest["entries"][0]["batch"]
+    ranges = []
+    for f in glob.glob(batch_dir.replace("file:", "") + "/part-*.parquet"):
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)  # entity_id is first
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) > 1  # actually split across files
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint key ranges across files
