@@ -287,3 +287,84 @@ class SnapshotTable:
             .select(*key_cols, *[F.col(f"_row.{c}").alias(c) for c in payload])
             .drop("_seq")
         )
+
+
+class Catalog:
+    """Minimal namespace catalog over SnapshotTables — the last piece of
+    the Iceberg-shaped story expressible without external jars (a catalog
+    SERVER is out of sandbox scope; this is the filesystem-backed
+    HadoopCatalog analog: names → table paths under one warehouse root,
+    with atomic create).
+
+      warehouse/
+        <namespace>/<name>/    a SnapshotTable directory
+        .../_catalog_entry     create-exclusive marker: the table EXISTS
+                               iff its marker committed (a crashed
+                               create_table leaves garbage, never a
+                               half-registered table)
+
+    Multi-writer safety rides the same primitive as snapshot commits:
+    the marker is published create-exclusive, so two racing
+    create_table(name) calls get exactly one winner. Listing is a
+    directory scan of markers — O(tables) metadata, no data reads.
+    """
+
+    _MARKER = "_catalog_entry"
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse.rstrip("/")
+
+    def _table_path(self, namespace: str, name: str) -> str:
+        for part in (namespace, name):
+            if not part or "/" in part or part.startswith("_"):
+                raise ValueError(f"invalid identifier: {part!r}")
+        return f"{self.warehouse}/{namespace}/{name}"
+
+    def create_table(self, namespace: str, name: str) -> SnapshotTable:
+        """Atomically register (namespace, name); raises CommitConflict if
+        it already exists (the create-exclusive marker has one winner)."""
+        path = self._table_path(namespace, name)
+        marker = path + "/" + self._MARKER
+        hfs.mkdirs(self.spark, path)
+        tmp = path + f"/_tmp_marker-{uuid.uuid4().hex}"
+        hfs.write_text(self.spark, tmp, "v1")
+        if not hfs.publish_without_overwrite(self.spark, tmp, marker):
+            hfs.delete(self.spark, tmp)
+            raise CommitConflict(f"table exists: {namespace}.{name}")
+        return SnapshotTable(self.spark, path)
+
+    def load_table(self, namespace: str, name: str) -> SnapshotTable:
+        path = self._table_path(namespace, name)
+        if not hfs.exists(self.spark, path + "/" + self._MARKER):
+            raise FileNotFoundError(f"no such table: {namespace}.{name}")
+        return SnapshotTable(self.spark, path)
+
+    def table_exists(self, namespace: str, name: str) -> bool:
+        return hfs.exists(
+            self.spark, self._table_path(namespace, name) + "/" + self._MARKER
+        )
+
+    def list_tables(self, namespace: str) -> list[str]:
+        ns_dir = f"{self.warehouse}/{namespace}"
+        if not hfs.exists(self.spark, ns_dir):
+            return []
+        out = []
+        for d in hfs.list_dirs(self.spark, ns_dir):
+            name = d.rstrip("/").rsplit("/", 1)[-1]
+            if hfs.exists(self.spark, d.rstrip("/") + "/" + self._MARKER):
+                out.append(name)
+        return sorted(out)
+
+    def drop_table(self, namespace: str, name: str) -> bool:
+        """Unregister FIRST (delete the marker — after this no reader can
+        load the table), then best-effort delete the data; a crash between
+        the two leaves unreferenced files for expire-style GC, never a
+        readable half-deleted table."""
+        path = self._table_path(namespace, name)
+        marker = path + "/" + self._MARKER
+        if not hfs.exists(self.spark, marker):
+            return False
+        hfs.delete(self.spark, marker)
+        hfs.delete(self.spark, path, recursive=True)
+        return True

@@ -297,3 +297,32 @@ def test_compact_sort_by_clusters_file_layout(spark, tmp_path):
     assert len(ranges) > 1  # actually split across files
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # disjoint key ranges across files
+
+
+def test_catalog_create_load_list_drop(spark, tmp_path):
+    """Filesystem catalog: atomic create (second create of the same name
+    raises), load/list see only committed tables, drop unregisters before
+    deleting data."""
+    from hinbox_spark.tables import Catalog, CommitConflict
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    t = cat.create_table("kg", "entities")
+    t.append(_df(spark, [("a", "Alpha", 1)]))
+    with pytest.raises(CommitConflict):
+        cat.create_table("kg", "entities")
+    assert cat.list_tables("kg") == ["entities"]
+    assert cat.table_exists("kg", "entities")
+    assert cat.load_table("kg", "entities").read().count() == 1
+
+    # a bare directory without a marker (crashed create) is invisible
+    import os
+    os.makedirs(str(tmp_path / "wh" / "kg" / "ghost"))
+    assert cat.list_tables("kg") == ["entities"]
+    with pytest.raises(FileNotFoundError):
+        cat.load_table("kg", "ghost")
+
+    assert cat.drop_table("kg", "entities") is True
+    assert cat.list_tables("kg") == []
+    assert cat.drop_table("kg", "entities") is False
+    with pytest.raises(ValueError):
+        cat.create_table("kg", "bad/name")
