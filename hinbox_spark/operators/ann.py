@@ -543,11 +543,12 @@ def pq_topk(
         .select("query_id", "neighbor_id")
     )
     qdf = queries.select("query_id", "qvec")
+    # survivors is O(queries × k·refine) — BROADCAST it so the exact
+    # re-rank is a map-side hash join probing the (huge) corpus scan,
+    # never a shuffle of the corpus on neighbor_id
     rer = (
-        survivors.join(
-            emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
-            "neighbor_id",
-        )
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+        .join(F.broadcast(survivors), "neighbor_id")
         .join(F.broadcast(qdf), "query_id")
     )
     dot = F.expr(
