@@ -1,0 +1,569 @@
+"""Incremental KG construction: `run_incremental` processes a DELTA batch
+of pages against an existing snapshot store — extraction, self-linking and
+store-linking cost scale with |delta|, never with the accumulated corpus.
+
+This is the reference's actual operating mode (hinbox ingests article
+batches and merges each new entity into the existing store,
+/root/reference/src/process_and_extract.py:545-760) re-expressed
+set-oriented: the delta is first resolved AMONG ITSELF with the exact batch
+operators (blocking → match check → connected components → canonicalize),
+then the resulting delta entities are linked against the store with the
+bipartite families in `operators/store_link.py`, and the store tables are
+updated with atomic snapshot commits:
+
+  entities         merge-on-read upsert by entity_id — matched entities
+                   absorb the delta's aliases/articles/counters, new
+                   entities append; store identity is sticky (canonical
+                   name and entity_id never flip — a stronger delta name
+                   becomes an alias, published ids stay stable)
+  edges            append (triples are content-addressed; consumers
+                   read_resolved(["subj","pred","obj"]) for the set view)
+  review_queue     append-only cross-run dispute queue with run attribution
+  processed_pages  (url, content_hash) log — the cross-run F2 skip
+  profile_facts    per-(entity, url) reduced fact rows — the minimal state
+                   from which `assemble_profiles` re-derives a merged
+                   entity's profile byte-identically to a full batch run
+  cited_articles   (url, text) for fact urls — grounding verification
+                   input (in a production deployment this is a projection
+                   of the primary pages table, not extra state)
+  profiles         merge-on-read upsert by entity_id (affected rows only)
+
+The batch pipeline (`run_pipeline`) with `snapshot_store_path` set is the
+bootstrap: it seeds the same store tables, after which any number of
+incremental runs apply deltas. Equivalence with a from-scratch batch run
+over the union corpus (same entity set, aliases, counters, profiles) is
+pinned in tests/test_incremental_store.py for deltas whose store matches
+are decided deterministically; the documented divergences are the
+incremental-mode invariants themselves (sticky canonical names, store-store
+merges deferred to the review queue as "bridge" disputes).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hinbox_spark import fs as hfs
+from hinbox_spark.config import DomainConfig, get_default_config
+from hinbox_spark.functions.ner import default_gazetteer
+from hinbox_spark.operators.canonicalize import (
+    ENTITY_ARTICLES_CAP, build_clusters, build_edge_triples, build_entities,
+    canonical_names,
+)
+from hinbox_spark.operators.clustering import connected_components
+from hinbox_spark.operators.extraction import (
+    extract_articles, extract_mentions_cached, extract_mentions_with_flags,
+    relevance_predicate,
+)
+from hinbox_spark.operators.linking import (
+    arbitrate_review, candidate_pairs, mention_nodes, name_lsh_band_entries,
+    node_evidence_embeddings, score_pairs,
+)
+from hinbox_spark.operators.profiles import (
+    PROFILE_ARTICLES_CAP, assemble_profiles, ground_profiles,
+    profile_fact_rows,
+)
+from hinbox_spark.operators.store_link import link_entities_to_store
+from hinbox_spark.pipeline import (
+    _table_path, _with_profile_embedding, _with_search_embedding, _write,
+)
+from hinbox_spark.tables import SnapshotTable
+
+# store-relative table names
+ENTITIES, EDGES, QUEUE = "entities", "edges", "review_queue"
+PAGES_LOG, FACTS, CITED, PROFILES = (
+    "processed_pages", "profile_facts", "cited_articles", "profiles",
+)
+
+
+def _st(spark: SparkSession, store: str, name: str) -> SnapshotTable:
+    return SnapshotTable(spark, store.rstrip("/") + "/" + name)
+
+
+def _exists(st: SnapshotTable) -> bool:
+    return st.latest_snapshot_id() is not None
+
+
+def seed_store_from_run(
+    spark: SparkSession,
+    cfg: DomainConfig,
+    mention_clusters: DataFrame,
+    entities: DataFrame,
+    articles: DataFrame,
+    profiles: DataFrame,
+    edges: DataFrame,
+) -> None:
+    """Bootstrap the incremental store tables from a batch run's outputs
+    (called by run_pipeline when snapshot_store_path is set, after the
+    entities snapshot commit). Seeds edges / profile_facts /
+    cited_articles / profiles / processed_pages so later `run_incremental`
+    calls can rebuild merged profiles and skip already-processed pages."""
+    store = cfg.snapshot_store_path
+    facts = profile_fact_rows(mention_clusters).join(
+        entities.select("cluster_id", "entity_id"), "cluster_id"
+    ).drop("cluster_id")
+    _st(spark, store, FACTS).append(facts)
+    cited = articles.join(
+        facts.select("url").distinct(), "url"
+    ).select("url", "text")
+    _st(spark, store, CITED).append(cited)
+    _st(spark, store, PROFILES).merge(profiles)
+    _st(spark, store, EDGES).append(
+        edges.withColumn("run_id", F.lit("bootstrap"))
+    )
+    _st(spark, store, PAGES_LOG).append(
+        articles.select("url", "content_hash").withColumn(
+            "run_id", F.lit("bootstrap")
+        )
+    )
+
+
+def _rebuild_profiles(
+    spark: SparkSession,
+    store: str,
+    cfg: DomainConfig,
+    affected_entities: DataFrame,
+) -> DataFrame:
+    """Re-assemble profiles for the upserted entities from the store's
+    accumulated fact rows — the same capped fold as the batch path
+    (`assemble_profiles`), so a merged entity's profile is byte-identical
+    to what a from-scratch batch run over the union corpus produces."""
+    from hinbox_spark.functions.skew import bounded_topk
+
+    facts = (
+        _st(spark, store, FACTS)
+        .read_resolved(["entity_id", "url"])
+        .join(affected_entities.select("entity_id"), "entity_id")
+        .withColumnRenamed("entity_id", "cluster_id")
+    )
+    ent_meta = affected_entities.select(
+        F.col("entity_id").alias("cluster_id"), "entity_id", "entity_type",
+        "canonical_name", "canonical_type", "aliases", "all_names",
+        "n_articles",
+    )
+    rows = bounded_topk(
+        facts,
+        keys=["cluster_id"],
+        order_by=[F.col("warc_ts"), F.col("url")],
+        k=PROFILE_ARTICLES_CAP,
+        salt_expr=F.xxhash64("url"),
+    ).join(ent_meta, "cluster_id")
+    profiles = assemble_profiles(rows)
+    grounding_corpus = _st(spark, store, CITED).read_resolved(["url"])
+    profiles = ground_profiles(profiles, grounding_corpus)
+    return _with_profile_embedding(profiles, cfg)
+
+
+def run_incremental(
+    spark: SparkSession,
+    pages: DataFrame,
+    output_dir: str,
+    cfg: DomainConfig | None = None,
+    run_id: str | None = None,
+) -> dict[str, DataFrame]:
+    """Process a delta page batch against the snapshot store at
+    `cfg.snapshot_store_path` (required). Writes per-run tables (articles,
+    mentions, entities_delta, edges, review, metrics) under `output_dir`
+    and commits the store updates atomically. Returns the per-run frames
+    plus the resolved store entities."""
+    cfg = cfg or get_default_config()
+    if not cfg.snapshot_store_path:
+        raise ValueError("run_incremental requires cfg.snapshot_store_path")
+    store = cfg.snapshot_store_path
+    run_id = run_id or uuid.uuid4().hex
+    gaz = default_gazetteer()
+    hfs.mkdirs(spark, output_dir)
+
+    # ── cross-run F2: content-hash skip against the processed-pages log ──
+    articles = extract_articles(pages).withColumn(
+        "is_relevant", relevance_predicate(cfg.relevance_keywords)
+    )
+    st_pages = _st(spark, store, PAGES_LOG)
+    if _exists(st_pages):
+        seen = (
+            st_pages.read()
+            .select("url", F.col("content_hash").alias("content_hash"))
+            .dropDuplicates(["url", "content_hash"])
+        )
+        articles = articles.join(seen, ["url", "content_hash"], "left_anti")
+    # parse once, eagerly — every downstream stage reuses the blocks
+    articles = articles.localCheckpoint()
+    _write(articles, output_dir, "articles")
+
+    # fully-seen delta (nightly rerun with no new pages): nothing to link,
+    # nothing to commit — the store head stays untouched (no empty batches)
+    if articles.isEmpty():
+        metrics = spark.createDataFrame(
+            [("delta_articles", 0), ("delta_entities", 0),
+             ("store_matched", 0), ("new_entities", 0),
+             ("entities_upserted", 0)],
+            "stage string, rows long",
+        ).withColumn("run_id", F.lit(run_id))
+        _write(metrics, output_dir, "metrics")
+        return {
+            "articles": articles,
+            "entities_store": _st(spark, store, ENTITIES).read_resolved(
+                ["entity_id"]
+            ),
+            "metrics": spark.read.parquet(_table_path(output_dir, "metrics")),
+        }
+
+    # ── delta extraction (same operators as the batch stage 2) ──
+    relevant = articles.filter(F.col("is_relevant"))
+    cache_stats: dict = {}
+    if cfg.extraction_cache_path:
+        extracted = extract_mentions_cached(
+            relevant, gaz, cfg.extraction_cache_path, stats_out=cache_stats
+        )
+    else:
+        extracted = extract_mentions_with_flags(relevant, gaz)
+    _write(extracted, output_dir, "mentions", ["entity_type"])
+    mentions_raw = spark.read.parquet(_table_path(output_dir, "mentions"))
+    if "qc_flag" in mentions_raw.columns:
+        mentions = mentions_raw.filter(F.col("qc_flag").isNull()).drop("qc_flag")
+    else:
+        mentions = mentions_raw
+
+    # ── delta self-resolution (exact batch operators, no store involved) ──
+    nodes = mention_nodes(mentions).cache()
+    band_entries = name_lsh_band_entries(nodes).localCheckpoint(eager=False)
+    pairs = candidate_pairs(nodes, cfg, band_entries=band_entries)
+    node_vecs = node_evidence_embeddings(nodes, mentions, articles, cfg)
+    accepted, review1 = score_pairs(pairs, nodes, node_vecs, cfg)
+    review1 = arbitrate_review(review1).localCheckpoint()
+    accepted = accepted.unionByName(
+        review1.filter(F.col("decision") == "merge").select(
+            "src", "dst", "entity_type",
+            F.lit("dispute_merge").alias("reason"), "sim",
+        )
+    )
+    labels = connected_components(
+        nodes.select("node_id"), accepted.select("src", "dst")
+    )
+    clusters = build_clusters(mentions, nodes, labels, articles).cache()
+    canon = canonical_names(clusters)
+    delta_entities = _with_search_embedding(
+        build_entities(clusters, canon), cfg
+    ).localCheckpoint()
+
+    # ── bipartite store linking ──
+    st_entities = _st(spark, store, ENTITIES)
+    if _exists(st_entities):
+        store_entities = st_entities.read_resolved(["entity_id"]).localCheckpoint(
+            eager=False
+        )
+        assignments, review2 = link_entities_to_store(
+            delta_entities, store_entities, cfg
+        )
+        assignments = assignments.localCheckpoint()
+        review2 = review2.localCheckpoint()
+    else:
+        store_entities = None
+        assignments = spark.createDataFrame(
+            [], "delta_id string, store_id string, reason string, sim double"
+        )
+        review2 = spark.createDataFrame([], review1.schema)
+
+    # ── FINAL identity map + per-run profile facts ──
+    # (built before the upserts: the delta's fact rows give the EXACT
+    # distinct-url contribution per final entity, so merged n_articles
+    # never double-counts a url shared by two delta clusters that landed
+    # in the same store entity)
+    ent_map = delta_entities.select(
+        "cluster_id", "entity_id", "canonical_name", "canonical_type"
+    )
+    if store_entities is not None:
+        sm = store_entities.select(
+            F.col("entity_id").alias("store_id"),
+            F.col("canonical_name").alias("_s_canon"),
+            F.col("canonical_type").alias("_s_ctype"),
+        )
+        ent_map = (
+            ent_map.join(
+                assignments.select(
+                    F.col("delta_id").alias("entity_id"), "store_id"
+                ),
+                "entity_id",
+                "left",
+            )
+            .join(sm, "store_id", "left")
+            .select(
+                "cluster_id",
+                F.coalesce("store_id", "entity_id").alias("entity_id"),
+                F.coalesce("_s_canon", "canonical_name").alias("canonical_name"),
+                F.coalesce("_s_ctype", "canonical_type").alias("canonical_type"),
+            )
+        )
+    facts = profile_fact_rows(clusters).join(
+        ent_map.select("cluster_id", "entity_id"), "cluster_id"
+    ).drop("cluster_id").localCheckpoint(eager=False)
+
+    # ── build the entity upserts ──
+    if store_entities is None:
+        upserts = delta_entities
+    else:
+        a_keyed = assignments.select(
+            F.col("delta_id").alias("entity_id"), "store_id"
+        )
+        matched = delta_entities.join(a_keyed, "entity_id")
+        unmatched = delta_entities.join(a_keyed.select("entity_id"),
+                                        "entity_id", "left_anti")
+
+        # distinct-first contributions per store entity (mega-merge safe:
+        # explode → distinct has map-side combine; no collect_list ever
+        # sees duplicate-heavy input). The article contribution is the
+        # EXACT per-final-entity distinct-url count from this run's fact
+        # rows — O(delta), never a store scan; additive with the store
+        # count because the processed-pages log keeps run url sets
+        # disjoint (a changed-content url reprocess is the documented
+        # +1 approximation).
+        scalars = matched.groupBy("store_id").agg(
+            F.sum("n_mentions").alias("d_mentions"),
+            F.min("extraction_timestamp").alias("d_ts"),
+        ).join(
+            facts.groupBy(F.col("entity_id").alias("store_id")).agg(
+                F.countDistinct("url").alias("d_articles")
+            ),
+            "store_id",
+        )
+        d_alias = (
+            matched.select("store_id", F.explode_outer("aliases").alias("v"))
+            .filter(F.col("v").isNotNull()).distinct()
+            .groupBy("store_id").agg(F.collect_list("v").alias("d_aliases"))
+        )
+        d_names = (
+            matched.select("store_id", F.explode_outer("all_names").alias("v"))
+            .filter(F.col("v").isNotNull()).distinct()
+            .groupBy("store_id").agg(F.collect_list("v").alias("d_all_names"))
+        )
+        d_entries = (
+            matched.select("store_id", F.explode_outer("alt_entries").alias("e"))
+            .filter(F.col("e").isNotNull())
+            .unionByName(
+                matched.select(
+                    "store_id",
+                    F.struct(
+                        F.col("canonical_name").alias("name"),
+                        F.col("canonical_type").alias("type"),
+                        F.col("canonical_start_date").alias("start_date"),
+                    ).alias("e"),
+                )
+            )
+            .distinct()
+            .groupBy("store_id").agg(F.collect_list("e").alias("d_entries"))
+        )
+        contrib = (
+            scalars.join(d_alias, "store_id", "left")
+            .join(d_names, "store_id", "left")
+            .join(d_entries, "store_id", "left")
+        )
+
+        s = store_entities.join(
+            contrib.withColumnRenamed("store_id", "entity_id"), "entity_id"
+        )
+        empty_arr = F.array().cast("array<string>")
+        d_aliases = F.coalesce("d_aliases", empty_arr)
+        d_all_names = F.coalesce("d_all_names", empty_arr)
+        d_ent = F.coalesce(
+            "d_entries",
+            F.array().cast(
+                "array<struct<name:string,type:string,start_date:string>>"
+            ),
+        )
+        # aliases: store ∪ delta ∪ (delta names − store canonical) — the
+        # delta's canonical name becomes an alias of the sticky store name
+        merged = (
+            s.withColumn(
+                "aliases",
+                F.array_sort(F.array_distinct(F.concat(
+                    "aliases", d_aliases,
+                    F.array_except(d_all_names, F.array("canonical_name")),
+                ))),
+            )
+            .withColumn(
+                "all_names",
+                F.array_sort(F.array_distinct(F.concat("all_names", d_all_names))),
+            )
+            .withColumn(
+                "alt_entries",
+                F.array_sort(F.array_distinct(F.concat(
+                    "alt_entries",
+                    F.filter(
+                        d_ent,
+                        lambda e: ~(
+                            (e["name"] == F.col("canonical_name"))
+                            & (e["type"] == F.col("canonical_type"))
+                            & (e["start_date"] == F.col("canonical_start_date"))
+                        ),
+                    ),
+                ))),
+            )
+            .withColumn("n_mentions", F.col("n_mentions") + F.col("d_mentions"))
+            .withColumn("n_articles", F.col("n_articles") + F.col("d_articles"))
+            .withColumn(
+                "extraction_timestamp",
+                F.least("extraction_timestamp", "d_ts"),
+            )
+        )
+        # derived alt projections + reference-masked alternative_names —
+        # same construction as build_entities
+        merged = (
+            merged.withColumn(
+                "alt_names",
+                F.array_sort(F.array_distinct(
+                    F.transform("alt_entries", lambda e: e["name"])
+                )),
+            )
+            .withColumn(
+                "alt_types",
+                F.array_sort(F.array_distinct(
+                    F.transform("alt_entries", lambda e: e["type"])
+                )),
+            )
+            .withColumn(
+                "alt_start_dates",
+                F.array_sort(F.array_distinct(
+                    F.transform("alt_entries", lambda e: e["start_date"])
+                )),
+            )
+            .withColumn(
+                "alternative_names",
+                F.transform(
+                    "alt_entries",
+                    lambda e: F.struct(
+                        e["name"].alias("name"),
+                        F.when(F.col("entity_type") == "people", F.lit(""))
+                        .otherwise(e["type"]).alias("type"),
+                        F.when(
+                            F.col("entity_type") == "events", e["start_date"]
+                        ).otherwise(F.lit("")).alias("start_date"),
+                    ),
+                ),
+            )
+        )
+        # articles sample: union of the per-run earliest-first samples,
+        # re-capped with the same tournament as build_entities
+        from hinbox_spark.functions.skew import bounded_topk
+
+        art_rows = (
+            merged.select("entity_id", F.explode_outer("articles").alias("a"))
+            .unionByName(
+                matched.select(
+                    F.col("store_id").alias("entity_id"),
+                    F.explode_outer("articles").alias("a"),
+                )
+            )
+            .filter(F.col("a").isNotNull())
+            .select("entity_id", "a.url", "a.warc_ts", "a.title")
+            .dropDuplicates(["entity_id", "url"])
+        )
+        art_agg = (
+            bounded_topk(
+                art_rows,
+                keys=["entity_id"],
+                order_by=[F.col("warc_ts"), F.col("url")],
+                k=ENTITY_ARTICLES_CAP,
+                salt_expr=F.xxhash64("url"),
+            )
+            .groupBy("entity_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("url", "warc_ts", "title"))
+                ).alias("articles_new")
+            )
+        )
+        merged = (
+            merged.join(art_agg, "entity_id", "left")
+            .withColumn("articles", F.coalesce("articles_new", "articles"))
+            .drop("articles_new", "d_mentions", "d_articles", "d_ts",
+                  "d_aliases", "d_all_names", "d_entries")
+        )
+        # refresh the search embedding from the merged name+alias set
+        merged = _with_search_embedding(
+            merged.drop(
+                "search_embedding", "search_embedding_model",
+                "search_embedding_dim", "search_embedding_fingerprint",
+            ),
+            cfg,
+        )
+        if "partition_id" not in unmatched.columns:
+            unmatched = unmatched.withColumn(
+                "partition_id", F.spark_partition_id()
+            )
+        upserts = merged.select(*store_entities.columns).unionByName(
+            unmatched.select(*store_entities.columns)
+        )
+
+    if "partition_id" not in upserts.columns:
+        upserts = upserts.withColumn("partition_id", F.spark_partition_id())
+    upserts = upserts.localCheckpoint()
+    st_entities.merge(upserts)
+    _write(upserts, output_dir, "entities_delta", ["entity_type"])
+
+    # ── edges: delta triples against FINAL entity identities ──
+    edges = build_edge_triples(clusters, ent_map)
+    _write(edges, output_dir, "edges", ["pred"])
+    edges = spark.read.parquet(_table_path(output_dir, "edges"))
+    _st(spark, store, EDGES).append(edges.withColumn("run_id", F.lit(run_id)))
+
+    # ── review queue (self-link disputes + store-link disputes/bridges) ──
+    # append the pre-write frame (no partition_id) — same shape as the
+    # batch bootstrap's queue rows, so cross-run queue reads union cleanly
+    review = review1.unionByName(review2, allowMissingColumns=True)
+    _st(spark, store, QUEUE).append(review.withColumn("run_id", F.lit(run_id)))
+    _write(review, output_dir, "review")
+    review = spark.read.parquet(_table_path(output_dir, "review"))
+
+    # ── profile state + rebuild for affected entities ──
+    _st(spark, store, FACTS).append(facts)
+    cited = articles.join(facts.select("url").distinct(), "url").select(
+        "url", "text"
+    )
+    _st(spark, store, CITED).append(cited)
+    profiles = _rebuild_profiles(spark, store, cfg, upserts)
+    _write(profiles, output_dir, "profiles")
+    profiles = spark.read.parquet(_table_path(output_dir, "profiles"))
+    _st(spark, store, PROFILES).merge(profiles)
+
+    # ── processed-pages log (cross-run F2) ──
+    st_pages.append(
+        articles.select("url", "content_hash").withColumn(
+            "run_id", F.lit(run_id)
+        )
+    )
+
+    # ── per-run metrics (counts on already-checkpointed small frames) ──
+    n_articles = articles.count()
+    n_delta = delta_entities.count()
+    n_matched = assignments.count()
+    n_upserts = upserts.count()
+    metrics = spark.createDataFrame(
+        [
+            ("delta_articles", n_articles),
+            ("delta_entities", n_delta),
+            ("store_matched", n_matched),
+            ("new_entities", n_delta - n_matched),
+            ("entities_upserted", n_upserts),
+        ],
+        "stage string, rows long",
+    ).withColumn("run_id", F.lit(run_id))
+    _write(metrics, output_dir, "metrics")
+
+    for df in (nodes, clusters):
+        df.unpersist()
+
+    return {
+        "articles": articles,
+        "mentions": mentions,
+        "assignments": assignments,
+        "entities_delta": spark.read.parquet(
+            _table_path(output_dir, "entities_delta")
+        ),
+        "entities_store": st_entities.read_resolved(["entity_id"]),
+        "edges": edges,
+        "review": review,
+        "profiles": profiles,
+        "metrics": spark.read.parquet(_table_path(output_dir, "metrics")),
+    }

@@ -22,6 +22,11 @@ from pyspark.sql import DataFrame
 
 from hinbox_spark.functions.names import cluster_canonical_score
 
+# deterministic cap on the nested per-entity articles sample (earliest
+# first); shared with the incremental upsert path so a merged entity's
+# sample is re-capped identically to a from-scratch batch run
+ENTITY_ARTICLES_CAP = 100
+
 
 def build_clusters(
     mentions: DataFrame,
@@ -131,7 +136,7 @@ def build_entities(
             .dropDuplicates(["cluster_id", "url"]),
             keys=["cluster_id"],
             order_by=[F.col("warc_ts"), F.col("url")],
-            k=100,
+            k=ENTITY_ARTICLES_CAP,
             salt_expr=F.xxhash64("url"),
         )
         .groupBy("cluster_id")

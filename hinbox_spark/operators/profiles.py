@@ -48,6 +48,29 @@ PROFILE_SCHEMA = (
 PROFILE_ARTICLES_CAP = 20
 
 
+def profile_fact_rows(mention_clusters: DataFrame) -> DataFrame:
+    """The pre-reduced per-(cluster, url) fact rows the profile fold
+    consumes: (cluster_id, url, warc_ts, description, start_date). This is
+    also what the incremental pipeline persists per entity across runs —
+    the minimal state from which a profile can be deterministically
+    re-assembled after a merge (the batch fold re-derives it from the full
+    mention set each run; the store keeps only these reduced rows)."""
+    return mention_clusters.groupBy("cluster_id", "url").agg(
+        F.min("warc_ts").alias("warc_ts"),
+        F.max("description").alias("description"),
+        F.max("start_date").alias("start_date"),
+    )
+
+
+def assemble_profiles(rows: DataFrame) -> DataFrame:
+    """The profile fold: rows = capped fact rows joined with the entity
+    metadata columns (entity_id, entity_type, canonical_name,
+    canonical_type, aliases, all_names, n_articles), grouped per
+    cluster_id. Shared verbatim by the batch path (`build_profiles`) and
+    the incremental rebuild — byte-identical profiles given the same rows."""
+    return rows.groupBy("cluster_id").applyInPandas(_assemble, PROFILE_SCHEMA)
+
+
 def build_profiles(mention_clusters: DataFrame, entities: DataFrame) -> DataFrame:
     """Grouped profile assembly: one applyInPandas over cluster_id.
 
@@ -60,109 +83,102 @@ def build_profiles(mention_clusters: DataFrame, entities: DataFrame) -> DataFram
         "cluster_id", "entity_id", "entity_type", "canonical_name",
         "canonical_type", "aliases", "all_names", "n_articles",
     )
-    per_article = (
-        mention_clusters.groupBy("cluster_id", "url")
-        .agg(
-            F.min("warc_ts").alias("warc_ts"),
-            F.max("description").alias("description"),
-            F.max("start_date").alias("start_date"),
-        )
-    )
     # tournament top-k (skew.bounded_topk): identical rows to the naive
     # row_number window, but a mega-entity's articles never serialize into
     # one sort task
     rows = bounded_topk(
-        per_article,
+        profile_fact_rows(mention_clusters),
         keys=["cluster_id"],
         order_by=[F.col("warc_ts"), F.col("url")],
         k=PROFILE_ARTICLES_CAP,
         salt_expr=F.xxhash64("url"),
     ).join(ent, "cluster_id")
+    return assemble_profiles(rows)
 
-    def _assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["warc_ts", "url"])
-        eid = pdf["entity_id"].iloc[0]
-        etype = pdf["entity_type"].iloc[0]
-        cname = pdf["canonical_name"].iloc[0]
-        ctype = pdf["canonical_type"].iloc[0]
-        n_articles_total = int(pdf["n_articles"].iloc[0])
 
-        def _aslist(v):
-            return list(v) if v is not None else []
+def _assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values(["warc_ts", "url"])
+    eid = pdf["entity_id"].iloc[0]
+    etype = pdf["entity_type"].iloc[0]
+    cname = pdf["canonical_name"].iloc[0]
+    ctype = pdf["canonical_type"].iloc[0]
+    n_articles_total = int(pdf["n_articles"].iloc[0])
 
-        aliases = [a for a in _aslist(pdf["aliases"].iloc[0]) if a != cname]
-        all_names = _aslist(pdf["all_names"].iloc[0])
+    def _aslist(v):
+        return list(v) if v is not None else []
 
-        urls = list(dict.fromkeys(pdf["url"]))  # earliest-first (pre-capped)
-        noun = {
-            "people": "person",
-            "organizations": "organization",
-            "locations": "location",
-            "events": "event",
-        }[etype]
+    aliases = [a for a in _aslist(pdf["aliases"].iloc[0]) if a != cname]
+    all_names = _aslist(pdf["all_names"].iloc[0])
 
-        lines = ["### Overview"]
-        first_url = urls[0]
-        kind = f"{ctype} {noun}".strip() if ctype else noun
-        lines.append(f"{cname} is a {kind} referenced in the corpus.^[{first_url}]")
-        if aliases:
-            lines.append(
-                "Also referred to as " + ", ".join(sorted(aliases)) + f".^[{first_url}]"
-            )
-        if etype == "events":
-            sd = pdf["start_date"].iloc[0]
-            if sd:
-                lines.append(f"The event began on {sd}.^[{first_url}]")
-            descs = [d for d in dict.fromkeys(pdf["description"]) if d]
-            for d, u in zip(descs[:3], urls[:3]):
-                lines.append(f"{d}^[{u}]")
-        lines.append("### Coverage")
-        for u in urls[:10]:
-            lines.append(f"Mentioned in {u}.^[{u}]")
+    urls = list(dict.fromkeys(pdf["url"]))  # earliest-first (pre-capped)
+    noun = {
+        "people": "person",
+        "organizations": "organization",
+        "locations": "location",
+        "events": "event",
+    }[etype]
+
+    lines = ["### Overview"]
+    first_url = urls[0]
+    kind = f"{ctype} {noun}".strip() if ctype else noun
+    lines.append(f"{cname} is a {kind} referenced in the corpus.^[{first_url}]")
+    if aliases:
         lines.append(
-            f"Referenced in {n_articles_total} article(s) in total.^[{first_url}]"
+            "Also referred to as " + ", ".join(sorted(aliases)) + f".^[{first_url}]"
         )
-        text = "\n".join(lines)
+    if etype == "events":
+        sd = pdf["start_date"].iloc[0]
+        if sd:
+            lines.append(f"The event began on {sd}.^[{first_url}]")
+        descs = [d for d in dict.fromkeys(pdf["description"]) if d]
+        for d, u in zip(descs[:3], urls[:3]):
+            lines.append(f"{d}^[{u}]")
+    lines.append("### Coverage")
+    for u in urls[:10]:
+        lines.append(f"Mentioned in {u}.^[{u}]")
+    lines.append(
+        f"Referenced in {n_articles_total} article(s) in total.^[{first_url}]"
+    )
+    text = "\n".join(lines)
 
-        tags = sorted({t for t in (ctype, noun) if t})
-        confidence = max(0.0, min(1.0, 0.5 + 0.05 * n_articles_total))
+    tags = sorted({t for t in (ctype, noun) if t})
+    confidence = max(0.0, min(1.0, 0.5 + 0.05 * n_articles_total))
 
-        versions = [
-            {
-                "version_number": vn,
-                "text": f"{cname}: profile over {vn} article(s).",
-                "trigger_url": row["url"],
-                "created_at": row["warc_ts"],
-            }
-            for vn, (_, row) in enumerate(pdf.iterrows(), start=1)
-        ]
+    versions = [
+        {
+            "version_number": vn,
+            "text": f"{cname}: profile over {vn} article(s).",
+            "trigger_url": row["url"],
+            "created_at": row["warc_ts"],
+        }
+        for vn, (_, row) in enumerate(pdf.iterrows(), start=1)
+    ]
 
-        flags = []
-        if len(text) < PROFILE_QC_MIN_TEXT_LENGTH:
-            flags.append("text_too_short")
-        if not CITATION_RE.search(text):
-            flags.append("no_citations")
-        if len(tags) < PROFILE_QC_MIN_TAG_COUNT:
-            tags = sorted(set(tags) | {"needs-review"})
-            flags.append("tags_below_minimum")
+    flags = []
+    if len(text) < PROFILE_QC_MIN_TEXT_LENGTH:
+        flags.append("text_too_short")
+    if not CITATION_RE.search(text):
+        flags.append("no_citations")
+    if len(tags) < PROFILE_QC_MIN_TAG_COUNT:
+        tags = sorted(set(tags) | {"needs-review"})
+        flags.append("tags_below_minimum")
 
-        return pd.DataFrame(
-            {
-                "entity_id": [eid],
-                "entity_type": [etype],
-                "canonical_name": [cname],
-                "profile_text": [text],
-                "profile_tags": [tags],
-                "profile_confidence": [confidence],
-                "profile_sources": [urls],
-                "current_version": [len(versions)],
-                "versions": [versions],
-                "qc_flags": [flags],
-                "name_variants": [sorted({cname, *aliases, *all_names})],
-            }
-        )
+    return pd.DataFrame(
+        {
+            "entity_id": [eid],
+            "entity_type": [etype],
+            "canonical_name": [cname],
+            "profile_text": [text],
+            "profile_tags": [tags],
+            "profile_confidence": [confidence],
+            "profile_sources": [urls],
+            "current_version": [len(versions)],
+            "versions": [versions],
+            "qc_flags": [flags],
+            "name_variants": [sorted({cname, *aliases, *all_names})],
+        }
+    )
 
-    return rows.groupBy("cluster_id").applyInPandas(_assemble, PROFILE_SCHEMA)
 
 
 def ground_profiles(profiles: DataFrame, articles: DataFrame) -> DataFrame:

@@ -477,6 +477,18 @@ def run_pipeline(
             profiles = ground_profiles(profiles, articles)
             profiles = _with_profile_embedding(profiles, cfg)
             _write(profiles, output_dir, "profiles")
+
+            if cfg.snapshot_store_path:
+                # bootstrap the incremental-store state tables (profile
+                # facts, cited texts, processed-pages log, edges/profiles)
+                # so run_incremental can apply deltas on top of this run
+                from hinbox_spark.incremental import seed_store_from_run
+
+                seed_store_from_run(
+                    spark, cfg, mention_clusters, entities, articles,
+                    spark.read.parquet(_table_path(output_dir, "profiles")),
+                    edges,
+                )
         finally:
             # join the concurrent writes BEFORE unwinding — a failure in
             # the foreground chain must not leave background writes racing
