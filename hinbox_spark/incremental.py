@@ -129,13 +129,20 @@ def _rebuild_profiles(
     """Re-assemble profiles for the upserted entities from the store's
     accumulated fact rows — the same capped fold as the batch path
     (`assemble_profiles`), so a merged entity's profile is byte-identical
-    to what a from-scratch batch run over the union corpus produces."""
+    to what a from-scratch batch run over the union corpus produces.
+
+    Both store reads are SCOPED (broadcast semi-join on the affected keys
+    before the resolve shuffle): a delta run only ever shuffles the
+    affected entities' fact rows and the cited texts its rebuilt profiles
+    actually reference — never the full facts/cited tables."""
     from hinbox_spark.functions.skew import bounded_topk
 
     facts = (
         _st(spark, store, FACTS)
-        .read_resolved(["entity_id", "url"])
-        .join(affected_entities.select("entity_id"), "entity_id")
+        .read_resolved(
+            ["entity_id", "url"],
+            scope=affected_entities.select("entity_id"),
+        )
         .withColumnRenamed("entity_id", "cluster_id")
     )
     ent_meta = affected_entities.select(
@@ -149,9 +156,11 @@ def _rebuild_profiles(
         order_by=[F.col("warc_ts"), F.col("url")],
         k=PROFILE_ARTICLES_CAP,
         salt_expr=F.xxhash64("url"),
-    ).join(ent_meta, "cluster_id")
+    ).join(ent_meta, "cluster_id").localCheckpoint(eager=False)
     profiles = assemble_profiles(rows)
-    grounding_corpus = _st(spark, store, CITED).read_resolved(["url"])
+    grounding_corpus = _st(spark, store, CITED).read_resolved(
+        ["url"], scope=rows.select("url")
+    )
     profiles = ground_profiles(profiles, grounding_corpus)
     return _with_profile_embedding(profiles, cfg)
 

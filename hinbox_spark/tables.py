@@ -273,13 +273,30 @@ class SnapshotTable:
         return out
 
     def read_resolved(
-        self, key_cols: list[str], snapshot_id: int | None = None
+        self,
+        key_cols: list[str],
+        snapshot_id: int | None = None,
+        scope: DataFrame | None = None,
     ) -> DataFrame:
         """Merge-on-read resolution: per key, the row from the
         highest-seq batch wins (last-writer-wins upsert semantics). One
         max_by aggregate — the same shape as the pipeline's A6 last-wins
-        collapse, so it holds at scale."""
+        collapse, so it holds at scale.
+
+        `scope` (a small DataFrame whose columns are a prefix of
+        `key_cols`) restricts resolution to those keys BEFORE the resolve
+        shuffle via a broadcast semi-join — the point-lookup path for
+        incremental consumers: a delta run resolving the few affected
+        entities never shuffles the whole table. (On a sort-clustered
+        compacted table the scan itself also prunes via min/max row-group
+        stats; the semi-join is the residual filter.)"""
         raw = self.read(snapshot_id)
+        if scope is not None:
+            on = list(scope.columns)
+            assert on == key_cols[: len(on)], (
+                f"scope columns {on} must be a prefix of key_cols {key_cols}"
+            )
+            raw = raw.join(F.broadcast(scope.dropDuplicates(on)), on, "left_semi")
         payload = [c for c in raw.columns if c not in key_cols]
         return (
             raw.groupBy(*key_cols)

@@ -326,3 +326,27 @@ def test_catalog_create_load_list_drop(spark, tmp_path):
     assert cat.drop_table("kg", "entities") is False
     with pytest.raises(ValueError):
         cat.create_table("kg", "bad/name")
+
+
+def test_read_resolved_scope_prunes_before_resolution(spark, tmp_path):
+    """`scope` restricts merge-on-read resolution to the given keys via a
+    broadcast semi-join BEFORE the resolve shuffle — the incremental
+    point-lookup path. Result == unscoped resolve filtered afterwards."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame(
+        [("a", "u1", 1), ("a", "u2", 2), ("b", "u1", 3)],
+        "k string, u string, v int"))
+    t.merge(spark.createDataFrame(
+        [("a", "u1", 10), ("c", "u9", 9)], "k string, u string, v int"))
+
+    scope = spark.createDataFrame([("a",)], "k string")
+    scoped = t.read_resolved(["k", "u"], scope=scope)
+    full = t.read_resolved(["k", "u"]).filter(F.col("k") == "a")
+    assert sorted(map(tuple, scoped.collect())) == sorted(map(tuple, full.collect()))
+    # last-writer-wins survives the scoping
+    assert {(r.u, r.v) for r in scoped.collect()} == {("u1", 10), ("u2", 2)}
+    # the scope join is broadcast (no shuffle of the raw table for the
+    # filter) and the non-prefix misuse is rejected
+    assert "BroadcastHashJoin" in scoped._jdf.queryExecution().executedPlan().toString()
+    with pytest.raises(AssertionError):
+        t.read_resolved(["k", "u"], scope=spark.createDataFrame([("u1",)], "u string"))
