@@ -125,26 +125,39 @@ def _rebuild_profiles(
     store: str,
     cfg: DomainConfig,
     affected_entities: DataFrame,
+    delta_facts: DataFrame,
+    delta_cited: DataFrame,
 ) -> DataFrame:
-    """Re-assemble profiles for the upserted entities from the store's
-    accumulated fact rows — the same capped fold as the batch path
-    (`assemble_profiles`), so a merged entity's profile is byte-identical
-    to what a from-scratch batch run over the union corpus produces.
+    """Re-assemble profiles for the upserted entities from the union of
+    the store's accumulated fact rows (at the snapshot BEFORE this run's
+    append — so this job never waits on, or re-reads, the in-flight fact
+    commit) and this run's in-memory delta facts — the same capped fold as
+    the batch path (`assemble_profiles`), so a merged entity's profile is
+    byte-identical to what a from-scratch batch run over the union corpus
+    produces.
 
     Both store reads are SCOPED (broadcast semi-join on the affected keys
     before the resolve shuffle): a delta run only ever shuffles the
     affected entities' fact rows and the cited texts its rebuilt profiles
-    actually reference — never the full facts/cited tables."""
+    actually reference — never the full facts/cited tables. A
+    changed-content url reprocess is superseded by the delta row
+    (anti-join on the key), matching last-writer-wins store semantics."""
     from hinbox_spark.functions.skew import bounded_topk
 
-    facts = (
-        _st(spark, store, FACTS)
-        .read_resolved(
+    st_facts = _st(spark, store, FACTS)
+    if _exists(st_facts):
+        prior = st_facts.read_resolved(
             ["entity_id", "url"],
             scope=affected_entities.select("entity_id"),
+        ).join(
+            delta_facts.select("entity_id", "url"),
+            ["entity_id", "url"],
+            "left_anti",
         )
-        .withColumnRenamed("entity_id", "cluster_id")
-    )
+        facts = prior.unionByName(delta_facts.select(*prior.columns))
+    else:
+        facts = delta_facts
+    facts = facts.withColumnRenamed("entity_id", "cluster_id")
     ent_meta = affected_entities.select(
         F.col("entity_id").alias("cluster_id"), "entity_id", "entity_type",
         "canonical_name", "canonical_type", "aliases", "all_names",
@@ -158,11 +171,50 @@ def _rebuild_profiles(
         salt_expr=F.xxhash64("url"),
     ).join(ent_meta, "cluster_id").localCheckpoint(eager=False)
     profiles = assemble_profiles(rows)
-    grounding_corpus = _st(spark, store, CITED).read_resolved(
-        ["url"], scope=rows.select("url")
-    )
-    profiles = ground_profiles(profiles, grounding_corpus)
+    st_cited = _st(spark, store, CITED)
+    if _exists(st_cited):
+        prior_cited = st_cited.read_resolved(
+            ["url"], scope=rows.select("url")
+        ).join(delta_cited.select("url"), ["url"], "left_anti")
+        corpus = prior_cited.unionByName(delta_cited.select(*prior_cited.columns))
+    else:
+        corpus = delta_cited
+    profiles = ground_profiles(profiles, corpus)
     return _with_profile_embedding(profiles, cfg)
+
+
+def maintain_store(
+    spark: SparkSession,
+    cfg: DomainConfig,
+    max_batches: int = 16,
+    keep_snapshots: int = 8,
+) -> dict[str, int]:
+    """Store maintenance between delta runs: every keyed table whose
+    merge-on-read chain exceeds `max_batches` batches is compacted
+    (sort-clustered on its key so min/max row-group stats prune key
+    lookups), then old snapshots past `keep_snapshots` are expired
+    (orphan-batch GC). The review_queue is deliberately NOT compacted by
+    key — it is the append-only audit trail, and folding it would erase
+    dispute history. Returns {table: new_snapshot_id} for tables touched.
+
+    This is the Iceberg maintenance loop (rewrite_data_files +
+    expire_snapshots) for the incremental store: without it a nightly
+    delta adds ~7 batches/run forever and read cost grows O(runs)."""
+    plans = {
+        ENTITIES: (["entity_id"], ["entity_id"]),
+        PROFILES: (["entity_id"], ["entity_id"]),
+        FACTS: (["entity_id", "url"], ["entity_id", "url"]),
+        CITED: (["url"], ["url"]),
+        EDGES: (["subj", "pred", "obj"], ["subj", "pred"]),
+        PAGES_LOG: (["url", "content_hash"], ["url"]),
+    }
+    touched: dict[str, int] = {}
+    for name, (key_cols, sort_by) in plans.items():
+        st = _st(spark, cfg.snapshot_store_path, name)
+        if st.n_batches() > max_batches:
+            touched[name] = st.compact(key_cols, sort_by=sort_by)
+            st.expire_snapshots(keep_last=keep_snapshots)
+    return touched
 
 
 def run_incremental(
@@ -305,9 +357,25 @@ def run_incremental(
                 F.coalesce("_s_ctype", "canonical_type").alias("canonical_type"),
             )
         )
-    facts = profile_fact_rows(clusters).join(
-        ent_map.select("cluster_id", "entity_id"), "cluster_id"
-    ).drop("cluster_id").localCheckpoint(eager=False)
+    # eager: three concurrent consumers below (facts append, cited build,
+    # profile rebuild) must share materialized blocks, not race a lazy
+    # checkpoint. Re-reduced per (entity_id, url) AFTER the remap: two
+    # delta clusters assigned to the same store entity would otherwise
+    # leave duplicate fact keys — duplicate rows consume profile-cap slots
+    # (dropping a legitimate url from the rebuilt profile) and make the
+    # stored row per key a nondeterministic tie. The re-reduction is the
+    # same min/max fold the batch path applies over the merged cluster.
+    facts = (
+        profile_fact_rows(clusters)
+        .join(ent_map.select("cluster_id", "entity_id"), "cluster_id")
+        .groupBy("entity_id", "url")
+        .agg(
+            F.min("warc_ts").alias("warc_ts"),
+            F.max("description").alias("description"),
+            F.max("start_date").alias("start_date"),
+        )
+        .localCheckpoint()
+    )
 
     # ── build the entity upserts ──
     if store_entities is None:
@@ -508,40 +576,82 @@ def run_incremental(
     if "partition_id" not in upserts.columns:
         upserts = upserts.withColumn("partition_id", F.spark_partition_id())
     upserts = upserts.localCheckpoint()
-    st_entities.merge(upserts)
-    _write(upserts, output_dir, "entities_delta", ["entity_type"])
 
-    # ── edges: delta triples against FINAL entity identities ──
+    # ── apply: every store commit and per-run write below is independent
+    # of the others (disjoint tables; the profile rebuild consumes the
+    # PRE-append facts snapshot plus the in-memory delta facts), so they
+    # run as CONCURRENT Spark jobs from driver threads — the delta run's
+    # fixed tail is ~a dozen small commits, and overlapping them is what
+    # keeps a nightly delta cheaper than its corpus share (same discipline
+    # as the batch pipeline's overlapped linking writes, exception-safe).
+    from concurrent.futures import ThreadPoolExecutor
+
     edges = build_edge_triples(clusters, ent_map)
-    _write(edges, output_dir, "edges", ["pred"])
-    edges = spark.read.parquet(_table_path(output_dir, "edges"))
-    _st(spark, store, EDGES).append(edges.withColumn("run_id", F.lit(run_id)))
-
-    # ── review queue (self-link disputes + store-link disputes/bridges) ──
-    # append the pre-write frame (no partition_id) — same shape as the
-    # batch bootstrap's queue rows, so cross-run queue reads union cleanly
     review = review1.unionByName(review2, allowMissingColumns=True)
-    _st(spark, store, QUEUE).append(review.withColumn("run_id", F.lit(run_id)))
-    _write(review, output_dir, "review")
-    review = spark.read.parquet(_table_path(output_dir, "review"))
-
-    # ── profile state + rebuild for affected entities ──
-    _st(spark, store, FACTS).append(facts)
     cited = articles.join(facts.select("url").distinct(), "url").select(
         "url", "text"
-    )
-    _st(spark, store, CITED).append(cited)
-    profiles = _rebuild_profiles(spark, store, cfg, upserts)
-    _write(profiles, output_dir, "profiles")
-    profiles = spark.read.parquet(_table_path(output_dir, "profiles"))
-    _st(spark, store, PROFILES).merge(profiles)
+    ).localCheckpoint()  # eager: CITED append ∥ grounding both consume it
 
-    # ── processed-pages log (cross-run F2) ──
-    st_pages.append(
-        articles.select("url", "content_hash").withColumn(
-            "run_id", F.lit(run_id)
+    def _edges_task():
+        _write(edges, output_dir, "edges", ["pred"])
+        back = spark.read.parquet(_table_path(output_dir, "edges"))
+        _st(spark, store, EDGES).append(
+            back.withColumn("run_id", F.lit(run_id))
         )
-    )
+
+    def _review_task():
+        # append the pre-write frame (no partition_id) — same shape as the
+        # batch bootstrap's queue rows, so cross-run queue reads union
+        _st(spark, store, QUEUE).append(
+            review.withColumn("run_id", F.lit(run_id))
+        )
+        _write(review, output_dir, "review")
+
+    def _profiles_task():
+        profiles = _rebuild_profiles(spark, store, cfg, upserts, facts, cited)
+        _write(profiles, output_dir, "profiles")
+        back = spark.read.parquet(_table_path(output_dir, "profiles"))
+        _st(spark, store, PROFILES).merge(back)
+
+    pool = ThreadPoolExecutor(max_workers=4)
+    background = []
+    try:
+        background.append(pool.submit(st_entities.merge, upserts))
+        background.append(
+            pool.submit(_write, upserts, output_dir, "entities_delta",
+                        ["entity_type"])
+        )
+        background.append(pool.submit(_edges_task))
+        background.append(pool.submit(_review_task))
+        background.append(pool.submit(_st(spark, store, FACTS).append, facts))
+        background.append(pool.submit(_st(spark, store, CITED).append, cited))
+        background.append(
+            pool.submit(
+                st_pages.append,
+                articles.select("url", "content_hash").withColumn(
+                    "run_id", F.lit(run_id)
+                ),
+            )
+        )
+        # profiles rebuild is the long pole — run it on the main thread
+        _profiles_task()
+    finally:
+        import sys as _sys
+
+        bg_error = None
+        for fut in background:
+            try:
+                fut.result()
+            except Exception as exc:
+                if bg_error is None:
+                    bg_error = exc
+        pool.shutdown(wait=True)
+        if bg_error is not None and _sys.exc_info()[0] is None:
+            raise bg_error
+
+    edges = spark.read.parquet(_table_path(output_dir, "edges"))
+    review = spark.read.parquet(_table_path(output_dir, "review"))
+    profiles = spark.read.parquet(_table_path(output_dir, "profiles"))
 
     # ── per-run metrics (counts on already-checkpointed small frames) ──
     n_articles = articles.count()

@@ -252,6 +252,14 @@ class SnapshotTable:
 
     # ── reads ──
 
+    def n_batches(self, snapshot_id: int | None = None) -> int:
+        """Number of batch files the given (default: head) snapshot unions
+        at read time — the compaction trigger signal for maintenance."""
+        head = snapshot_id if snapshot_id is not None else self.latest_snapshot_id()
+        if head is None:
+            return 0
+        return len(self._read_manifest(head)["entries"])
+
     def read(self, snapshot_id: int | None = None) -> DataFrame:
         """Raw union of the snapshot's batches (with `_seq` lineage column).
         Pass snapshot_id for time travel."""

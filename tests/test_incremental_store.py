@@ -145,6 +145,70 @@ def test_review_queue_accumulates_with_run_attribution(worlds):
     assert "delta-1" in runs
 
 
+def test_two_sequential_deltas_converge(spark):
+    """A ⊕ B1 ⊕ B2 applied incrementally converges to the batch run over
+    A∪B1∪B2: same entity ids, same aliases/counters — the store is a
+    fixed point of repeated delta application, not a one-shot trick."""
+    pages, _ = pages_dataframe(spark, 60, 11)
+    urls = sorted(r.url for r in pages.select("url").collect())
+    parts = [set(urls[:40]), set(urls[40:50]), set(urls[50:])]
+    slices = [
+        pages.filter(F.col("url").isin(p)).localCheckpoint() for p in parts
+    ]
+    store = tempfile.mkdtemp()
+    cfg = dataclasses.replace(get_default_config(), snapshot_store_path=store)
+    run_pipeline(spark, slices[0], tempfile.mkdtemp(), cfg=cfg, resume=False)
+    run_incremental(spark, slices[1], tempfile.mkdtemp(), cfg=cfg, run_id="b1")
+    out = run_incremental(
+        spark, slices[2], tempfile.mkdtemp(), cfg=cfg, run_id="b2"
+    )
+    full = run_pipeline(
+        spark, pages, tempfile.mkdtemp(),
+        cfg=dataclasses.replace(cfg, snapshot_store_path=None), resume=False,
+    )
+    inc = {r.entity_id: r for r in out["entities_store"].collect()}
+    ref = {r.entity_id: r for r in full["entities"].collect()}
+    assert set(inc) == set(ref) and len(inc) > 0
+    for eid in inc:
+        for fld in ("canonical_name", "aliases", "all_names", "n_mentions",
+                    "n_articles", "articles"):
+            assert getattr(inc[eid], fld) == getattr(ref[eid], fld), (
+                f"{inc[eid].canonical_name}: {fld}"
+            )
+
+    # ── maintenance over the 3-run store: compaction folds each keyed
+    # table's merge chain to one sort-clustered batch and expires old
+    # snapshots, while resolved contents stay identical and the
+    # review_queue audit trail is untouched ──
+    from hinbox_spark.incremental import maintain_store
+
+    st_e = SnapshotTable(spark, store + "/entities")
+    assert st_e.n_batches() >= 3  # bootstrap + 2 deltas
+    before = {
+        r.entity_id: r.n_mentions
+        for r in st_e.read_resolved(["entity_id"]).collect()
+    }
+    queue_head = SnapshotTable(spark, store + "/review_queue").latest_snapshot_id()
+    touched = maintain_store(spark, cfg, max_batches=2, keep_snapshots=1)
+    assert "entities" in touched and "profile_facts" in touched
+    assert "review_queue" not in touched
+    assert st_e.n_batches() == 1
+    after = {
+        r.entity_id: r.n_mentions
+        for r in st_e.read_resolved(["entity_id"]).collect()
+    }
+    assert after == before
+    assert SnapshotTable(
+        spark, store + "/review_queue"
+    ).latest_snapshot_id() == queue_head
+    # the store remains appliable after maintenance (no wedged state)
+    rerun = run_incremental(
+        spark, slices[2], tempfile.mkdtemp(), cfg=cfg, run_id="b2-rerun"
+    )
+    m = {r.stage: r.rows for r in rerun["metrics"].collect()}
+    assert m["delta_articles"] == 0  # content-hash skip survived compaction
+
+
 def _ent(cfg, eid, etype, name, aliases=(), date=""):
     vec = embed_text(f"{name} " + " ".join(aliases), cfg.embedding_dim).tolist()
     return (eid, etype, name, "", date, list(aliases), vec)
