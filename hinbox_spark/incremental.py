@@ -27,6 +27,18 @@ updated with atomic snapshot commits:
                    input (in a production deployment this is a projection
                    of the primary pages table, not extra state)
   profiles         merge-on-read upsert by entity_id (affected rows only)
+  name_index /     precomputed blocking keys (normalized names, acronym
+  name_bands       keys, MinHash band entries) maintained per upsert —
+                   a delta run's store-side blocking reads these columnar
+                   tables instead of running pandas passes over all
+                   store entities
+
+Store mutations are applied as a RUN TRANSACTION: every table's pre-run
+head is journaled before the first commit, the journal finalizes only
+after the last commit (the processed-pages log, deliberately last), and
+`_recover_stale_runs` rolls every table back to its journaled head when a
+previous run crashed mid-apply — a retry with the same delta then applies
+it exactly once (single-writer model, like the reference).
 
 The batch pipeline (`run_pipeline`) with `snapshot_store_path` set is the
 bootstrap: it seeds the same store tables, after which any number of
@@ -40,6 +52,7 @@ merges deferred to the review queue as "bridge" disputes).
 
 from __future__ import annotations
 
+import json
 import uuid
 
 import pyspark.sql.functions as F
@@ -65,7 +78,9 @@ from hinbox_spark.operators.profiles import (
     PROFILE_ARTICLES_CAP, assemble_profiles, ground_profiles,
     profile_fact_rows,
 )
-from hinbox_spark.operators.store_link import link_entities_to_store
+from hinbox_spark.operators.store_link import (
+    link_entities_to_store, name_band_rows, name_index_rows,
+)
 from hinbox_spark.pipeline import (
     _table_path, _with_profile_embedding, _with_search_embedding, _write,
 )
@@ -76,6 +91,9 @@ ENTITIES, EDGES, QUEUE = "entities", "edges", "review_queue"
 PAGES_LOG, FACTS, CITED, PROFILES = (
     "processed_pages", "profile_facts", "cited_articles", "profiles",
 )
+# blocking-index tables: precomputed name keys + MinHash band entries so a
+# delta run's store-side blocking is a columnar scan, not a pandas pass
+NAME_INDEX, NAME_BANDS = "name_index", "name_bands"
 
 
 def _st(spark: SparkSession, store: str, name: str) -> SnapshotTable:
@@ -83,7 +101,9 @@ def _st(spark: SparkSession, store: str, name: str) -> SnapshotTable:
 
 
 def _exists(st: SnapshotTable) -> bool:
-    return st.latest_snapshot_id() is not None
+    # a table rolled back to the empty state (crashed first write) has a
+    # head snapshot with zero batches — treat it as absent, like pre-create
+    return st.n_batches() > 0
 
 
 def seed_store_from_run(
@@ -101,9 +121,11 @@ def seed_store_from_run(
     cited_articles / profiles / processed_pages so later `run_incremental`
     calls can rebuild merged profiles and skip already-processed pages."""
     store = cfg.snapshot_store_path
+    # eager: the FACTS append and the cited projection below both consume
+    # these rows — materialize once
     facts = profile_fact_rows(mention_clusters).join(
         entities.select("cluster_id", "entity_id"), "cluster_id"
-    ).drop("cluster_id")
+    ).drop("cluster_id").localCheckpoint()
     _st(spark, store, FACTS).append(facts)
     cited = articles.join(
         facts.select("url").distinct(), "url"
@@ -113,6 +135,11 @@ def seed_store_from_run(
     _st(spark, store, EDGES).append(
         edges.withColumn("run_id", F.lit("bootstrap"))
     )
+    # blocking-index tables: delta runs block against these columnar keys
+    # instead of re-deriving them from all store entities
+    idx = name_index_rows(entities).localCheckpoint()
+    _st(spark, store, NAME_INDEX).append(idx)
+    _st(spark, store, NAME_BANDS).append(name_band_rows(idx))
     _st(spark, store, PAGES_LOG).append(
         articles.select("url", "content_hash").withColumn(
             "run_id", F.lit("bootstrap")
@@ -183,6 +210,51 @@ def _rebuild_profiles(
     return _with_profile_embedding(profiles, cfg)
 
 
+# every store table a delta run mutates — the rollback scope of the
+# run transaction (order irrelevant; rollbacks are per-table atomic)
+_RUN_TABLES = (
+    ENTITIES, EDGES, QUEUE, FACTS, CITED, PROFILES, PAGES_LOG,
+    NAME_INDEX, NAME_BANDS,
+)
+
+
+def _runs_dir(store: str) -> str:
+    return store.rstrip("/") + "/_runs"
+
+
+def _recover_stale_runs(spark: SparkSession, store: str) -> list[str]:
+    """Roll back every table touched by a run that crashed mid-apply: a
+    `<run_id>.pending.json` without its final `<run_id>.json` journal
+    means some (possibly none, possibly all) of the run's commits landed
+    but the run never finalized — each listed table is rolled back to the
+    head recorded BEFORE the run's first commit, so a retry starts from a
+    consistent store. Single-writer assumption (the reference's model):
+    a pending file can only be stale, never in-flight, when a new run
+    starts. Returns the recovered run_ids."""
+    runs = _runs_dir(store)
+    if not hfs.exists(spark, runs):
+        return []
+    recovered = []
+    for path in hfs.list_files(spark, runs):
+        name = path.rsplit("/", 1)[-1]
+        if not name.endswith(".pending.json"):
+            continue
+        rid = name[: -len(".pending.json")]
+        if hfs.exists(spark, runs + f"/{rid}.json"):
+            # finalized concurrently with the crash window — pending file
+            # is just leftover; drop it
+            hfs.delete(spark, runs + "/" + name)
+            continue
+        heads = json.loads(hfs.read_text(spark, path))
+        for table, head in heads.items():
+            st = _st(spark, store, table)
+            if st.latest_snapshot_id() != head:
+                st.rollback_to(head)
+        hfs.delete(spark, path)
+        recovered.append(rid)
+    return recovered
+
+
 def maintain_store(
     spark: SparkSession,
     cfg: DomainConfig,
@@ -207,6 +279,14 @@ def maintain_store(
         CITED: (["url"], ["url"]),
         EDGES: (["subj", "pred", "obj"], ["subj", "pred"]),
         PAGES_LOG: (["url", "content_hash"], ["url"]),
+        NAME_INDEX: (
+            ["entity_id", "entity_type", "match_key"],
+            ["entity_type", "match_key"],
+        ),
+        NAME_BANDS: (
+            ["entity_type", "node_id", "band"],
+            ["entity_type", "band", "bh"],
+        ),
     }
     touched: dict[str, int] = {}
     for name, (key_cols, sort_by) in plans.items():
@@ -237,6 +317,11 @@ def run_incremental(
     gaz = default_gazetteer()
     hfs.mkdirs(spark, output_dir)
 
+    # a previous run that crashed mid-apply left partial store commits —
+    # roll every touched table back to its recorded pre-run head before
+    # this run reads anything (single-writer model)
+    _recover_stale_runs(spark, store)
+
     # ── cross-run F2: content-hash skip against the processed-pages log ──
     articles = extract_articles(pages).withColumn(
         "is_relevant", relevance_predicate(cfg.relevance_keywords)
@@ -263,10 +348,11 @@ def run_incremental(
             "stage string, rows long",
         ).withColumn("run_id", F.lit(run_id))
         _write(metrics, output_dir, "metrics")
+        st_e = _st(spark, store, ENTITIES)
         return {
             "articles": articles,
-            "entities_store": _st(spark, store, ENTITIES).read_resolved(
-                ["entity_id"]
+            "entities_store": (
+                st_e.read_resolved(["entity_id"]) if _exists(st_e) else None
             ),
             "metrics": spark.read.parquet(_table_path(output_dir, "metrics")),
         }
@@ -315,8 +401,24 @@ def run_incremental(
         store_entities = st_entities.read_resolved(["entity_id"]).localCheckpoint(
             eager=False
         )
+        # persisted blocking index: raw reads (duplicate keys across
+        # batches are deduped here; compaction keeps the chains short) —
+        # the store side of every blocking family is a columnar scan of
+        # precomputed keys, no UDF pass over store entities
+        st_idx = _st(spark, store, NAME_INDEX)
+        st_bands = _st(spark, store, NAME_BANDS)
+        if _exists(st_idx) and _exists(st_bands):
+            store_names = st_idx.read().drop("_seq").dropDuplicates(
+                ["entity_id", "entity_type", "match_key"]
+            )
+            store_bands = st_bands.read().drop("_seq").dropDuplicates(
+                ["entity_type", "node_id", "band"]
+            )
+        else:
+            store_names = store_bands = None
         assignments, review2 = link_entities_to_store(
-            delta_entities, store_entities, cfg
+            delta_entities, store_entities, cfg,
+            store_names=store_names, store_bands=store_bands,
         )
         assignments = assignments.localCheckpoint()
         review2 = review2.localCheckpoint()
@@ -586,6 +688,20 @@ def run_incremental(
     # as the batch pipeline's overlapped linking writes, exception-safe).
     from concurrent.futures import ThreadPoolExecutor
 
+    # ── run transaction: record every mutated table's pre-run head BEFORE
+    # the first commit; a crash anywhere below leaves this pending record,
+    # and the next run's _recover_stale_runs rolls all tables back to
+    # these heads — so the retry applies the delta exactly once ──
+    hfs.mkdirs(spark, _runs_dir(store))
+    heads = {
+        t: _st(spark, store, t).latest_snapshot_id() for t in _RUN_TABLES
+    }
+    hfs.write_text(
+        spark,
+        _runs_dir(store) + f"/{run_id}.pending.json",
+        json.dumps(heads),
+    )
+
     edges = build_edge_triples(clusters, ent_map)
     review = review1.unionByName(review2, allowMissingColumns=True)
     cited = articles.join(facts.select("url").distinct(), "url").select(
@@ -625,13 +741,13 @@ def run_incremental(
         background.append(pool.submit(_review_task))
         background.append(pool.submit(_st(spark, store, FACTS).append, facts))
         background.append(pool.submit(_st(spark, store, CITED).append, cited))
+        # blocking-index maintenance: ONLY the upserted entities' name
+        # rows are (re)computed — delta-sized work; duplicates vs prior
+        # index rows are deduped at read and folded by compaction
+        idx_new = name_index_rows(upserts).localCheckpoint()
+        background.append(pool.submit(_st(spark, store, NAME_INDEX).append, idx_new))
         background.append(
-            pool.submit(
-                st_pages.append,
-                articles.select("url", "content_hash").withColumn(
-                    "run_id", F.lit(run_id)
-                ),
-            )
+            pool.submit(_st(spark, store, NAME_BANDS).append, name_band_rows(idx_new))
         )
         # profiles rebuild is the long pole — run it on the main thread
         _profiles_task()
@@ -648,6 +764,29 @@ def run_incremental(
         pool.shutdown(wait=True)
         if bg_error is not None and _sys.exc_info()[0] is None:
             raise bg_error
+
+    # ── processed-pages log (cross-run F2) — committed LAST, strictly
+    # after every entity/fact/profile commit has succeeded: a crash
+    # anywhere above leaves the pages un-logged, so the documented
+    # recovery (re-run the same delta) reprocesses them; logging them
+    # concurrently would let a partial failure mark pages processed while
+    # their contributions were never applied, and the rerun would then
+    # skip them forever ──
+    st_pages.append(
+        articles.select("url", "content_hash").withColumn(
+            "run_id", F.lit(run_id)
+        )
+    )
+
+    # finalize the run transaction: publish the journal (create-exclusive)
+    # and drop the pending record — from here the run can never be rolled
+    # back by recovery
+    tmp = _runs_dir(store) + f"/_tmp-{run_id}.json"
+    hfs.write_text(spark, tmp, json.dumps({"run_id": run_id, "tables": heads}))
+    hfs.publish_without_overwrite(
+        spark, tmp, _runs_dir(store) + f"/{run_id}.json"
+    )
+    hfs.delete(spark, _runs_dir(store) + f"/{run_id}.pending.json")
 
     edges = spark.read.parquet(_table_path(output_dir, "edges"))
     review = spark.read.parquet(_table_path(output_dir, "review"))

@@ -54,6 +54,93 @@ NAME_JACCARD_MIN = 0.5
 NAME_LSH_BUCKET_CAP = 200
 
 
+# ── shared match-semantics UDFs ──
+# Module-level so the batch families here and the bipartite store-link
+# families (operators/store_link.py) use the IDENTICAL functions — a
+# tuning change can never silently diverge batch vs incremental matching.
+
+@F.pandas_udf(StringType())
+def acronym_long_key(s: pd.Series) -> pd.Series:
+    """Derived acronym of a long-form name ('' when the name IS one)."""
+    return s.map(
+        lambda n: (compute_acronym(n) or "") if not is_acronym_form(n) else ""
+    )
+
+
+@F.pandas_udf(StringType())
+def acronym_short_key(s: pd.Series) -> pd.Series:
+    """Cleaned letters of an acronym-form name ('' otherwise)."""
+    return s.map(
+        lambda n: n.replace(".", "").replace(" ", "").strip().upper()
+        if is_acronym_form(n)
+        else ""
+    )
+
+
+@F.pandas_udf(BooleanType())
+def containment_verified(na: pd.Series, nb: pd.Series) -> pd.Series:
+    """Word-boundary containment of the shorter name in the longer, with
+    the low-quality-name guard on both sides (SC6 verify)."""
+    out = []
+    for x, y in zip(na, nb):
+        short, long_ = (x, y) if len(str(x)) <= len(str(y)) else (y, x)
+        out.append(
+            is_name_contained(short, long_)
+            and not is_low_quality_name(short)
+            and not is_low_quality_name(long_)
+        )
+    return pd.Series(out, dtype=bool)
+
+
+@F.pandas_udf(DoubleType())
+def cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [cosine(x if x is not None else [], y if y is not None else [])
+         for x, y in zip(a, b)],
+        dtype="float64",
+    )
+
+
+@F.pandas_udf(BooleanType())
+def low_quality_pair(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [is_low_quality_name(x) or is_low_quality_name(y)
+         for x, y in zip(a, b)],
+        dtype=bool,
+    )
+
+
+@F.pandas_udf(DoubleType())
+def name_jaccard_3gram(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Char-3-gram Jaccard of the match-normalized names — the string
+    feature of the deterministic match-check (J8). Evidence cosine alone
+    over-merges entities that appear in similar contexts ('Justice
+    Department' vs 'Defense Department'); requiring the NAMES to be
+    near-duplicates too is what the reference's LLM check enforced."""
+    out = []
+    for x, y in zip(a, b):
+        gx = {f" {normalize_for_match(x)} "[i: i + 3]
+              for i in range(len(normalize_for_match(x)))}
+        gy = {f" {normalize_for_match(y)} "[i: i + 3]
+              for i in range(len(normalize_for_match(y)))}
+        out.append(len(gx & gy) / len(gx | gy) if gx or gy else 0.0)
+    return pd.Series(out, dtype="float64")
+
+
+def tau_expr_for(cfg: DomainConfig):
+    """Per-type similarity threshold as a column expression over
+    `entity_type` (reference config thresholds, default fallback)."""
+    thresholds = cfg.similarity_thresholds
+    return F.coalesce(
+        *[
+            F.when(F.col("entity_type") == k, F.lit(v))
+            for k, v in thresholds.items()
+            if k != "default"
+        ],
+        F.lit(thresholds.get("default", 0.75)),
+    )
+
+
 def ensure_match_key(df: DataFrame) -> DataFrame:
     """Use the persisted match_key column when present (stage 2 stamps it);
     fall back to the Python UDF only for ad-hoc inputs (tests). Keeping the
@@ -132,27 +219,14 @@ def _pairs_acronym(nodes: DataFrame) -> DataFrame:
     """B3: acronym-form node ⇄ long-form node with matching derived acronym.
     Join key equality reproduces acronym_matches (name_variants.py:103-122)
     by construction. People never acronym-match (reference conservatism)."""
-
-    @F.pandas_udf(StringType())
-    def _derived(s: pd.Series) -> pd.Series:
-        return s.map(lambda n: (compute_acronym(n) or "") if not is_acronym_form(n) else "")
-
-    @F.pandas_udf(StringType())
-    def _short_letters(s: pd.Series) -> pd.Series:
-        return s.map(
-            lambda n: n.replace(".", "").replace(" ", "").strip().upper()
-            if is_acronym_form(n)
-            else ""
-        )
-
     non_people = nodes.filter(F.col("entity_type") != "people")
     longs = (
-        non_people.withColumn("acr_key", _derived(F.col("name")))
+        non_people.withColumn("acr_key", acronym_long_key(F.col("name")))
         .filter(F.col("acr_key") != "")
         .select("entity_type", "acr_key", F.col("node_id").alias("long_id"))
     )
     shorts = (
-        non_people.withColumn("acr_key", _short_letters(F.col("name")))
+        non_people.withColumn("acr_key", acronym_short_key(F.col("name")))
         .filter(F.col("acr_key") != "")
         .select("entity_type", "acr_key", F.col("node_id").alias("short_id"))
     )
@@ -238,20 +312,8 @@ def _pairs_containment(nodes: DataFrame) -> DataFrame:
 
     cand = cold_cand.unionByName(hot_cand).dropDuplicates(["src", "dst"])
 
-    @F.pandas_udf(BooleanType())
-    def _contained(na: pd.Series, nb: pd.Series) -> pd.Series:
-        out = []
-        for x, y in zip(na, nb):
-            short, long_ = (x, y) if len(str(x)) <= len(str(y)) else (y, x)
-            out.append(
-                is_name_contained(short, long_)
-                and not is_low_quality_name(short)
-                and not is_low_quality_name(long_)
-            )
-        return pd.Series(out, dtype=bool)
-
     return (
-        cand.filter(_contained(F.col("name_a"), F.col("name_b")))
+        cand.filter(containment_verified(F.col("name_a"), F.col("name_b")))
         .select("src", "dst", F.lit("containment").alias("reason"))
     )
 
@@ -541,52 +603,11 @@ def score_pairs(
         .join(v.withColumnRenamed("node_id", "dst").withColumnRenamed("vec", "vec_dst"), "dst", "left")
     )
 
-    @F.pandas_udf(DoubleType())
-    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series(
-            [cosine(x if x is not None else [], y if y is not None else [])
-             for x, y in zip(a, b)],
-            dtype="float64",
-        )
-
-    @F.pandas_udf(BooleanType())
-    def _low_quality_pair(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series(
-            [is_low_quality_name(x) or is_low_quality_name(y) for x, y in zip(a, b)],
-            dtype=bool,
-        )
-
-    @F.pandas_udf(DoubleType())
-    def _name_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
-        """Char-3-gram Jaccard of the match-normalized names — the string
-        feature of the deterministic match-check (J8). Evidence cosine alone
-        over-merges entities that appear in similar contexts ('Justice
-        Department' vs 'Defense Department'); requiring the NAMES to be
-        near-duplicates too is what the reference's LLM check enforced."""
-        out = []
-        for x, y in zip(a, b):
-            gx = {f" {normalize_for_match(x)} "[i : i + 3]
-                  for i in range(len(normalize_for_match(x)))}
-            gy = {f" {normalize_for_match(y)} "[i : i + 3]
-                  for i in range(len(normalize_for_match(y)))}
-            out.append(len(gx & gy) / len(gx | gy) if gx or gy else 0.0)
-        return pd.Series(out, dtype="float64")
-
-    thresholds = cfg.similarity_thresholds
-    tau_expr = F.coalesce(
-        *[
-            F.when(F.col("entity_type") == k, F.lit(v))
-            for k, v in thresholds.items()
-            if k != "default"
-        ],
-        F.lit(thresholds.get("default", 0.75)),
-    )
-
     scored = (
-        enriched.withColumn("sim", _cos(F.col("vec_src"), F.col("vec_dst")))
-        .withColumn("tau", tau_expr)
-        .withColumn("guard_lq", _low_quality_pair(F.col("name_src"), F.col("name_dst")))
-        .withColumn("name_jac", _name_jaccard(F.col("name_src"), F.col("name_dst")))
+        enriched.withColumn("sim", cosine_udf(F.col("vec_src"), F.col("vec_dst")))
+        .withColumn("tau", tau_expr_for(cfg))
+        .withColumn("guard_lq", low_quality_pair(F.col("name_src"), F.col("name_dst")))
+        .withColumn("name_jac", name_jaccard_3gram(F.col("name_src"), F.col("name_dst")))
     ).localCheckpoint(eager=False)  # accepted + review both derive from it
 
     deterministic = F.col("reason").isin("equivalence", "acronym", "containment")

@@ -48,18 +48,16 @@ from __future__ import annotations
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
-from pyspark.sql.types import BooleanType, DoubleType, StringType
+from pyspark.sql.types import StringType
 
 from hinbox_spark.config import DomainConfig
-from hinbox_spark.functions.embeddings import cosine
-from hinbox_spark.functions.names import (
-    ACRONYM_STOPWORDS, compute_acronym, is_acronym_form, is_low_quality_name,
-    is_name_contained, normalize_for_match,
-)
+from hinbox_spark.functions.names import ACRONYM_STOPWORDS, normalize_for_match
 from hinbox_spark.operators.dedup import capped_bucket_entries
 from hinbox_spark.operators.linking import (
     NAME_JACCARD_MIN, NAME_LSH_BUCKET_CAP, TOKEN_DF_CAP,
-    arbitrate_review, name_lsh_band_entries,
+    acronym_long_key, acronym_short_key, arbitrate_review,
+    containment_verified, cosine_udf, low_quality_pair,
+    name_jaccard_3gram, name_lsh_band_entries, tau_expr_for,
 )
 
 # deterministic argmax priority: lower rank wins before sim is consulted
@@ -70,6 +68,35 @@ _REASON_RANK = {
     "containment": 3,
     "name_lsh": 4,
 }
+
+
+def name_index_rows(entities: DataFrame) -> DataFrame:
+    """(entity_id, entity_type, match_key, name, acr_long, acr_short) —
+    one row per distinct linkable surface form (canonical name + aliases)
+    of each entity, with the acronym blocking keys precomputed.
+
+    This is the store's persistable NAME INDEX: the incremental pipeline
+    materializes it (plus the MinHash band entries over it) as store
+    tables maintained per upsert batch, so a delta run's store-side
+    blocking work is a columnar index scan — never a pandas normalize /
+    acronym / signature pass over all store entities."""
+    return (
+        _name_rows(entities)
+        .withColumn("acr_long", acronym_long_key(F.col("name")))
+        .withColumn("acr_short", acronym_short_key(F.col("name")))
+    )
+
+
+def name_band_rows(names: DataFrame) -> DataFrame:
+    """MinHash band entries over name-index rows — the persistable half of
+    the B5 signature work. node_id packs (entity_id, match_key) so the
+    bucket join can recover both."""
+    nodes = names.select(
+        "entity_type",
+        F.concat_ws("\x1f", "entity_id", "match_key").alias("node_id"),
+        "match_key",
+    )
+    return name_lsh_band_entries(nodes)
 
 
 def _name_rows(entities: DataFrame) -> DataFrame:
@@ -163,40 +190,42 @@ def _family_equivalence(
 
 
 def _family_acronym(d_names: DataFrame, s_names: DataFrame) -> DataFrame:
-    """Long form on either side ⇄ short form on the other (B3 mirror;
-    people never acronym-match)."""
+    """Long form on one side ⇄ short form on the OTHER (B3 mirror; people
+    never acronym-match). Long×long must never pair: two different
+    entities whose names derive the same acronym ('National Security
+    Agency' / 'National Shipping Association') are not acronym matches —
+    the batch `_pairs_acronym` only ever joins longs to shorts, and so
+    does this. Key derivation is the SHARED linking.py UDF pair; index
+    rows that already carry acr_long/acr_short (the persisted store
+    index) skip the UDF."""
 
-    @F.pandas_udf(StringType())
-    def _derived(s: pd.Series) -> pd.Series:
-        return s.map(
-            lambda n: (compute_acronym(n) or "") if not is_acronym_form(n) else ""
+    def _keyed(names: DataFrame, col: str, udf) -> DataFrame:
+        keyed = (
+            names.withColumn("acr_key", F.col(col))
+            if col in names.columns
+            else names.withColumn("acr_key", udf(F.col("name")))
         )
-
-    @F.pandas_udf(StringType())
-    def _short_letters(s: pd.Series) -> pd.Series:
-        return s.map(
-            lambda n: n.replace(".", "").replace(" ", "").strip().upper()
-            if is_acronym_form(n)
-            else ""
-        )
-
-    def _keyed(names: DataFrame) -> DataFrame:
-        np_ = names.filter(F.col("entity_type") != "people")
-        longs = (
-            np_.withColumn("acr_key", _derived(F.col("name")))
+        return (
+            keyed.filter(F.col("entity_type") != "people")
             .filter(F.col("acr_key") != "")
             .select("entity_type", "acr_key", "entity_id", "name")
         )
-        shorts = (
-            np_.withColumn("acr_key", _short_letters(F.col("name")))
-            .filter(F.col("acr_key") != "")
-            .select("entity_type", "acr_key", "entity_id", "name")
-        )
-        return longs.unionByName(shorts)
 
-    return _cross(
-        _keyed(d_names), _keyed(s_names), ["entity_type", "acr_key"], "acronym"
-    ).dropDuplicates(["delta_id", "store_id", "name_d", "name_s"])
+    def _longs(names: DataFrame) -> DataFrame:
+        return _keyed(names, "acr_long", acronym_long_key)
+
+    def _shorts(names: DataFrame) -> DataFrame:
+        return _keyed(names, "acr_short", acronym_short_key)
+
+    return (
+        _cross(_longs(d_names), _shorts(s_names),
+               ["entity_type", "acr_key"], "acronym")
+        .unionByName(
+            _cross(_shorts(d_names), _longs(s_names),
+                   ["entity_type", "acr_key"], "acronym")
+        )
+        .dropDuplicates(["delta_id", "store_id", "name_d", "name_s"])
+    )
 
 
 def _family_containment(d_names: DataFrame, s_names: DataFrame) -> DataFrame:
@@ -229,45 +258,31 @@ def _family_containment(d_names: DataFrame, s_names: DataFrame) -> DataFrame:
         "containment",
     ).dropDuplicates(["delta_id", "store_id", "name_d", "name_s"])
 
-    @F.pandas_udf(BooleanType())
-    def _contained(na: pd.Series, nb: pd.Series) -> pd.Series:
-        out = []
-        for x, y in zip(na, nb):
-            short, long_ = (x, y) if len(str(x)) <= len(str(y)) else (y, x)
-            out.append(
-                is_name_contained(short, long_)
-                and not is_low_quality_name(short)
-                and not is_low_quality_name(long_)
-            )
-        return pd.Series(out, dtype=bool)
-
-    return cand.filter(_contained(F.col("name_d"), F.col("name_s")))
+    return cand.filter(containment_verified(F.col("name_d"), F.col("name_s")))
 
 
 def _family_lsh(
-    d_names: DataFrame, s_names: DataFrame, cfg: DomainConfig
+    d_names: DataFrame,
+    s_names: DataFrame,
+    cfg: DomainConfig,
+    s_bands: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash name-LSH across sides (B5 mirror): band entries per side,
     per-side bucket caps (broadcast anti-join — a boilerplate store name
-    never funnels a bucket into one task), equi-join on (type, band, bh)."""
+    never funnels a bucket into one task), equi-join on (type, band, bh).
+    Pass `s_bands` (the persisted `name_band_rows` store index) to skip
+    the store-side signature pass entirely."""
 
-    def _entries(names: DataFrame) -> DataFrame:
-        # name_lsh_band_entries expects node-shaped rows; node_id = the
-        # (entity, surface form) so distinct aliases each get a signature
-        nodes = names.select(
-            "entity_type",
-            F.concat_ws("\x1f", "entity_id", "match_key").alias("node_id"),
-            "match_key",
-        )
-        ent = name_lsh_band_entries(nodes)
+    def _capped(ent: DataFrame) -> DataFrame:
         return capped_bucket_entries(
             ent, ["entity_type", "band", "bh"], NAME_LSH_BUCKET_CAP
         )
 
-    d_e = _entries(d_names).select(
+    d_e = _capped(name_band_rows(d_names)).select(
         "entity_type", "band", "bh", F.col("node_id").alias("d_node")
     )
-    s_e = _entries(s_names).select(
+    s_ent = s_bands if s_bands is not None else name_band_rows(s_names)
+    s_e = _capped(s_ent).select(
         "entity_type", "band", "bh", F.col("node_id").alias("s_node")
     )
     pairs = (
@@ -310,6 +325,8 @@ def link_entities_to_store(
     delta: DataFrame,
     store: DataFrame,
     cfg: DomainConfig,
+    store_names: DataFrame | None = None,
+    store_bands: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (assignments, review).
 
@@ -322,11 +339,20 @@ def link_entities_to_store(
 
     Both input frames need: entity_id, entity_type, canonical_name,
     canonical_start_date, aliases, search_embedding.
+
+    `store_names` / `store_bands` are the PERSISTED store index tables
+    (`name_index_rows` / `name_band_rows` shapes). When given, the
+    store-side blocking work is a columnar scan of precomputed keys — no
+    normalize UDF or MinHash signature pass touches the store; without
+    them both are derived from `store` (correct, but O(|store|) Python
+    work per run — fine for tests, wrong for a nightly delta at scale).
     """
     from hinbox_spark.functions.skew import bounded_topk
 
     d_names = _name_rows(delta).localCheckpoint(eager=False)
-    s_names = _name_rows(store).localCheckpoint(eager=False)
+    s_names = (
+        store_names if store_names is not None else _name_rows(store)
+    ).localCheckpoint(eager=False)
 
     det = (
         _family_exact(d_names, s_names)
@@ -334,7 +360,7 @@ def link_entities_to_store(
         .unionByName(_family_acronym(d_names, s_names))
         .unionByName(_family_containment(d_names, s_names))
     )
-    lsh = _family_lsh(d_names, s_names, cfg).join(
+    lsh = _family_lsh(d_names, s_names, cfg, s_bands=store_bands).join(
         det.select("delta_id", "store_id"), ["delta_id", "store_id"], "left_anti"
     )
     # reference blocking_max_candidates: cap cosine-path proposals per delta
@@ -391,50 +417,16 @@ def link_entities_to_store(
     )
     enriched = cand.join(d_meta, "delta_id").join(s_meta, "store_id")
 
-    @F.pandas_udf(DoubleType())
-    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series(
-            [cosine(x if x is not None else [], y if y is not None else [])
-             for x, y in zip(a, b)],
-            dtype="float64",
-        )
-
-    @F.pandas_udf(BooleanType())
-    def _low_quality_pair(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series(
-            [is_low_quality_name(x) or is_low_quality_name(y)
-             for x, y in zip(a, b)],
-            dtype=bool,
-        )
-
-    @F.pandas_udf(DoubleType())
-    def _name_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
-        out = []
-        for x, y in zip(a, b):
-            gx = {f" {normalize_for_match(x)} "[i: i + 3]
-                  for i in range(len(normalize_for_match(x)))}
-            gy = {f" {normalize_for_match(y)} "[i: i + 3]
-                  for i in range(len(normalize_for_match(y)))}
-            out.append(len(gx & gy) / len(gx | gy) if gx or gy else 0.0)
-        return pd.Series(out, dtype="float64")
-
-    thresholds = cfg.similarity_thresholds
-    tau_expr = F.coalesce(
-        *[
-            F.when(F.col("entity_type") == k, F.lit(v))
-            for k, v in thresholds.items()
-            if k != "default"
-        ],
-        F.lit(thresholds.get("default", 0.75)),
-    )
-
+    # shared linking.py UDFs — identical match semantics batch vs store
     scored = (
-        enriched.withColumn("sim", _cos(F.col("vec_d"), F.col("vec_s")))
-        .withColumn("tau", tau_expr)
+        enriched.withColumn("sim", cosine_udf(F.col("vec_d"), F.col("vec_s")))
+        .withColumn("tau", tau_expr_for(cfg))
         .withColumn(
-            "guard_lq", _low_quality_pair(F.col("name_d"), F.col("name_s"))
+            "guard_lq", low_quality_pair(F.col("name_d"), F.col("name_s"))
         )
-        .withColumn("name_jac", _name_jaccard(F.col("name_d"), F.col("name_s")))
+        .withColumn(
+            "name_jac", name_jaccard_3gram(F.col("name_d"), F.col("name_s"))
+        )
         .localCheckpoint(eager=False)
     )
 
@@ -517,8 +509,22 @@ def link_entities_to_store(
             "delta_id",
         )
         .filter(F.col("store_id") != F.col("win_id"))
-        .select("delta_id", "win_id", "store_id", "sim")
-        .dropDuplicates(["win_id", "store_id"])
+        # deterministic witness per implied store pair: the STRONGEST
+        # losing sim (a bare dropDuplicates would write a
+        # partition-order-dependent sim into the append-only queue)
+        .groupBy("win_id", "store_id")
+        .agg(F.max("sim").alias("sim"))
+    )
+    # normalize the pair ordering FIRST, then fold both directions with a
+    # max-sim aggregate — the queue row is fully deterministic
+    pairs_norm = (
+        losers.select(
+            F.least("win_id", "store_id").alias("src"),
+            F.greatest("win_id", "store_id").alias("dst"),
+            "sim",
+        )
+        .groupBy("src", "dst")
+        .agg(F.max("sim").alias("sim"))
     )
     s_canon = store.select(
         F.col("entity_id").alias("_sid"),
@@ -526,29 +532,28 @@ def link_entities_to_store(
         F.col("entity_type").alias("_stype"),
     )
     bridges = (
-        losers.join(s_canon.withColumnRenamed("_sid", "win_id")
-                    .withColumnRenamed("_scanon", "name_win"), "win_id")
-        .join(
+        pairs_norm.join(
             s_canon.select(
-                F.col("_sid").alias("store_id"),
-                F.col("_scanon").alias("name_lose"),
+                F.col("_sid").alias("src"),
+                F.col("_scanon").alias("name_src"),
                 F.col("_stype").alias("entity_type"),
             ),
-            "store_id",
+            "src",
+        )
+        .join(
+            s_canon.select(
+                F.col("_sid").alias("dst"),
+                F.col("_scanon").alias("name_dst"),
+            ),
+            "dst",
         )
         .select(
-            F.least("win_id", "store_id").alias("src"),
-            F.greatest("win_id", "store_id").alias("dst"),
-            "entity_type",
-            F.col("name_win").alias("name_src"),
-            F.col("name_lose").alias("name_dst"),
-            "sim",
+            "src", "dst", "entity_type", "name_src", "name_dst", "sim",
             F.lit(None).cast("double").alias("tau"),
             F.lit(0.0).alias("confidence"),
             F.lit("defer").alias("decision"),
             F.lit(None).cast("double").alias("arbiter_confidence"),
         )
-        .dropDuplicates(["src", "dst"])
     )
     review_out = review.unionByName(bridges, allowMissingColumns=True)
     return assignments, review_out

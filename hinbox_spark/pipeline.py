@@ -468,9 +468,8 @@ def run_pipeline(
             # and the written entities table — independent jobs, overlapped
             # the same way as decisions
             edges = build_edge_triples(mention_clusters, entities)
-            background.append(
-                pool.submit(_write, edges, output_dir, "edges", ["pred"])
-            )
+            edges_future = pool.submit(_write, edges, output_dir, "edges", ["pred"])
+            background.append(edges_future)
 
             # ── stage 6: profiles + grounding ──
             profiles = build_profiles(mention_clusters, entities)
@@ -481,13 +480,17 @@ def run_pipeline(
             if cfg.snapshot_store_path:
                 # bootstrap the incremental-store state tables (profile
                 # facts, cited texts, processed-pages log, edges/profiles)
-                # so run_incremental can apply deltas on top of this run
+                # so run_incremental can apply deltas on top of this run.
+                # The edges append reuses the just-written parquet instead
+                # of re-running the provenance aggregation plan — wait for
+                # the background edges write first.
                 from hinbox_spark.incremental import seed_store_from_run
 
+                edges_future.result()
                 seed_store_from_run(
                     spark, cfg, mention_clusters, entities, articles,
                     spark.read.parquet(_table_path(output_dir, "profiles")),
-                    edges,
+                    spark.read.parquet(_table_path(output_dir, "edges")),
                 )
         finally:
             # join the concurrent writes BEFORE unwinding — a failure in

@@ -149,6 +149,24 @@ class SnapshotTable:
             "merge",
         )
 
+    def rollback_to(self, snapshot_id: int | None) -> int:
+        """Commit a NEW snapshot whose entry list is exactly the given
+        historical snapshot's (Iceberg's rollback-to-snapshot): readers
+        atomically stop seeing every batch committed after it, while the
+        history (and time travel) stays intact until expiry. The recovery
+        primitive for multi-table transactional writers — a crashed run's
+        partial commits are un-published, never deleted in place.
+        `snapshot_id=None` rolls back to the empty table (the pre-creation
+        state of a table first written by the crashed run)."""
+        entries = (
+            list(self._read_manifest(snapshot_id)["entries"])
+            if snapshot_id is not None
+            else []
+        )
+        return self._commit(
+            lambda _entries, seq: entries, f"rollback:{snapshot_id}"
+        )
+
     def compact(
         self,
         key_cols: list[str],

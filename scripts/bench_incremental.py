@@ -109,6 +109,13 @@ def orchestrate(n_pages: int, cores: int) -> None:
         tempfile.gettempdir(), f"inc_bench_{n_pages}"
     )
     os.makedirs(work_dir, exist_ok=True)
+    # the corpus split is deterministic and reusable across invocations,
+    # but the snapshot store must be FRESH: a stale store would make the
+    # delta phase skip every page via the processed-pages log and publish
+    # a no-op as the measured delta cost
+    import shutil
+
+    shutil.rmtree(os.path.join(work_dir, "store"), ignore_errors=True)
     results = {}
     for phase in ("bootstrap", "delta", "recompute"):
         # load gate: wait out other work so samples are honest

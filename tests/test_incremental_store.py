@@ -300,3 +300,85 @@ class TestStoreLinkFamilies:
         assert "d1" not in got          # conflicting date: no merge
         assert got.get("d2") == "s1"    # same date
         assert got.get("d3") == "s1"    # empty date compatible
+
+
+def test_acronym_family_never_pairs_two_long_forms(spark):
+    """Two different entities whose long names derive the same acronym
+    must NOT match ('National Security Agency' vs 'National Shipping
+    Association'); a true short⇄long acronym pair must."""
+    cfg = get_default_config()
+    store = spark.createDataFrame(
+        [_ent(cfg, "s1", "organizations", "National Security Agency")],
+        _ENT_DDL,
+    )
+    delta = spark.createDataFrame(
+        [
+            _ent(cfg, "d1", "organizations", "National Shipping Association"),
+            _ent(cfg, "d2", "organizations", "N.S.A."),
+        ],
+        _ENT_DDL,
+    )
+    a, _ = link_entities_to_store(delta, store, cfg)
+    got = {r.delta_id: (r.store_id, r.reason) for r in a.collect()}
+    assert "d1" not in got          # long x long: no acronym identity
+    assert got.get("d2", (None, None))[1] == "acronym"  # short x long: yes
+
+
+def test_crash_mid_apply_recovers_exactly_once(spark, monkeypatch):
+    """Run transaction: a crash AFTER some store commits landed (entities
+    merge, facts append) but BEFORE the run finalized leaves a pending
+    journal; the retry rolls every table back to its pre-run head and
+    re-applies the delta, ending byte-identical to a never-crashed run —
+    counters are never double-merged, pages never skipped-forever."""
+    import hinbox_spark.incremental as incmod
+
+    pages, _ = pages_dataframe(spark, 40, 3)
+    urls = sorted(r.url for r in pages.select("url").collect())
+    pages_a = pages.filter(F.col("url").isin(set(urls[:30]))).localCheckpoint()
+    pages_b = pages.filter(F.col("url").isin(set(urls[30:]))).localCheckpoint()
+
+    def build_store():
+        store = tempfile.mkdtemp()
+        cfg = dataclasses.replace(
+            get_default_config(), snapshot_store_path=store
+        )
+        run_pipeline(spark, pages_a, tempfile.mkdtemp(), cfg=cfg, resume=False)
+        return store, cfg
+
+    # control: clean application
+    store_ok, cfg_ok = build_store()
+    run_incremental(spark, pages_b, tempfile.mkdtemp(), cfg=cfg_ok, run_id="d")
+
+    # crash world: profiles rebuild raises AFTER the concurrent commits
+    # were submitted (entities/facts/cited/edges/queue may have landed)
+    store_cr, cfg_cr = build_store()
+    real = incmod._rebuild_profiles
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash")
+
+    monkeypatch.setattr(incmod, "_rebuild_profiles", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run_incremental(
+            spark, pages_b, tempfile.mkdtemp(), cfg=cfg_cr, run_id="d-crash"
+        )
+    monkeypatch.setattr(incmod, "_rebuild_profiles", real)
+    # pending journal left behind; pages were NOT logged (log is last)
+    assert any(
+        p.endswith("d-crash.pending.json")
+        for p in __import__("glob").glob(store_cr + "/_runs/*")
+    )
+    # retry: recovery rolls back the partial commits, then applies cleanly
+    out = run_incremental(
+        spark, pages_b, tempfile.mkdtemp(), cfg=cfg_cr, run_id="d-retry"
+    )
+    m = {r.stage: r.rows for r in out["metrics"].collect()}
+    assert m["delta_articles"] > 0  # NOT skipped-forever
+
+    for table, key in [("entities", ["entity_id"]), ("profiles", ["entity_id"]),
+                       ("profile_facts", ["entity_id", "url"])]:
+        a = SnapshotTable(spark, store_ok + "/" + table).read_resolved(key)
+        b = SnapshotTable(spark, store_cr + "/" + table).read_resolved(key)
+        ra = sorted(map(tuple, a.select(*sorted(a.columns)).collect()))
+        rb = sorted(map(tuple, b.select(*sorted(b.columns)).collect()))
+        assert ra == rb, f"{table} diverged after crash recovery"

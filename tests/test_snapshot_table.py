@@ -350,3 +350,18 @@ def test_read_resolved_scope_prunes_before_resolution(spark, tmp_path):
     assert "BroadcastHashJoin" in scoped._jdf.queryExecution().executedPlan().toString()
     with pytest.raises(AssertionError):
         t.read_resolved(["k", "u"], scope=spark.createDataFrame([("u1",)], "u string"))
+
+
+def test_rollback_to_unpublishes_later_batches(spark, tmp_path):
+    """rollback_to commits a new snapshot with the historical entry list:
+    later batches disappear from reads, history stays for time travel;
+    rollback_to(None) restores the empty pre-creation state."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    s1 = t.append(spark.createDataFrame([("a", 1)], "k string, v int"))
+    t.append(spark.createDataFrame([("b", 2)], "k string, v int"))
+    t.rollback_to(s1)
+    assert {r.k for r in t.read().collect()} == {"a"}
+    # time travel still sees the rolled-back state
+    assert {r.k for r in t.read(snapshot_id=2).collect()} == {"a", "b"}
+    t.rollback_to(None)
+    assert t.n_batches() == 0
