@@ -83,6 +83,11 @@ HEADLINE = [
     "training_corpus_filter",
     "ann_pq_topk",
     "events_percentiles_sketch",
+    "waiting_suppliers",
+    "market_share",
+    "profit_by_nation_year",
+    "events_moving_avg",
+    "doc_pack_sequences",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "20000"))

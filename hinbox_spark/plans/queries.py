@@ -2453,6 +2453,316 @@ ORDER BY source
 """
 
 
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — suppliers who were the SOLE late supplier on a
+    multi-supplier finished order: one EXISTS (another supplier shipped on
+    the same order) and one NOT EXISTS (no OTHER supplier was late) against
+    the same fact table. Both are expressed as semi/anti hash joins keyed on
+    l_orderkey with the supplier inequality as a residual condition — never
+    an inner self-join that would amplify by per-order line fan-out before
+    deduping. At scale all three lineitem branches shuffle on the same
+    orderkey, so AQE can reuse one exchange; supplier is broadcast."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("o_orderstatus") == "F")
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    other_lines = l.select(
+        F.col("l_orderkey").alias("ao"), F.col("l_suppkey").alias("asupp")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("bo"), F.col("l_suppkey").alias("bsupp")
+    )
+    sole_late = (
+        late.join(
+            other_lines,
+            (F.col("l_orderkey") == F.col("ao"))
+            & (F.col("l_suppkey") != F.col("asupp")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("l_orderkey") == F.col("bo"))
+            & (F.col("l_suppkey") != F.col("bsupp")),
+            "left_anti",
+        )
+    )
+    return (
+        sole_late.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("s_name").alias("supplier"))
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "supplier")
+        .limit(20)
+    )
+
+
+ORACLE_WAITING_SUPPLIERS = """
+SELECT s_name AS supplier, count(*) AS numwait
+FROM lineitem l1
+JOIN orders   ON o_orderkey = l1.l_orderkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, supplier
+LIMIT 20
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — market share: within (ASIA-region customers ×
+    PROMO-type parts), the fraction of yearly revenue supplied by one
+    nation. The part filter runs BEFORE its join (the filtered part side is
+    small → broadcast); customer region membership and supplier nation are
+    broadcast dims; the only big shuffle is lineitem⋈orders. Revenue is
+    summed as integer cents (exact, associative) and the share is one exact
+    long/long division at the end, so both engines agree bit-for-bit."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    asia_cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey")
+    )
+    promo_parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    supp_nation = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        l.join(F.broadcast(promo_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .groupBy(F.year("o_orderdate").alias("year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_7", rev_cents).otherwise(F.lit(0)))
+                / F.sum(rev_cents)
+            ).alias("mkt_share"),
+            (F.sum(rev_cents) / 100.0).alias("total_revenue"),
+        )
+    )
+
+
+ORACLE_MARKET_SHARE = """
+WITH slice AS (
+  SELECT year(o_orderdate) AS year,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents,
+         (SELECT n_name FROM nation WHERE n_nationkey = s_nationkey) AS supp_nation
+  FROM lineitem
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+    AND o_custkey IN (
+      SELECT c_custkey FROM customer
+      JOIN nation ON n_nationkey = c_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = 'ASIA')
+)
+SELECT year,
+       sum(CASE WHEN supp_nation = 'NATION_7' THEN cents ELSE 0 END)
+         / CAST(sum(cents) AS DOUBLE)                    AS mkt_share,
+       sum(cents) / 100.0                                AS total_revenue
+FROM slice
+GROUP BY year
+"""
+
+
+def q_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — profit by (supplier nation, order year) over
+    STANDARD-type parts; cost proxy = 10% of retail price × quantity (the
+    testdata has no partsupp/ps_supplycost). Per-item profit is rounded to
+    integer cents BEFORE the sum so the aggregate is associative across
+    engines. The part filter makes its side broadcastable; supplier→nation
+    is broadcast; the one big shuffle is lineitem⋈orders."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = _t(spark, sf_dir, "nation")
+    std_parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "STANDARD")
+        .select("p_partkey", "p_retailprice")
+    )
+    supp_nation = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    profit_cents = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.col("p_retailprice") * F.col("l_quantity") * 0.10
+        )
+        * 100
+    ).cast("long")
+    return (
+        l.join(F.broadcast(std_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("year"))
+        .agg(
+            (F.sum(profit_cents) / 100.0).alias("profit"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+ORACLE_PROFIT_BY_NATION_YEAR = """
+SELECT n_name AS nation, year(o_orderdate) AS year,
+       sum(CAST(round((l_extendedprice * (1 - l_discount)
+                       - p_retailprice * l_quantity * 0.10) * 100) AS BIGINT))
+         / 100.0                                         AS profit,
+       count(*)                                          AS n_lines
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN orders   ON o_orderkey = l_orderkey
+WHERE p_type = 'STANDARD'
+GROUP BY 1, 2
+"""
+
+
+def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day moving average of daily event counts per type. The
+    raw table collapses through ONE map-side-combinable groupBy to
+    (type × day) — a few thousand rows at any corpus size — and the window
+    runs over that post-aggregate frame, so the sort inside each window
+    partition is over ~days-per-type rows, never over raw events. The frame
+    (6 PRECEDING .. CURRENT ROW over integer counts) is order-fixed, so the
+    double average is bit-identical across engines."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    ).agg(F.count("*").alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.round(F.avg("n_events").over(w), 4).alias("ma7"),
+    )
+
+
+ORACLE_EVENTS_MOVING_AVG = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, n_events,
+       round(avg(n_events) OVER (
+         PARTITION BY event_type ORDER BY day
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+FROM daily
+"""
+
+
+def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (GPT-style concat-and-chunk): documents are
+    concatenated in deterministic order and cut into fixed token-budget
+    sequences; a doc starting past a budget boundary opens the next
+    sequence. RNG-free and shard-parallel: docs are salted into P shards by
+    an md5 prefix (engine-agnostic — no Spark/DuckDB hash() mismatch), the
+    running token offset is a window cumsum WITHIN a shard, and
+    seq = floor(offset/budget). Each shard packs independently, so at scale
+    P grows with the corpus (P ≈ corpus_tokens / executor-task budget) and
+    no task ever sorts more than one shard; the P=64 here is the small-SF
+    instantiation of that knob. Output is one row per packed sequence."""
+    P, BUDGET = 64, 2048
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long") % P
+        ).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = toks.withColumn(
+        "offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).withColumn("seq_id", F.floor(F.col("offset") / BUDGET))
+    return (
+        placed.groupBy("shard", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+ORACLE_DOC_PACK_SEQUENCES = """
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT)       AS n_tokens,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+           % 64                                             AS shard
+  FROM documents
+), placed AS (
+  SELECT shard, doc_id, n_tokens,
+         COALESCE(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+  FROM toks
+)
+SELECT shard, CAST(floor("offset" / 2048) AS BIGINT) AS seq_id,
+       count(*)                        AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT)   AS seq_tokens,
+       min(doc_id)   AS first_doc,
+       max(doc_id)   AS last_doc
+FROM placed
+GROUP BY 1, 2
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -2515,6 +2825,11 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_corpus_filter": q_training_corpus_filter,
     "ann_pq_topk": q_ann_pq_topk,
     "events_percentiles_sketch": q_events_percentiles_sketch,
+    "waiting_suppliers": q_waiting_suppliers,
+    "market_share": q_market_share,
+    "profit_by_nation_year": q_profit_by_nation_year,
+    "events_moving_avg": q_events_moving_avg,
+    "doc_pack_sequences": q_doc_pack_sequences,
     # non-SQL-expressible (rows-only driver check; correctness pinned by
     # tests/test_dedup.py and tests/test_ann.py)
     "doc_minhash_near_dups": q_doc_minhash_near_dups,
@@ -2587,4 +2902,9 @@ ORACLE_QUERIES: dict[str, str] = {
     "events_funnel": ORACLE_EVENTS_FUNNEL,
     "events_retention": ORACLE_EVENTS_RETENTION,
     "training_corpus_filter": ORACLE_TRAINING_CORPUS_FILTER,
+    "waiting_suppliers": ORACLE_WAITING_SUPPLIERS,
+    "market_share": ORACLE_MARKET_SHARE,
+    "profit_by_nation_year": ORACLE_PROFIT_BY_NATION_YEAR,
+    "events_moving_avg": ORACLE_EVENTS_MOVING_AVG,
+    "doc_pack_sequences": ORACLE_DOC_PACK_SEQUENCES,
 }

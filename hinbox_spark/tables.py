@@ -88,10 +88,26 @@ class SnapshotTable:
 
     # ── commit protocol ──
 
-    def _write_batch(self, df: DataFrame) -> str:
+    def _write_batch(self, df: DataFrame, stats_col: str | None = None):
+        """Write one immutable batch dir; with `stats_col`, also return the
+        batch's (min, max) of that column for manifest-level pruning. The
+        stats job scans ONLY the just-written batch (the delta, not the
+        table) and reads one column from fresh footers — O(batch), cheap.
+        Returns (batch, stats|None); stats is {col, min, max} with values
+        limited to JSON-native types (string/numeric cluster keys — the
+        entity_id/url keys this store is built for)."""
         batch = "batch-" + uuid.uuid4().hex
         df.write.mode("overwrite").parquet(self.data_dir + "/" + batch)
-        return batch
+        stats = None
+        if stats_col is not None:
+            row = (
+                self.spark.read.parquet(self.data_dir + "/" + batch)
+                .agg(F.min(stats_col).alias("lo"), F.max(stats_col).alias("hi"))
+                .first()
+            )
+            if row["lo"] is not None and isinstance(row["lo"], (str, int, float)):
+                stats = {"col": stats_col, "min": row["lo"], "max": row["hi"]}
+        return batch, stats
 
     def _commit(self, build_entries, operation: str, retries: int = 5) -> int:
         """Optimistically commit: read head, build the new batch list from
@@ -126,26 +142,35 @@ class SnapshotTable:
 
     # ── writes ──
 
-    def append(self, df: DataFrame) -> int:
-        batch = self._write_batch(df)
+    @staticmethod
+    def _entry(batch: str, seq: int, stats) -> dict:
+        e = {"batch": batch, "seq": seq}
+        if stats is not None:
+            e["stats"] = stats
+        return e
+
+    def append(self, df: DataFrame, stats_col: str | None = None) -> int:
+        batch, stats = self._write_batch(df, stats_col)
         return self._commit(
-            lambda entries, seq: entries + [{"batch": batch, "seq": seq}],
+            lambda entries, seq: entries + [self._entry(batch, seq, stats)],
             "append",
         )
 
-    def overwrite(self, df: DataFrame) -> int:
-        batch = self._write_batch(df)
+    def overwrite(self, df: DataFrame, stats_col: str | None = None) -> int:
+        batch, stats = self._write_batch(df, stats_col)
         return self._commit(
-            lambda entries, seq: [{"batch": batch, "seq": seq}], "overwrite"
+            lambda entries, seq: [self._entry(batch, seq, stats)], "overwrite"
         )
 
-    def merge(self, df: DataFrame) -> int:
+    def merge(self, df: DataFrame, stats_col: str | None = None) -> int:
         """MERGE-INTO-style upsert, merge-on-read: rows with keys already in
         the table supersede them at read time (higher seq wins); new keys
-        append. No data rewrite — O(new rows) work at commit."""
-        batch = self._write_batch(df)
+        append. No data rewrite — O(new rows) work at commit. `stats_col`
+        records the batch's key range in the manifest, letting scoped reads
+        skip whole batches (Iceberg's manifest-level file pruning)."""
+        batch, stats = self._write_batch(df, stats_col)
         return self._commit(
-            lambda entries, seq: entries + [{"batch": batch, "seq": seq}],
+            lambda entries, seq: entries + [self._entry(batch, seq, stats)],
             "merge",
         )
 
@@ -195,9 +220,13 @@ class SnapshotTable:
             else:
                 resolved = resolved.repartitionByRange(*sort_by)
             resolved = resolved.sortWithinPartitions(*sort_by)
-        batch = self._write_batch(resolved)
+        # the compacted batch records its key range too (sorted layouts get
+        # row-group pruning AND manifest pruning on the same column)
+        batch, stats = self._write_batch(
+            resolved, stats_col=(sort_by[0] if sort_by else None)
+        )
         return self._commit(
-            lambda entries, seq: [{"batch": batch, "seq": seq}], "compact"
+            lambda entries, seq: [self._entry(batch, seq, stats)], "compact"
         )
 
     # ── maintenance ──
@@ -278,24 +307,61 @@ class SnapshotTable:
             return 0
         return len(self._read_manifest(head)["entries"])
 
-    def read(self, snapshot_id: int | None = None) -> DataFrame:
+    def read(
+        self,
+        snapshot_id: int | None = None,
+        prune_keys: tuple[str, list] | None = None,
+    ) -> DataFrame:
         """Raw union of the snapshot's batches (with `_seq` lineage column).
-        Pass snapshot_id for time travel."""
+        Pass snapshot_id for time travel.
+
+        Schema evolution (add-column): batches written before a column
+        existed read it as NULL (`unionByName(allowMissingColumns=True)`) —
+        Iceberg's read-side schema reconciliation, so evolving the entity
+        schema never rewrites committed data.
+
+        `prune_keys=(col, values)`: manifest-level batch pruning — a batch
+        whose recorded [min, max] range of `col` (see `stats_col` on the
+        write methods) contains none of the point keys is never scanned at
+        all. Batches without recorded stats are conservatively kept. This
+        is metadata-only work on the driver (O(batches) comparisons), the
+        same job Iceberg's manifest file ranges do."""
         head = snapshot_id if snapshot_id is not None else self.latest_snapshot_id()
         if head is None:
             raise FileNotFoundError(f"no committed snapshot at {self.path}")
         manifest = self._read_manifest(head)
-        if not manifest["entries"]:
+        entries = manifest["entries"]
+        if not entries:
             raise FileNotFoundError(f"snapshot {head} at {self.path} is empty")
+        if prune_keys is not None:
+            col, values = prune_keys
+            keys = sorted(values)
+
+            def _may_contain(e: dict) -> bool:
+                s = e.get("stats")
+                if not s or s["col"] != col:
+                    return True  # no stats recorded: must scan
+                import bisect
+
+                i = bisect.bisect_left(keys, s["min"])
+                return i < len(keys) and keys[i] <= s["max"]
+
+            entries = [e for e in entries if _may_contain(e)]
+            if not entries:
+                # every batch pruned: empty frame with the head batch schema
+                empty = self.spark.read.parquet(
+                    self.data_dir + "/" + manifest["entries"][-1]["batch"]
+                ).limit(0)
+                return empty.withColumn("_seq", F.lit(0).cast("long"))
         parts = []
-        for e in manifest["entries"]:
+        for e in entries:
             parts.append(
                 self.spark.read.parquet(self.data_dir + "/" + e["batch"])
                 .withColumn("_seq", F.lit(e["seq"]))
             )
         out = parts[0]
         for p in parts[1:]:
-            out = out.unionByName(p)
+            out = out.unionByName(p, allowMissingColumns=True)
         return out
 
     def read_resolved(
@@ -316,13 +382,21 @@ class SnapshotTable:
         entities never shuffles the whole table. (On a sort-clustered
         compacted table the scan itself also prunes via min/max row-group
         stats; the semi-join is the residual filter.)"""
-        raw = self.read(snapshot_id)
         if scope is not None:
             on = list(scope.columns)
             assert on == key_cols[: len(on)], (
                 f"scope columns {on} must be a prefix of key_cols {key_cols}"
             )
-            raw = raw.join(F.broadcast(scope.dropDuplicates(on)), on, "left_semi")
+            scope = scope.dropDuplicates(on)
+            # scope is small by contract (it is broadcast below), so
+            # collecting its first key column costs one tiny job and buys
+            # manifest-level batch pruning: un-stats'd batches still scan,
+            # stats'd batches outside the key range never do
+            keys = [r[0] for r in scope.select(on[0]).collect()]
+            raw = self.read(snapshot_id, prune_keys=(on[0], keys))
+            raw = raw.join(F.broadcast(scope), on, "left_semi")
+        else:
+            raw = self.read(snapshot_id)
         payload = [c for c in raw.columns if c not in key_cols]
         return (
             raw.groupBy(*key_cols)

@@ -328,3 +328,159 @@ def test_events_percentiles_sketch_accuracy_and_plan(spark):
 
     plan = _plan(q_events_percentiles_sketch(spark, sf))
     assert "partial_approx_percentile" in plan
+
+
+def test_round4c_relational_queries_scale_shaped_plans(spark):
+    """Q21: the sole-late condition is semi+anti joins on the fact table
+    (never an inner self-join that amplifies by line fan-out); Q8/Q9: the
+    filtered part side and every nation lookup broadcast, so the only big
+    shuffle is lineitem⋈orders."""
+    from hinbox_spark.plans.queries import (
+        q_market_share, q_profit_by_nation_year, q_waiting_suppliers,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    q21 = _plan(q_waiting_suppliers(spark, sf))
+    assert "LeftSemi" in q21 and "LeftAnti" in q21
+    assert "BroadcastHashJoin" in q21  # supplier dim
+
+    q8 = _plan(q_market_share(spark, sf))
+    # promo parts, supplier-nation, and the region-filtered customer key
+    # set all broadcast
+    assert q8.count("BroadcastHashJoin") >= 3
+    assert "LeftSemi" in q8  # customer membership never duplicates lines
+
+    q9 = _plan(q_profit_by_nation_year(spark, sf))
+    assert q9.count("BroadcastHashJoin") >= 2
+
+
+def test_waiting_suppliers_sole_late_semantics(spark):
+    """Crafted orders: only the SOLE late supplier on a multi-supplier
+    finished order is counted — co-late suppliers, single-supplier orders,
+    and open orders all excluded."""
+    import datetime
+
+    import hinbox_spark.plans.queries as Q
+
+    placed = datetime.datetime(2024, 1, 1)
+    on_time = datetime.datetime(2024, 1, 5)       # within 60 days
+    late = datetime.datetime(2024, 6, 1)          # > orderdate + 60 days
+    lineitem = spark.createDataFrame(
+        [
+            # order 1 (F): s1 late, s2 on time -> s1 counted
+            (1, 10, 1.0, late),
+            (1, 20, 1.0, on_time),
+            # order 2 (F): s1 and s2 BOTH late -> nobody counted
+            (2, 10, 1.0, late),
+            (2, 20, 1.0, late),
+            # order 3 (F): s3 late but sole supplier -> not counted
+            (3, 30, 1.0, late),
+            # order 4 (O = open): s1 late but status excluded
+            (4, 10, 1.0, late),
+        ],
+        "l_orderkey long, l_suppkey long, l_quantity double, l_shipdate timestamp",
+    )
+    orders = spark.createDataFrame(
+        [(1, "F", placed), (2, "F", placed), (3, "F", placed), (4, "O", placed)],
+        "o_orderkey long, o_orderstatus string, o_orderdate timestamp",
+    )
+    supplier = spark.createDataFrame(
+        [(10, "S1"), (20, "S2"), (30, "S3")],
+        "s_suppkey long, s_name string",
+    )
+    tables = {"lineitem": lineitem, "orders": orders, "supplier": supplier}
+    orig = Q._t
+    try:
+        Q._t = lambda spark, sf_dir, name: tables[name]
+        rows = Q.q_waiting_suppliers(spark, "unused").collect()
+    finally:
+        Q._t = orig
+    assert [(r["supplier"], r["numwait"]) for r in rows] == [("S1", 1)]
+
+
+def test_doc_pack_sequences_matches_independent_packing(spark):
+    """The Spark packing must equal an independent Python reimplementation
+    (same md5 sharding, cumulative concat-and-chunk) on crafted docs, and
+    per-shard token totals must be conserved."""
+    import hashlib
+    from collections import defaultdict
+
+    import hinbox_spark.plans.queries as Q
+
+    docs = [(i, " ".join(["w"] * (37 * (i % 29) + 1))) for i in range(300)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    orig = Q._t
+    try:
+        Q._t = lambda spark, sf_dir, name: df
+        got = {
+            (r["shard"], r["seq_id"]): (
+                r["n_docs"], r["seq_tokens"], r["first_doc"], r["last_doc"]
+            )
+            for r in Q.q_doc_pack_sequences(spark, "unused").collect()
+        }
+    finally:
+        Q._t = orig
+
+    # independent reimplementation
+    shards = defaultdict(list)
+    for i, text in docs:
+        shard = int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 64
+        shards[shard].append((i, len(text.split(" "))))
+    want = {}
+    for shard, members in shards.items():
+        offset = 0
+        for doc_id, n in sorted(members):
+            seq = offset // 2048
+            key = (shard, seq)
+            nd, st, fd, ld = want.get(key, (0, 0, doc_id, doc_id))
+            want[key] = (nd + 1, st + n, min(fd, doc_id), max(ld, doc_id))
+            offset += n
+    assert got == want
+    # token conservation per shard
+    for shard, members in shards.items():
+        total = sum(n for _, n in members)
+        assert sum(v[1] for k, v in got.items() if k[0] == shard) == total
+
+
+def test_events_moving_avg_is_post_aggregate_window(spark):
+    """The window must run over the (type × day) aggregate, not raw events
+    — the plan's Window node sits above a HashAggregate — and the trailing
+    average must match a hand-computed sequence."""
+    import datetime
+
+    import hinbox_spark.plans.queries as Q
+
+    plan = _plan(Q.q_events_moving_avg(spark, "/root/testdata/sf0.001"))
+    assert "Window" in plan
+    assert plan.index("Window") < plan.index("HashAggregate") or (
+        "HashAggregate" in plan.split("Window")[0]
+    )
+
+    # crafted: one type, 3 days with 2/4/6 events -> ma7 = 2, 3, 4
+    rows = []
+    eid = 0
+    for day, n in [(1, 2), (2, 4), (3, 6)]:
+        for _ in range(n):
+            eid += 1
+            rows.append(
+                (eid, datetime.datetime(2024, 1, day, 12), 1, "view", 0.0, "{}")
+            )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    orig = Q._t
+    try:
+        Q._t = lambda spark, sf_dir, name: ev
+        got = sorted(
+            (r["day"], r["n_events"], r["ma7"])
+            for r in Q.q_events_moving_avg(spark, "unused").collect()
+        )
+    finally:
+        Q._t = orig
+    assert got == [
+        ("2024-01-01", 2, 2.0),
+        ("2024-01-02", 4, 3.0),
+        ("2024-01-03", 6, 4.0),
+    ]

@@ -365,3 +365,86 @@ def test_rollback_to_unpublishes_later_batches(spark, tmp_path):
     assert {r.k for r in t.read(snapshot_id=2).collect()} == {"a", "b"}
     t.rollback_to(None)
     assert t.n_batches() == 0
+
+
+def test_schema_evolution_add_column_reads_null_backfill(spark, tmp_path):
+    """Iceberg add-column semantics: batches written before a column
+    existed read it as NULL; no committed data is rewritten. Works in both
+    directions (old batch missing the new column, late batch missing an
+    original one)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [("a", "Alpha", 1)]))
+    # evolved writer: adds a 'score' column
+    t.merge(
+        spark.createDataFrame(
+            [("b", "Beta", 1, 0.5)],
+            "entity_id string, name string, v int, score double",
+        )
+    )
+    # narrow late writer: misses 'v' entirely
+    t.append(
+        spark.createDataFrame([("c", "Gamma")], "entity_id string, name string")
+    )
+    rows = {r["entity_id"]: r for r in t.read().collect()}
+    assert set(rows) == {"a", "b", "c"}
+    assert rows["a"]["score"] is None and rows["b"]["score"] == 0.5
+    assert rows["c"]["v"] is None and rows["c"]["score"] is None
+    resolved = {
+        r["entity_id"]: r for r in t.read_resolved(["entity_id"]).collect()
+    }
+    assert resolved["b"]["score"] == 0.5 and resolved["a"]["score"] is None
+
+
+def test_manifest_stats_prune_batches_from_scoped_reads(spark, tmp_path):
+    """Batches carry their key range in the manifest (stats_col); a scoped
+    read_resolved never scans a batch whose range excludes every scope key
+    — visible in the physical plan as the absent batch path. Batches
+    without stats are conservatively kept."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.merge(_df(spark, [("a1", "A1", 1), ("b1", "B1", 1)]), stats_col="entity_id")
+    t.merge(_df(spark, [("m1", "M1", 1), ("n1", "N1", 1)]), stats_col="entity_id")
+    t.merge(_df(spark, [("x1", "X1", 1), ("z1", "Z1", 1)]), stats_col="entity_id")
+    manifest_entries = t._read_manifest(t.latest_snapshot_id())["entries"]
+    assert all("stats" in e for e in manifest_entries)
+    by_seq = {e["seq"]: e["batch"] for e in manifest_entries}
+
+    scope = spark.createDataFrame([("m1",)], "entity_id string")
+    scoped = t.read_resolved(["entity_id"], scope=scope)
+    files = "\n".join(scoped.inputFiles())
+    assert by_seq[2] in files          # the batch holding m1 is scanned
+    assert by_seq[1] not in files      # [a1, b1] pruned via manifest range
+    assert by_seq[3] not in files      # [x1, z1] pruned via manifest range
+    assert {r["entity_id"] for r in scoped.collect()} == {"m1"}
+
+    # a stats-less batch (older writer) is always scanned
+    t.merge(_df(spark, [("q1", "Q1", 1)]))  # no stats_col
+    scoped2 = t.read_resolved(["entity_id"], scope=scope)
+    files2 = "\n".join(scoped2.inputFiles())
+    new_batch = t._read_manifest(t.latest_snapshot_id())["entries"][-1]["batch"]
+    assert new_batch in files2
+    assert {r["entity_id"] for r in scoped2.collect()} == {"m1"}
+
+    # scope outside EVERY batch range: zero rows, nothing breaks
+    none_scope = spark.createDataFrame([("zzzz",)], "entity_id string")
+    out = t.read_resolved(["entity_id"], scope=none_scope)
+    assert out.count() == 0
+
+
+def test_pruned_and_unpruned_scoped_reads_agree(spark, tmp_path):
+    """Pruning is an optimization, never a semantics change: resolved rows
+    for a scope match the unpruned resolution filtered to the scope —
+    including when the winning row for a key lives in a later batch."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.merge(_df(spark, [("k1", "old", 1), ("k2", "old", 1)]), stats_col="entity_id")
+    t.merge(_df(spark, [("k1", "new", 2)]), stats_col="entity_id")
+    scope = spark.createDataFrame([("k1",)], "entity_id string")
+    scoped = {
+        r["entity_id"]: (r["name"], r["v"])
+        for r in t.read_resolved(["entity_id"], scope=scope).collect()
+    }
+    full = {
+        r["entity_id"]: (r["name"], r["v"])
+        for r in t.read_resolved(["entity_id"]).collect()
+        if r["entity_id"] == "k1"
+    }
+    assert scoped == full == {"k1": ("new", 2)}

@@ -1,0 +1,105 @@
+"""Streaming upsert sink (streaming/upsert.py): foreachBatch → SnapshotTable
+merge with exactly-once micro-batch commits — cross-drain last-wins
+resolution, idempotent re-delivery after a simulated crash (same batch_id
+twice, fresh sink instance), and deterministic within-batch key collapse."""
+
+import datetime
+
+from hinbox_spark.streaming.upsert import StreamingMergeSink, merge_stream
+from hinbox_spark.tables import SnapshotTable
+
+SCHEMA = "entity_id string, profile string, updated_at timestamp"
+
+
+def _ts(m):
+    return datetime.datetime(2024, 1, 1, 12, m)
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _resolved(table):
+    return {
+        r["entity_id"]: r["profile"]
+        for r in table.read_resolved(["entity_id"]).collect()
+    }
+
+
+def test_streaming_merge_last_wins_across_drains(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    table = SnapshotTable(spark, str(tmp_path / "store"))
+
+    _rows(spark, [("e1", "v1", _ts(0)), ("e2", "v1", _ts(0))]).write.mode(
+        "append"
+    ).parquet(src)
+    q = merge_stream(
+        spark.readStream.schema(SCHEMA).parquet(src),
+        table, "entities", ckpt, key_cols=["entity_id"], order_col="updated_at",
+    )
+    q.awaitTermination()
+    assert _resolved(table) == {"e1": "v1", "e2": "v1"}
+
+    # second drain: e1 updated, e3 new — merge-on-read last-wins
+    _rows(spark, [("e1", "v2", _ts(5)), ("e3", "v1", _ts(5))]).write.mode(
+        "append"
+    ).parquet(src)
+    q = merge_stream(
+        spark.readStream.schema(SCHEMA).parquet(src),
+        table, "entities", ckpt, key_cols=["entity_id"], order_col="updated_at",
+    )
+    q.awaitTermination()
+    assert _resolved(table) == {"e1": "v2", "e2": "v1", "e3": "v1"}
+
+
+def test_redelivered_batch_commits_exactly_once(spark, tmp_path):
+    """A crash between the sink commit and the offset commit re-delivers
+    the same batch_id on restart — possibly to a FRESH sink instance that
+    must recover the ledger from the manifest history, not memory."""
+    table = SnapshotTable(spark, str(tmp_path / "store"))
+    sink = StreamingMergeSink(
+        table, "entities", key_cols=["entity_id"], order_col="updated_at"
+    )
+    sink(_rows(spark, [("e1", "v1", _ts(0))]), batch_id=0)
+    head = table.latest_snapshot_id()
+    n = table.n_batches()
+
+    # same instance re-delivery: no-op
+    sink(_rows(spark, [("e1", "v1", _ts(0))]), batch_id=0)
+    assert table.latest_snapshot_id() == head and table.n_batches() == n
+
+    # fresh instance (post-crash restart): ledger recovered from manifests
+    sink2 = StreamingMergeSink(
+        table, "entities", key_cols=["entity_id"], order_col="updated_at"
+    )
+    sink2(_rows(spark, [("e1", "v1", _ts(0))]), batch_id=0)
+    assert table.latest_snapshot_id() == head and table.n_batches() == n
+
+    # a NEW batch id still commits
+    sink2(_rows(spark, [("e1", "v2", _ts(1))]), batch_id=1)
+    assert table.n_batches() == n + 1
+    assert _resolved(table) == {"e1": "v2"}
+
+    # ledgers are per-sink: a different sink_id on the same table is
+    # independent (its batch 0 is not confused with ours)
+    other = StreamingMergeSink(
+        table, "audit", key_cols=["entity_id"], order_col="updated_at"
+    )
+    other(_rows(spark, [("a1", "x", _ts(0))]), batch_id=0)
+    assert table.n_batches() == n + 2
+
+
+def test_within_batch_duplicate_keys_collapse_deterministically(spark, tmp_path):
+    """Rows sharing a key inside ONE micro-batch share a _seq, so they must
+    be collapsed before commit — winner = max(updated_at), and the result
+    is identical under any input partitioning."""
+    table = SnapshotTable(spark, str(tmp_path / "store"))
+    sink = StreamingMergeSink(
+        table, "entities", key_cols=["entity_id"], order_col="updated_at"
+    )
+    rows = [("e1", "stale", _ts(0)), ("e1", "fresh", _ts(9)), ("e2", "only", _ts(1))]
+    sink(_rows(spark, rows).repartition(7), batch_id=0)
+    assert _resolved(table) == {"e1": "fresh", "e2": "only"}
+    # the collapse happened at WRITE time (one row per key in the batch)
+    assert table.read().count() == 2
