@@ -2529,11 +2529,14 @@ LIMIT 20
 def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape — market share: within (ASIA-region customers ×
     PROMO-type parts), the fraction of yearly revenue supplied by one
-    nation. The part filter runs BEFORE its join (the filtered part side is
-    small → broadcast); customer region membership and supplier nation are
-    broadcast dims; the only big shuffle is lineitem⋈orders. Revenue is
-    summed as integer cents (exact, associative) and the share is one exact
-    long/long division at the end, so both engines agree bit-for-bit."""
+    nation. nation/region are hinted broadcasts (true dims at any scale);
+    the filtered part set, supplier→nation map, and region-filtered
+    customer key set are left UNHINTED — at bench scale AQE broadcasts
+    them, at 100 TB (where a 1/6 slice of part is still billions of rows)
+    they degrade to shuffle joins already keyed on
+    partkey/suppkey/custkey. Revenue is summed as integer cents (exact,
+    associative) and the share is one exact long/long division at the
+    end, so both engines agree bit-for-bit."""
     l = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
@@ -2563,10 +2566,10 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
     ).cast("long")
     return (
-        l.join(F.broadcast(promo_parts), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        l.join(promo_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(asia_cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
         .groupBy(F.year("o_orderdate").alias("year"))
         .agg(
             (
@@ -2607,8 +2610,10 @@ def q_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     STANDARD-type parts; cost proxy = 10% of retail price × quantity (the
     testdata has no partsupp/ps_supplycost). Per-item profit is rounded to
     integer cents BEFORE the sum so the aggregate is associative across
-    engines. The part filter makes its side broadcastable; supplier→nation
-    is broadcast; the one big shuffle is lineitem⋈orders."""
+    engines. Only nation carries a broadcast hint; the filtered part set
+    and supplier→nation map are unhinted — AQE broadcasts them while they
+    fit and falls back to key-partitioned shuffle joins at the scale where
+    they don't. The one unavoidable big shuffle is lineitem⋈orders."""
     l = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey",
         "l_extendedprice", "l_discount", "l_quantity",
@@ -2633,8 +2638,8 @@ def q_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 100
     ).cast("long")
     return (
-        l.join(F.broadcast(std_parts), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        l.join(std_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("nation", F.year("o_orderdate").alias("year"))
         .agg(
