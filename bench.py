@@ -88,6 +88,8 @@ HEADLINE = [
     "profit_by_nation_year",
     "events_moving_avg",
     "doc_pack_sequences",
+    "revenue_cube",
+    "nation_activity_full_outer",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "20000"))

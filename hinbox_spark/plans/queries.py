@@ -2768,6 +2768,93 @@ GROUP BY 1, 2
 """
 
 
+def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all 2^2 grouping sets over returnflag ×
+    linestatus, with grouping_id disambiguating NULL-as-total from
+    NULL-as-value). Complements the ROLLUP shape (`rollup_revenue`): CUBE
+    runs through one Expand + one hash aggregate — the fact table is
+    scanned once and each row fans to 4 grouping sets map-side, all
+    partials combinable, so the cost at 100 TB is one scan + one shuffle
+    of the (tiny) group domain."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(rev_cents) / 100.0).alias("revenue"),
+            F.count("*").alias("n_lines"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+ORACLE_REVENUE_CUBE = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+         / 100.0                                        AS revenue,
+       count(*)                                         AS n_lines,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+                                                        AS gid
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_nation_activity_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation: per-nation customer count vs supplier
+    count, keeping nations present on either side only (and flagging which
+    side is missing). Both inputs are pre-aggregated to nation granularity
+    BEFORE the outer join — the join touches ≤ |nations| rows however big
+    the base tables are."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey"), F.col("n_name").alias("nation")
+    )
+    return (
+        c.join(s, "nationkey", "full_outer")
+        .join(F.broadcast(n), "nationkey")
+        .select(
+            "nation",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+            F.when(F.col("n_customers").isNull(), F.lit("suppliers_only"))
+            .when(F.col("n_suppliers").isNull(), F.lit("customers_only"))
+            .otherwise(F.lit("both"))
+            .alias("presence"),
+        )
+    )
+
+
+ORACLE_NATION_ACTIVITY_FULL_OUTER = """
+WITH c AS (
+  SELECT c_nationkey AS nationkey, count(*) AS n_customers
+  FROM customer GROUP BY 1
+), s AS (
+  SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+  FROM supplier GROUP BY 1
+)
+SELECT n_name AS nation,
+       COALESCE(n_customers, 0) AS n_customers,
+       COALESCE(n_suppliers, 0) AS n_suppliers,
+       CASE WHEN n_customers IS NULL THEN 'suppliers_only'
+            WHEN n_suppliers IS NULL THEN 'customers_only'
+            ELSE 'both' END     AS presence
+FROM c FULL OUTER JOIN s USING (nationkey)
+JOIN nation ON n_nationkey = nationkey
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -2835,6 +2922,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profit_by_nation_year": q_profit_by_nation_year,
     "events_moving_avg": q_events_moving_avg,
     "doc_pack_sequences": q_doc_pack_sequences,
+    "revenue_cube": q_revenue_cube,
+    "nation_activity_full_outer": q_nation_activity_full_outer,
     # non-SQL-expressible (rows-only driver check; correctness pinned by
     # tests/test_dedup.py and tests/test_ann.py)
     "doc_minhash_near_dups": q_doc_minhash_near_dups,
@@ -2912,4 +3001,6 @@ ORACLE_QUERIES: dict[str, str] = {
     "profit_by_nation_year": ORACLE_PROFIT_BY_NATION_YEAR,
     "events_moving_avg": ORACLE_EVENTS_MOVING_AVG,
     "doc_pack_sequences": ORACLE_DOC_PACK_SEQUENCES,
+    "revenue_cube": ORACLE_REVENUE_CUBE,
+    "nation_activity_full_outer": ORACLE_NATION_ACTIVITY_FULL_OUTER,
 }

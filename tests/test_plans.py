@@ -484,3 +484,26 @@ def test_events_moving_avg_is_post_aggregate_window(spark):
         ("2024-01-02", 4, 3.0),
         ("2024-01-03", 6, 4.0),
     ]
+
+
+def test_cube_and_full_outer_queries_scale_shaped_plans(spark):
+    """CUBE runs as one Expand + one hash aggregate over a single fact
+    scan; the full-outer reconciliation pre-aggregates both inputs to
+    nation granularity before the join (the outer join touches ≤ |nations|
+    rows)."""
+    from hinbox_spark.plans.queries import (
+        q_nation_activity_full_outer, q_revenue_cube,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cube = _plan(q_revenue_cube(spark, sf))
+    assert "Expand" in cube
+    assert cube.count("lineitem.parquet") == 1  # one fact scan, 4 sets map-side
+    assert "partial_sum" in cube  # grouping-set partials combine map-side
+
+    fo = _plan(q_nation_activity_full_outer(spark, sf))
+    assert "FullOuter" in fo
+    # both aggregates sit BELOW the outer join: the join inputs are the
+    # per-nation rollups, not raw customer/supplier rows
+    join_pos = fo.index("FullOuter")
+    assert fo[join_pos:].count("HashAggregate") >= 4  # partial+final × 2 inputs
