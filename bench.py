@@ -90,6 +90,7 @@ HEADLINE = [
     "doc_pack_sequences",
     "revenue_cube",
     "nation_activity_full_outer",
+    "concurrent_sessions",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "20000"))

@@ -80,3 +80,66 @@ def range_join(
         & (F.col("_rj_repoch") <= F.col("_rj_hi"))
     )
     return out.drop("_rj_lo", "_rj_hi", "_rj_bucket", "_rj_repoch")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_s: int,
+) -> DataFrame:
+    """Interval × interval overlap join (inclusive): pairs where
+    `[left_start, left_end]` and `[right_start, right_end]` intersect and
+    the `on` keys match — the companion to `range_join` (point-in-window)
+    for two interval sets (sessions × sessions, outages × deploys).
+
+    Same bucketization idea, extended to intervals on BOTH sides: each
+    interval explodes to every `bucket_s`-aligned cell it touches and the
+    pair joins on (on..., cell). A pair overlapping across several shared
+    cells must be emitted ONCE, so instead of a dropDuplicates shuffle the
+    join keeps only the canonical cell — the one containing
+    max(left_start, right_start), which for an overlapping pair is covered
+    by BOTH intervals by definition. Exact, no dedup pass, no UDFs.
+
+    `bucket_s` trades fan-out for candidate density: each side replicates
+    ×(len/bucket_s + 1), so pick bucket_s ≈ the typical interval length
+    (fan-out ~2). Long outlier intervals only add replicas of themselves,
+    never quadratic work; a hot cell means genuinely many concurrent
+    intervals — the physics of the query, as with range_join.
+
+    Preconditions: end ≥ start on every row (sequence() would otherwise
+    run descending), and the two frames' column names must not collide —
+    alias one side first, as with asof_join/range_join."""
+    w = int(bucket_s)
+    if w <= 0:
+        raise ValueError("bucket_s must be positive")
+
+    def _cells(start_col: str, end_col: str):
+        s = F.unix_timestamp(F.col(start_col))
+        e = F.unix_timestamp(F.col(end_col))
+        return F.explode(F.sequence(F.floor(s / w), F.floor(e / w)))
+
+    l_b = left.withColumn("_io_cell", _cells(left_start, left_end))
+    r_b = right.withColumn("_io_cell", _cells(right_start, right_end))
+    ls, rs = F.unix_timestamp(F.col(left_start)), F.unix_timestamp(F.col(right_start))
+    out = (
+        l_b.join(r_b, [*on, "_io_cell"])
+        # the exact overlap test compares the RAW timestamp columns —
+        # unix_timestamp truncates to seconds, which would admit
+        # sub-second near-misses; cells may truncate (they only need to
+        # COVER the interval), the predicate may not
+        .filter(
+            (F.col(left_start) <= F.col(right_end))
+            & (F.col(right_start) <= F.col(left_end))
+        )
+        # canonical-cell filter: emit the pair only from the cell holding
+        # the later of the two starts (covered by both sides, so the pair
+        # is guaranteed to meet there exactly once); second truncation is
+        # consistent with the covering cells, so exactly one cell matches
+        .filter(F.col("_io_cell") == F.floor(F.greatest(ls, rs) / w))
+    )
+    return out.drop("_io_cell")

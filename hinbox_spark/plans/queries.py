@@ -2855,6 +2855,89 @@ JOIN nation ON n_nationkey = nationkey
 """
 
 
+def q_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join: per user session (30-min-gap
+    sessionization, the `events_sessions` rule), how many OTHER users'
+    sessions overlap it in time. Runs through
+    `operators.rangejoin.interval_overlap_join` — sessions explode to
+    1-hour cells, pairs meet on an equi cell join, and each pair is
+    emitted exactly once from the cell holding the later start (no
+    dropDuplicates pass). The DuckDB oracle is the naive non-equi
+    self-join — an independent algorithm. Zero-overlap sessions are kept
+    with n_concurrent = 0 (left join of counts back onto sessions)."""
+    from hinbox_spark.operators.rangejoin import interval_overlap_join
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sessions = (
+        e.withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(w))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("s_start"),
+            F.max("ts").alias("s_end"),
+        )
+    ).localCheckpoint(eager=False)  # sessionize once, feed both join sides
+    other = sessions.select(
+        F.col("user_id").alias("o_user"),
+        F.col("s_start").alias("o_start"),
+        F.col("s_end").alias("o_end"),
+    )
+    pairs = interval_overlap_join(
+        sessions, other, on=[],
+        left_start="s_start", left_end="s_end",
+        right_start="o_start", right_end="o_end",
+        bucket_s=3600,
+    ).filter(F.col("user_id") != F.col("o_user"))
+    counts = pairs.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_concurrent")
+    )
+    return (
+        sessions.join(counts, ["user_id", "session_id"], "left")
+        .select(
+            "user_id",
+            "session_id",
+            F.coalesce("n_concurrent", F.lit(0)).alias("n_concurrent"),
+        )
+    )
+
+
+ORACLE_CONCURRENT_SESSIONS = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev_ts IS NULL
+              OR (epoch(ts) - epoch(prev_ts)) > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM (
+    SELECT user_id, ts, event_id,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+  )
+), sess AS (
+  SELECT user_id,
+         CAST(sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id,
+         ts
+  FROM flagged
+), sessions AS (
+  SELECT user_id, session_id, min(ts) AS s_start, max(ts) AS s_end
+  FROM sess GROUP BY 1, 2
+)
+SELECT a.user_id, a.session_id,
+       CAST(count(b.user_id) AS BIGINT) AS n_concurrent
+FROM sessions a
+LEFT JOIN sessions b
+  ON a.user_id <> b.user_id
+ AND a.s_start <= b.s_end AND b.s_start <= a.s_end
+GROUP BY 1, 2
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -2924,6 +3007,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_pack_sequences": q_doc_pack_sequences,
     "revenue_cube": q_revenue_cube,
     "nation_activity_full_outer": q_nation_activity_full_outer,
+    "concurrent_sessions": q_concurrent_sessions,
     # non-SQL-expressible (rows-only driver check; correctness pinned by
     # tests/test_dedup.py and tests/test_ann.py)
     "doc_minhash_near_dups": q_doc_minhash_near_dups,
@@ -3003,4 +3087,5 @@ ORACLE_QUERIES: dict[str, str] = {
     "doc_pack_sequences": ORACLE_DOC_PACK_SEQUENCES,
     "revenue_cube": ORACLE_REVENUE_CUBE,
     "nation_activity_full_outer": ORACLE_NATION_ACTIVITY_FULL_OUTER,
+    "concurrent_sessions": ORACLE_CONCURRENT_SESSIONS,
 }

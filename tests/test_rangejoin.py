@@ -75,3 +75,87 @@ def test_range_join_plan_has_no_nested_loop(spark):
     # the range predicate itself must NOT be the join condition — it is a
     # post-join filter over an equi-join keyed on (k, _rj_bucket)
     assert "Join" in plan
+
+
+def _iv(spark, rows):
+    df = spark.createDataFrame(rows, "iid long, s string, e string")
+    return df.withColumn("s", F.col("s").cast("timestamp")).withColumn(
+        "e", F.col("e").cast("timestamp")
+    )
+
+
+def test_interval_overlap_join_matches_naive_theta_join(spark):
+    """Exactness vs the naive non-equi self-join across a random-ish
+    interval set spanning many cells (containment, partial overlap,
+    disjoint, multi-cell overlaps all present)."""
+    from hinbox_spark.operators.rangejoin import interval_overlap_join
+
+    rows = [
+        (i, f"2024-01-01 {(i * 3) % 24:02d}:{(i * 17) % 60:02d}:00",
+         f"2024-01-01 {min(23, (i * 3) % 24 + (i % 4)):02d}:{(i * 29) % 60:02d}:59")
+        for i in range(60)
+    ]
+    # keep only well-formed intervals (end >= start)
+    left = _iv(spark, rows).filter(F.col("e") >= F.col("s"))
+    right = (
+        left.select(
+            F.col("iid").alias("jid"),
+            F.col("s").alias("s2"),
+            F.col("e").alias("e2"),
+        )
+    )
+    got = _rows(
+        interval_overlap_join(
+            left, right, on=[], left_start="s", left_end="e",
+            right_start="s2", right_end="e2", bucket_s=1800,
+        ),
+        ["iid", "jid"],
+    )
+    want = _rows(
+        left.crossJoin(right).filter(
+            (F.col("s") <= F.col("e2")) & (F.col("s2") <= F.col("e"))
+        ),
+        ["iid", "jid"],
+    )
+    assert got == want and len(got) > len(rows)  # non-trivial overlap set
+
+
+def test_interval_overlap_emitted_once_and_boundaries_inclusive(spark):
+    """A pair sharing MANY cells appears exactly once; intervals touching
+    at a single instant (end == start) do overlap (inclusive)."""
+    from hinbox_spark.operators.rangejoin import interval_overlap_join
+
+    left = _iv(spark, [
+        (1, "2024-01-01 00:00:00", "2024-01-01 12:00:00"),  # spans 12 cells
+        (2, "2024-01-01 20:00:00", "2024-01-01 21:00:00"),
+    ])
+    right = _iv(spark, [
+        (10, "2024-01-01 01:00:00", "2024-01-01 11:00:00"),  # inside 1
+        (11, "2024-01-01 12:00:00", "2024-01-01 13:00:00"),  # touches 1's end
+        (12, "2024-01-01 21:00:00", "2024-01-01 22:00:00"),  # touches 2's end
+        (13, "2024-01-01 13:00:01", "2024-01-01 14:00:00"),  # disjoint from 1
+    ]).select(
+        F.col("iid").alias("jid"), F.col("s").alias("s2"), F.col("e").alias("e2")
+    )
+    out = interval_overlap_join(
+        left, right, on=[], left_start="s", left_end="e",
+        right_start="s2", right_end="e2", bucket_s=3600,
+    )
+    pairs = [(r["iid"], r["jid"]) for r in out.collect()]
+    assert sorted(pairs) == [(1, 10), (1, 11), (2, 12)]
+    assert len(pairs) == len(set(pairs))  # exactly once despite 11 shared cells
+
+
+def test_interval_overlap_join_plan_has_no_nested_loop(spark):
+    from hinbox_spark.operators.rangejoin import interval_overlap_join
+
+    left = _iv(spark, [(1, "2024-01-01 00:00:00", "2024-01-01 01:00:00")])
+    right = left.select(
+        F.col("iid").alias("jid"), F.col("s").alias("s2"), F.col("e").alias("e2")
+    )
+    out = interval_overlap_join(
+        left, right, on=[], left_start="s", left_end="e",
+        right_start="s2", right_end="e2", bucket_s=3600,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
