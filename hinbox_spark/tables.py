@@ -174,6 +174,24 @@ class SnapshotTable:
             "merge",
         )
 
+    def delete(self, keys_df: DataFrame, stats_col: str | None = None) -> int:
+        """Row-level DELETE, merge-on-read (Iceberg equality-delete shape):
+        commits a batch of key rows flagged `_tombstone = true`; no data
+        file is rewritten — O(deleted keys) work. `read_resolved` drops a
+        key whose winning (highest-seq) row is a tombstone; a later merge
+        re-inserting the key revives it (its row outranks the tombstone).
+        Raw `read()` keeps tombstone rows (they carry null payload via
+        schema reconciliation) so CDC consumers see deletes as events.
+        `compact()` folds tombstones away entirely."""
+        tomb = keys_df.dropDuplicates(list(keys_df.columns)).withColumn(
+            "_tombstone", F.lit(True)
+        )
+        batch, stats = self._write_batch(tomb, stats_col)
+        return self._commit(
+            lambda entries, seq: entries + [self._entry(batch, seq, stats)],
+            "delete",
+        )
+
     def rollback_to(self, snapshot_id: int | None) -> int:
         """Commit a NEW snapshot whose entry list is exactly the given
         historical snapshot's (Iceberg's rollback-to-snapshot): readers
@@ -397,12 +415,124 @@ class SnapshotTable:
             raw = raw.join(F.broadcast(scope), on, "left_semi")
         else:
             raw = self.read(snapshot_id)
-        payload = [c for c in raw.columns if c not in key_cols]
-        return (
+        payload = [
+            c for c in raw.columns if c not in key_cols and c != "_tombstone"
+        ]
+        has_tombstones = "_tombstone" in raw.columns
+        winner_cols = payload + (["_tombstone"] if has_tombstones else [])
+        out = (
             raw.groupBy(*key_cols)
-            .agg(F.max_by(F.struct(*payload), F.col("_seq")).alias("_row"))
-            .select(*key_cols, *[F.col(f"_row.{c}").alias(c) for c in payload])
-            .drop("_seq")
+            .agg(F.max_by(F.struct(*winner_cols), F.col("_seq")).alias("_row"))
+        )
+        if has_tombstones:
+            # a key whose WINNING row is a tombstone is deleted; an older
+            # tombstone outranked by a later merge is a revived key
+            out = out.filter(~F.coalesce(F.col("_row._tombstone"), F.lit(False)))
+        return out.select(
+            *key_cols, *[F.col(f"_row.{c}").alias(c) for c in payload]
+        ).drop("_seq")
+
+
+    def read_changes(
+        self, from_snapshot: int | None, to_snapshot: int | None = None
+    ) -> DataFrame:
+        """CDC-style incremental read: the rows of every batch that ENTERED
+        the table after `from_snapshot`, up to and including `to_snapshot`
+        (default head), with `_seq` and `_operation` lineage columns — the
+        feed an incremental consumer tails instead of re-scanning the
+        table (Iceberg's incremental append scan plus delete events:
+        tombstone rows from `delete()` appear with `_tombstone = true`).
+
+        Metadata-only planning: manifests in (from, to] are walked on the
+        driver and each commit's new-vs-parent batches are unioned —
+        O(snapshots × batches) JSON work, no table scan. A `rollback_to`
+        commit re-lists old batches, so restored batches reappear in the
+        feed tagged with its `rollback:<id>` operation — an honest replay
+        signal, not a silent gap. `from_snapshot=None` streams from the
+        table's beginning."""
+        head = to_snapshot if to_snapshot is not None else self.latest_snapshot_id()
+        if head is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.path}")
+        head_entries = self._read_manifest(head)["entries"]
+        new_parts = []
+        for sid in self._snapshot_ids():
+            if sid > head or (from_snapshot is not None and sid <= from_snapshot):
+                continue
+            m = self._read_manifest(sid)
+            parent_batches = (
+                {e["batch"] for e in self._read_manifest(m["parent"])["entries"]}
+                if m["parent"] is not None
+                else set()
+            )
+            for e in m["entries"]:
+                if e["batch"] in parent_batches:
+                    continue
+                new_parts.append(
+                    self.spark.read.parquet(self.data_dir + "/" + e["batch"])
+                    .withColumn("_seq", F.lit(e["seq"]))
+                    .withColumn("_operation", F.lit(m.get("operation", "")))
+                )
+        if not new_parts:
+            if not head_entries:
+                raise FileNotFoundError(
+                    f"no batches visible at snapshot {head} of {self.path}"
+                )
+            empty = self.spark.read.parquet(
+                self.data_dir + "/" + head_entries[-1]["batch"]
+            ).limit(0)
+            return empty.withColumn("_seq", F.lit(0).cast("long")).withColumn(
+                "_operation", F.lit("")
+            )
+        out = new_parts[0]
+        for p in new_parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
+    def diff(
+        self,
+        key_cols: list[str],
+        from_snapshot: int | None,
+        to_snapshot: int | None = None,
+    ) -> DataFrame:
+        """Snapshot diff: per key, how the RESOLVED table changed between
+        two snapshots — `change_type ∈ {added, removed, changed}`
+        (unchanged keys are dropped). Both ends resolve with full
+        merge-on-read semantics (upserts collapsed, tombstones applied),
+        then meet in one full-outer join on the keys; payload equality is
+        a null-omitting JSON compare over the UNION of both ends' payload
+        columns, so a column added between the snapshots with null values
+        does not spuriously mark every key changed. `from_snapshot=None`
+        diffs against the empty table (everything `added`)."""
+        new = self.read_resolved(key_cols, snapshot_id=to_snapshot)
+        if from_snapshot is None:
+            return new.select(*key_cols, F.lit("added").alias("change_type"))
+        old = self.read_resolved(key_cols, snapshot_id=from_snapshot)
+        all_payload = sorted(
+            (set(old.columns) | set(new.columns)) - set(key_cols)
+        )
+
+        def _fp(df: DataFrame, alias: str) -> DataFrame:
+            for c in all_payload:
+                if c not in df.columns:
+                    df = df.withColumn(c, F.lit(None).cast("string"))
+            # ignoreNullFields (the to_json default) omits null fields, so
+            # a null-backfilled evolved column fingerprints identically to
+            # the column not existing at all
+            return df.select(
+                *key_cols, F.to_json(F.struct(*all_payload)).alias(alias)
+            )
+
+        o, n = _fp(old, "_old_fp"), _fp(new, "_new_fp")
+        joined = o.join(n, key_cols, "full_outer")
+        return (
+            joined.withColumn(
+                "change_type",
+                F.when(F.col("_old_fp").isNull(), F.lit("added"))
+                .when(F.col("_new_fp").isNull(), F.lit("removed"))
+                .when(F.col("_old_fp") != F.col("_new_fp"), F.lit("changed")),
+            )
+            .filter(F.col("change_type").isNotNull())
+            .select(*key_cols, "change_type")
         )
 
 

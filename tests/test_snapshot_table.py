@@ -448,3 +448,92 @@ def test_pruned_and_unpruned_scoped_reads_agree(spark, tmp_path):
         if r["entity_id"] == "k1"
     }
     assert scoped == full == {"k1": ("new", 2)}
+
+
+def test_delete_is_merge_on_read_and_revivable(spark, tmp_path):
+    """Row-level delete commits only key tombstones: the deleted key
+    vanishes from read_resolved, raw read keeps the tombstone row as an
+    event, a later merge revives the key, and compaction folds tombstones
+    away entirely."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.merge(_df(spark, [("a", "Alpha", 1), ("b", "Beta", 1)]))
+    t.delete(spark.createDataFrame([("a",)], "entity_id string"))
+
+    resolved = {r["entity_id"] for r in t.read_resolved(["entity_id"]).collect()}
+    assert resolved == {"b"}
+    # "_tombstone" is an internal marker, never in resolved output
+    assert "_tombstone" not in t.read_resolved(["entity_id"]).columns
+
+    raw = t.read().collect()
+    tombs = [r for r in raw if r["_tombstone"]]
+    assert len(raw) == 3 and len(tombs) == 1 and tombs[0]["entity_id"] == "a"
+    assert tombs[0]["name"] is None  # schema-reconciled null payload
+
+    # revive: a later merge outranks the tombstone
+    t.merge(_df(spark, [("a", "Alpha2", 2)]))
+    rows = {r["entity_id"]: r["name"] for r in t.read_resolved(["entity_id"]).collect()}
+    assert rows == {"a": "Alpha2", "b": "Beta"}
+
+    # delete again, then compact: tombstones fold away physically
+    t.delete(spark.createDataFrame([("a",)], "entity_id string"))
+    t.compact(["entity_id"])
+    assert t.n_batches() == 1
+    final = t.read().collect()
+    assert {r["entity_id"] for r in final} == {"b"}
+    assert "_tombstone" not in spark.read.parquet(
+        t.data_dir + "/" + t._read_manifest(t.latest_snapshot_id())["entries"][0]["batch"]
+    ).columns
+
+
+def test_read_changes_feeds_cdc_consumers(spark, tmp_path):
+    """Incremental read between snapshots returns exactly the batches that
+    entered in that window, tagged with operation lineage — including
+    delete tombstones as events; from==head yields an empty frame."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    s1 = t.merge(_df(spark, [("a", "Alpha", 1)]))
+    s2 = t.merge(_df(spark, [("b", "Beta", 1), ("a", "Alpha2", 2)]))
+    t.delete(spark.createDataFrame([("a",)], "entity_id string"))
+    s3 = t.latest_snapshot_id()
+
+    full = t.read_changes(None)
+    assert full.count() == 4  # 1 + 2 + 1 tombstone
+
+    win = t.read_changes(s1, s3).collect()
+    assert len(win) == 3
+    ops = {(r["entity_id"], r["_operation"], bool(r["_tombstone"])) for r in win}
+    assert ops == {
+        ("b", "merge", False),
+        ("a", "merge", False),
+        ("a", "delete", True),
+    }
+
+    upto = t.read_changes(s1, s2)
+    assert upto.count() == 2 and {r["_operation"] for r in upto.collect()} == {"merge"}
+
+    assert t.read_changes(s3).count() == 0  # caught-up consumer
+
+
+def test_diff_reports_added_removed_changed(spark, tmp_path):
+    """Snapshot diff over resolved states: upsert → changed, new key →
+    added, tombstoned key → removed, untouched key absent; a column added
+    between snapshots with only-null values does not flag unchanged keys."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    s1 = t.merge(_df(spark, [("a", "Alpha", 1), ("b", "Beta", 1), ("c", "Gamma", 1)]))
+    t.merge(_df(spark, [("a", "Alpha2", 2)]))                   # changed
+    t.merge(
+        spark.createDataFrame(
+            [("d", "Delta", 1, None)],
+            "entity_id string, name string, v int, score double",
+        )
+    )                                                           # added (+ evolved col)
+    t.delete(spark.createDataFrame([("c",)], "entity_id string"))  # removed
+
+    got = {
+        r["entity_id"]: r["change_type"]
+        for r in t.diff(["entity_id"], s1).collect()
+    }
+    assert got == {"a": "changed", "d": "added", "c": "removed"}  # b untouched
+
+    # from None: everything currently visible is 'added'
+    base = {r["entity_id"]: r["change_type"] for r in t.diff(["entity_id"], None).collect()}
+    assert base == {"a": "added", "b": "added", "d": "added"}
