@@ -91,6 +91,7 @@ HEADLINE = [
     "revenue_cube",
     "nation_activity_full_outer",
     "concurrent_sessions",
+    "copurchase_bfs_hops",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "20000"))

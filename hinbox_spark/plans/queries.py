@@ -2938,6 +2938,57 @@ GROUP BY 1, 2
 """
 
 
+def q_copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS k-hop neighborhood profile: from the lowest-custkey customer
+    node, how many nodes sit at each exact hop distance ≤ 3 over the
+    bidirected purchase graph (`operators/graph.bfs_distances` — one
+    frontier⋈edges shuffle + one visited anti-join per hop, id-only rows,
+    per-hop checkpoints keeping the plan O(1) in depth). The DuckDB oracle
+    is an independent algorithm: a recursive CTE enumerating (node, dist)
+    walks then taking min(dist) per node — so the iterative Spark BFS is
+    value-verified end-to-end, not rows-only."""
+    from hinbox_spark.operators.graph import bfs_distances
+
+    e = _purchase_edges(spark, sf_dir)
+    fwd = e.select(
+        F.concat(F.lit("c:"), F.col("custkey")).alias("src"),
+        F.concat(F.lit("s:"), F.col("suppkey")).alias("dst"),
+    )
+    bi = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)  # edge build runs once, reused per hop
+    src_key = (
+        _t(spark, sf_dir, "orders").agg(F.min("o_custkey").alias("k")).first()["k"]
+    )
+    sources = spark.createDataFrame([(f"c:{src_key}",)], "node_id string")
+    dists = bfs_distances(bi, sources, max_hops=3)
+    return (
+        dists.groupBy("dist")
+        .agg(F.count("*").alias("n_nodes"))
+    )
+
+
+ORACLE_COPURCHASE_BFS = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), bi AS (
+  SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e
+), walk(node, dist) AS (
+  SELECT 'c:' || min(o_custkey), 0 FROM orders
+  UNION
+  SELECT bi.dst, walk.dist + 1
+  FROM walk JOIN bi ON bi.src = walk.node
+  WHERE walk.dist < 3
+), best AS (
+  SELECT node, min(dist) AS dist FROM walk GROUP BY node
+)
+SELECT CAST(dist AS BIGINT) AS dist, count(*) AS n_nodes
+FROM best
+GROUP BY 1
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -3008,6 +3059,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_cube": q_revenue_cube,
     "nation_activity_full_outer": q_nation_activity_full_outer,
     "concurrent_sessions": q_concurrent_sessions,
+    "copurchase_bfs_hops": q_copurchase_bfs_hops,
     # non-SQL-expressible (rows-only driver check; correctness pinned by
     # tests/test_dedup.py and tests/test_ann.py)
     "doc_minhash_near_dups": q_doc_minhash_near_dups,
@@ -3088,4 +3140,5 @@ ORACLE_QUERIES: dict[str, str] = {
     "revenue_cube": ORACLE_REVENUE_CUBE,
     "nation_activity_full_outer": ORACLE_NATION_ACTIVITY_FULL_OUTER,
     "concurrent_sessions": ORACLE_CONCURRENT_SESSIONS,
+    "copurchase_bfs_hops": ORACLE_COPURCHASE_BFS,
 }

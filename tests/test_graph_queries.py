@@ -112,3 +112,40 @@ def test_copurchase_pagerank_matches_numpy_power_iteration(spark):
     assert [(r["node_id"], r["rank"]) for r in rerun] == [
         (r["node_id"], r["rank"]) for r in got
     ]
+
+
+def test_bfs_distances_exact_hops_and_early_exit(spark):
+    """Crafted graph: chain with a shortcut (BFS must take the 2-hop path,
+    not the 3-hop one), a cycle (must not loop), an unreachable node (must
+    be absent), and a frontier that drains before max_hops (early exit
+    returns the same result as a deep max_hops)."""
+    from hinbox_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "d"),   # chain a→b→c→d
+            ("a", "c"),                              # shortcut: c at dist 1
+            ("d", "a"),                              # cycle back
+            ("x", "y"),                              # disconnected island
+        ],
+        "src string, dst string",
+    )
+    src = spark.createDataFrame([("a",)], "node_id string")
+    got = {
+        r["node_id"]: r["dist"]
+        for r in bfs_distances(edges, src, max_hops=10).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+    # exact cap honored
+    capped = {
+        r["node_id"]: r["dist"]
+        for r in bfs_distances(edges, src, max_hops=1).collect()
+    }
+    assert capped == {"a": 0, "b": 1, "c": 1}
+    # multi-source: dist is the min over sources
+    multi = spark.createDataFrame([("a",), ("d",)], "node_id string")
+    got_multi = {
+        r["node_id"]: r["dist"]
+        for r in bfs_distances(edges, multi, max_hops=10).collect()
+    }
+    assert got_multi == {"a": 0, "d": 0, "b": 1, "c": 1}
