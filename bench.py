@@ -92,6 +92,7 @@ HEADLINE = [
     "nation_activity_full_outer",
     "concurrent_sessions",
     "copurchase_bfs_hops",
+    "events_anomaly",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "20000"))

@@ -2989,6 +2989,68 @@ GROUP BY 1
 """
 
 
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly detection per event type: z-score of each
+    day's count against the TRAILING 7 days (window ends at 1 PRECEDING —
+    the tested day never contaminates its own baseline). All window inputs
+    are exact integer sums (Σn, Σn², count over the frame) and the
+    variance is computed from them with one explicit formula, so both
+    engines run the identical float expression — no engine-specific
+    Welford/two-pass stddev divergence can flip the value hash. The window
+    runs over the (type × day) aggregate, never raw events. Emits only
+    days with a defined baseline (≥ 2 prior days, positive variance) and
+    |z| rounded to 4dp."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    s1 = F.sum("n_events").over(w).cast("double")
+    s2 = F.sum(F.col("n_events") * F.col("n_events")).over(w).cast("double")
+    cnt = F.count("n_events").over(w).cast("double")
+    # ANSI mode: guard every division (days with < 2 prior days would
+    # otherwise hit cnt-1 = 0 while the projection is computed, before the
+    # filter can drop them); the guard keeps the same exact float formula
+    # on the surviving rows
+    var = F.when(cnt >= 2, (s2 - s1 * s1 / cnt) / (cnt - 1))
+    z = F.when(var > 0, (F.col("n_events") - s1 / cnt) / F.sqrt(var))
+    return (
+        daily.withColumn("_z", z)
+        .filter(F.col("_z").isNotNull())
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            F.round("_z", 4).alias("zscore"),
+        )
+    )
+
+
+ORACLE_EVENTS_ANOMALY = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, day, n_events,
+         CAST(sum(n_events) OVER w AS DOUBLE)              AS s1,
+         CAST(sum(n_events * n_events) OVER w AS DOUBLE)   AS s2,
+         CAST(count(n_events) OVER w AS DOUBLE)            AS cnt
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, n_events,
+       round((n_events - s1 / cnt) / sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)), 4)
+         AS zscore
+FROM stats
+WHERE cnt >= 2 AND (s2 - s1 * s1 / cnt) / (cnt - 1) > 0
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -3060,6 +3122,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_activity_full_outer": q_nation_activity_full_outer,
     "concurrent_sessions": q_concurrent_sessions,
     "copurchase_bfs_hops": q_copurchase_bfs_hops,
+    "events_anomaly": q_events_anomaly,
     # non-SQL-expressible (rows-only driver check; correctness pinned by
     # tests/test_dedup.py and tests/test_ann.py)
     "doc_minhash_near_dups": q_doc_minhash_near_dups,
@@ -3141,4 +3204,5 @@ ORACLE_QUERIES: dict[str, str] = {
     "nation_activity_full_outer": ORACLE_NATION_ACTIVITY_FULL_OUTER,
     "concurrent_sessions": ORACLE_CONCURRENT_SESSIONS,
     "copurchase_bfs_hops": ORACLE_COPURCHASE_BFS,
+    "events_anomaly": ORACLE_EVENTS_ANOMALY,
 }
