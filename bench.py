@@ -93,6 +93,8 @@ HEADLINE = [
     "concurrent_sessions",
     "copurchase_bfs_hops",
     "events_anomaly",
+    "order_value_histogram",
+    "doc_quality_quartiles",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "20000"))

@@ -3051,6 +3051,79 @@ WHERE cnt >= 2 AND (s2 - s1 * s1 / cnt) / (cnt - 1) > 0
 """
 
 
+def q_order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order values: 20 fixed bins over a
+    deterministic [0, 600k) range (fixed bounds, not data-derived — two
+    scans would otherwise be needed and cross-engine float min/max could
+    shift bin edges). Bin arithmetic on integer cents; one
+    map-side-combinable aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    bin_w = 60_000_000 // 20  # 600k dollars in cents / 20 bins
+    b = F.least(F.floor(cents / bin_w).cast("long"), F.lit(19))
+    return (
+        o.groupBy(b.alias("bin"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(cents) / 100.0).alias("bin_value"),
+        )
+    )
+
+
+ORACLE_ORDER_HISTOGRAM = """
+WITH c AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+)
+SELECT LEAST(CAST(floor(cents / 3000000) AS BIGINT), 19) AS bin,
+       count(*)                                          AS n_orders,
+       CAST(sum(cents) AS BIGINT) / 100.0                AS bin_value
+FROM c
+GROUP BY 1
+"""
+
+
+def q_doc_quality_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile stratification: ntile(4) over a deterministic total order
+    (score desc, doc_id as the unique tie-break — ntile without a total
+    order is partition-luck) → per-quartile corpus stats. The ntile window
+    is a single global sort over (score, doc_id) pairs ONLY (two columns
+    ride the sort, text never moves); the stats are a 4-group aggregate.
+    The score is the textstats length/punct/stopword quality heuristic
+    inlined as integer-safe column arithmetic."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_toks = F.size(toks)
+    score = (n_toks * 1000 + F.length("text")).cast("long")  # deterministic proxy
+    scored = d.select("doc_id", score.alias("score"))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+    )
+
+
+ORACLE_DOC_QUALITY_QUARTILES = """
+WITH scored AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) * 1000 + length(text) AS BIGINT)
+           AS score
+  FROM documents
+), tiled AS (
+  SELECT ntile(4) OVER (ORDER BY score DESC, doc_id) AS quartile, score
+  FROM scored
+)
+SELECT quartile, count(*) AS n_docs,
+       min(score) AS min_score, max(score) AS max_score
+FROM tiled
+GROUP BY 1
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -3123,6 +3196,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "concurrent_sessions": q_concurrent_sessions,
     "copurchase_bfs_hops": q_copurchase_bfs_hops,
     "events_anomaly": q_events_anomaly,
+    "order_value_histogram": q_order_value_histogram,
+    "doc_quality_quartiles": q_doc_quality_quartiles,
     # non-SQL-expressible (rows-only driver check; correctness pinned by
     # tests/test_dedup.py and tests/test_ann.py)
     "doc_minhash_near_dups": q_doc_minhash_near_dups,
@@ -3205,4 +3280,6 @@ ORACLE_QUERIES: dict[str, str] = {
     "concurrent_sessions": ORACLE_CONCURRENT_SESSIONS,
     "copurchase_bfs_hops": ORACLE_COPURCHASE_BFS,
     "events_anomaly": ORACLE_EVENTS_ANOMALY,
+    "order_value_histogram": ORACLE_ORDER_HISTOGRAM,
+    "doc_quality_quartiles": ORACLE_DOC_QUALITY_QUARTILES,
 }
