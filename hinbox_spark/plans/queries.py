@@ -3083,22 +3083,27 @@ GROUP BY 1
 
 
 def q_doc_quality_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantile stratification: ntile(4) over a deterministic total order
-    (score desc, doc_id as the unique tie-break — ntile without a total
-    order is partition-luck) → per-quartile corpus stats. The ntile window
-    is a single global sort over (score, doc_id) pairs ONLY (two columns
-    ride the sort, text never moves); the stats are a 4-group aggregate.
-    The score is the textstats length/punct/stopword quality heuristic
-    inlined as integer-safe column arithmetic."""
+    """Quantile stratification: exact ntile(4) over a deterministic total
+    order (score desc, doc_id as the unique tie-break) → per-quartile
+    corpus stats. Runs through `operators/ranking.distributed_ntile` —
+    range-partition + local sort + offset fold — because a bare
+    `Window.orderBy` ntile plans as Exchange SinglePartition (the whole
+    corpus sorted in ONE task, the mega-task anti-pattern). Only
+    (score, doc_id) pairs ride the ranged sort; results are bit-identical
+    to SQL ntile (the DuckDB oracle IS the window ntile — an independent
+    algorithm)."""
+    from hinbox_spark.operators.ranking import distributed_ntile
+
     d = _t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     n_toks = F.size(toks)
     score = (n_toks * 1000 + F.length("text")).cast("long")  # deterministic proxy
     scored = d.select("doc_id", score.alias("score"))
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    tiled = distributed_ntile(
+        scored, 4, [F.desc("score"), F.asc("doc_id")], tile_col="quartile"
+    )
     return (
-        scored.withColumn("quartile", F.ntile(4).over(w))
-        .groupBy("quartile")
+        tiled.groupBy("quartile")
         .agg(
             F.count("*").alias("n_docs"),
             F.min("score").alias("min_score"),
