@@ -174,6 +174,73 @@ class SnapshotTable:
             "merge",
         )
 
+    def merge_into(
+        self,
+        source: DataFrame,
+        key_cols: list[str],
+        when_matched_delete=None,
+        when_matched_update: bool = True,
+        when_not_matched_insert: bool = True,
+        stats_col: str | None = None,
+    ) -> int:
+        """Conditional MERGE INTO (the full Iceberg/Delta statement, not
+        just last-wins upsert): per source row matched to the current
+        resolved target row —
+          * `when_matched_delete` (a Column over aliases `s` = source,
+            `t` = target) true → the key is tombstoned;
+          * else if `when_matched_update` → the source row replaces the
+            target row;
+          * unmatched source rows insert iff `when_not_matched_insert`.
+        Target rows no source row touches are NOT rewritten — merge-on-read
+        means only the changed rows enter the new batch, and updates,
+        inserts, and tombstones land in ONE batch under ONE atomic commit
+        (a reader sees all of the merge or none of it).
+
+        The target side is resolved SCOPED to the source keys (broadcast
+        semi-join + manifest pruning), so a small delta merging into a
+        100 TB table reads only the affected keys' batches. Source must
+        have one row per key (pre-collapse with max_by, as the streaming
+        sink does)."""
+        src_cols = source.columns
+        s = source.alias("s")
+        scope = source.select(*key_cols).dropDuplicates(key_cols)
+        t = self.read_resolved(key_cols, scope=scope).alias("t")
+        cond = None
+        for k in key_cols:
+            c = F.col(f"s.{k}") == F.col(f"t.{k}")
+            cond = c if cond is None else (cond & c)
+        joined = s.join(t, cond, "left")
+        matched = joined.filter(F.col(f"t.{key_cols[0]}").isNotNull())
+        unmatched = joined.filter(F.col(f"t.{key_cols[0]}").isNull())
+
+        pieces = []
+        if when_matched_delete is not None:
+            dels = matched.filter(when_matched_delete).select(
+                *[F.col(f"s.{k}").alias(k) for k in key_cols]
+            ).withColumn("_tombstone", F.lit(True))
+            pieces.append(dels)
+            matched = matched.filter(
+                ~F.coalesce(when_matched_delete, F.lit(False))
+            )
+        if when_matched_update:
+            pieces.append(
+                matched.select(*[F.col(f"s.{c}").alias(c) for c in src_cols])
+            )
+        if when_not_matched_insert:
+            pieces.append(
+                unmatched.select(*[F.col(f"s.{c}").alias(c) for c in src_cols])
+            )
+        if not pieces:
+            raise ValueError("merge_into with every action disabled is a no-op")
+        batch_df = pieces[0]
+        for p in pieces[1:]:
+            batch_df = batch_df.unionByName(p, allowMissingColumns=True)
+        batch, stats = self._write_batch(batch_df, stats_col)
+        return self._commit(
+            lambda entries, seq: entries + [self._entry(batch, seq, stats)],
+            "merge-into",
+        )
+
     def delete(self, keys_df: DataFrame, stats_col: str | None = None) -> int:
         """Row-level DELETE, merge-on-read (Iceberg equality-delete shape):
         commits a batch of key rows flagged `_tombstone = true`; no data

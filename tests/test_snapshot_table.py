@@ -537,3 +537,71 @@ def test_diff_reports_added_removed_changed(spark, tmp_path):
     # from None: everything currently visible is 'added'
     base = {r["entity_id"]: r["change_type"] for r in t.diff(["entity_id"], None).collect()}
     assert base == {"a": "added", "b": "added", "d": "added"}
+
+
+def test_merge_into_conditional_actions_one_atomic_commit(spark, tmp_path):
+    """Full MERGE INTO: matched+condition → tombstone, matched otherwise →
+    update, unmatched → insert, untouched keys not rewritten — all in ONE
+    snapshot; a scoped read proves only changed rows entered the batch."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.merge(
+        _df(spark, [("a", "Alpha", 1), ("b", "Beta", 1), ("c", "Gamma", 1)]),
+        stats_col="entity_id",
+    )
+    head_before = t.latest_snapshot_id()
+
+    source = _df(spark, [
+        ("a", "Alpha2", 2),      # matched, update
+        ("b", "RETIRED", 0),     # matched, delete condition fires (v=0)
+        ("d", "Delta", 1),       # unmatched, insert
+    ])
+    t.merge_into(
+        source, ["entity_id"],
+        when_matched_delete=(F.col("s.v") == 0),
+        stats_col="entity_id",
+    )
+    assert t.latest_snapshot_id() == head_before + 1  # ONE commit
+    assert t.n_batches() == 2                          # ONE new batch
+
+    resolved = {
+        r["entity_id"]: (r["name"], r["v"])
+        for r in t.read_resolved(["entity_id"]).collect()
+    }
+    assert resolved == {
+        "a": ("Alpha2", 2),   # updated
+        "c": ("Gamma", 1),    # untouched, NOT rewritten
+        "d": ("Delta", 1),    # inserted
+    }
+    # the merge batch holds exactly the 3 changed rows (2 writes + 1 tombstone)
+    new_batch = t._read_manifest(t.latest_snapshot_id())["entries"][-1]["batch"]
+    rows = spark.read.parquet(t.data_dir + "/" + new_batch).collect()
+    assert len(rows) == 3
+    assert {r["entity_id"] for r in rows if r["_tombstone"]} == {"b"}
+
+
+def test_merge_into_insert_only_and_update_only_modes(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.merge(_df(spark, [("a", "Alpha", 1)]))
+
+    # insert-only (WHEN NOT MATCHED THEN INSERT, no matched action)
+    t.merge_into(
+        _df(spark, [("a", "SHOULD_NOT_APPLY", 9), ("b", "Beta", 1)]),
+        ["entity_id"], when_matched_update=False,
+    )
+    resolved = {r["entity_id"]: r["name"]
+                for r in t.read_resolved(["entity_id"]).collect()}
+    assert resolved == {"a": "Alpha", "b": "Beta"}
+
+    # update-only (no insert)
+    t.merge_into(
+        _df(spark, [("a", "Alpha2", 2), ("z", "NOPE", 1)]),
+        ["entity_id"], when_not_matched_insert=False,
+    )
+    resolved = {r["entity_id"]: r["name"]
+                for r in t.read_resolved(["entity_id"]).collect()}
+    assert resolved == {"a": "Alpha2", "b": "Beta"}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        t.merge_into(_df(spark, [("a", "x", 1)]), ["entity_id"],
+                     when_matched_update=False, when_not_matched_insert=False)
