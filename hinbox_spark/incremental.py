@@ -783,9 +783,13 @@ def run_incremental(
     # back by recovery
     tmp = _runs_dir(store) + f"/_tmp-{run_id}.json"
     hfs.write_text(spark, tmp, json.dumps({"run_id": run_id, "tables": heads}))
-    hfs.publish_without_overwrite(
+    if not hfs.publish_without_overwrite(
         spark, tmp, _runs_dir(store) + f"/{run_id}.json"
-    )
+    ):
+        # same run_id already finalized (a re-delivered streaming epoch
+        # whose content-hash skip made this run an empty no-op): drop the
+        # loser's temp, keep the original journal
+        hfs.delete(spark, tmp)
     hfs.delete(spark, _runs_dir(store) + f"/{run_id}.pending.json")
 
     edges = spark.read.parquet(_table_path(output_dir, "edges"))
