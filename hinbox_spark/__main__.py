@@ -30,10 +30,21 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--cache", default=None,
                    help="extraction-cache table path (S8): duplicate "
                         "content hashes are extracted once across runs")
+    p.add_argument("--store", default=None,
+                   help="snapshot entity-store path; a batch run "
+                        "bootstraps/publishes it, --incremental merges "
+                        "into it")
+    p.add_argument("--incremental", action="store_true",
+                   help="apply the pages as a DELTA against --store "
+                        "(run_incremental: O(|delta|) work, content-hash "
+                        "skip, atomic run transaction) instead of a full "
+                        "batch run")
     args = p.parse_args(argv)
 
     if not args.pages and not args.generate:
         p.error("one of --pages or --generate is required")
+    if args.incremental and not args.store:
+        p.error("--incremental requires --store")
 
     from hinbox_spark.pipeline import run_pipeline
     from hinbox_spark.session import get_spark
@@ -49,15 +60,23 @@ def main(argv: list[str] | None = None) -> int:
         pages = pages_dataframe_distributed(spark, args.generate, args.seed)
 
     cfg = None
-    if args.cache:
+    if args.cache or args.store:
         from hinbox_spark.config import DomainConfig
 
-        cfg = DomainConfig(extraction_cache_path=args.cache)
+        cfg = DomainConfig(
+            extraction_cache_path=args.cache,
+            snapshot_store_path=args.store,
+        )
 
     t0 = time.time()
-    tables = run_pipeline(
-        spark, pages, args.output, cfg=cfg, resume=not args.no_resume
-    )
+    if args.incremental:
+        from hinbox_spark.incremental import run_incremental
+
+        tables = run_incremental(spark, pages, args.output, cfg=cfg)
+    else:
+        tables = run_pipeline(
+            spark, pages, args.output, cfg=cfg, resume=not args.no_resume
+        )
     counts = {k: df.count() for k, df in tables.items()}
     print(json.dumps({"sec": round(time.time() - t0, 2), "rows": counts}))
     return 0
