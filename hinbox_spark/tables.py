@@ -282,6 +282,7 @@ class SnapshotTable:
         key_cols: list[str],
         sort_by: list[str] | None = None,
         sort_partitions: int | None = None,
+        zorder_by: list[str] | None = None,
     ) -> int:
         """Fold the delta chain: materialize read_resolved into one batch
         and commit a snapshot referencing only it. Old snapshots keep their
@@ -297,9 +298,26 @@ class SnapshotTable:
         and unclustered, and each compaction restores the layout.
         `sort_partitions` sets the file count explicitly (size it to the
         table's data volume / target file size); left None, AQE picks —
-        and may coalesce a small table into one file."""
+        and may coalesce a small table into one file.
+
+        `zorder_by` (mutually exclusive with sort_by): cluster the layout
+        on the Morton interleave of several NUMERIC columns
+        (`functions/zorder.py` — Delta/Iceberg's OPTIMIZE ZORDER), so
+        min/max footer pruning works for predicates on ANY of them instead
+        of only a leading sort column."""
+        assert not (sort_by and zorder_by), "sort_by xor zorder_by"
         resolved = self.read_resolved(key_cols)
-        if sort_by:
+        if zorder_by:
+            from hinbox_spark.functions.zorder import zorder_value
+
+            resolved, zv = zorder_value(resolved, zorder_by)
+            resolved = resolved.withColumn("_zv", zv)
+            if sort_partitions:
+                resolved = resolved.repartitionByRange(sort_partitions, "_zv")
+            else:
+                resolved = resolved.repartitionByRange("_zv")
+            resolved = resolved.sortWithinPartitions("_zv").drop("_zv")
+        elif sort_by:
             if sort_partitions:
                 resolved = resolved.repartitionByRange(sort_partitions, *sort_by)
             else:

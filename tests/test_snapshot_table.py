@@ -605,3 +605,57 @@ def test_merge_into_insert_only_and_update_only_modes(spark, tmp_path):
     with _pytest.raises(ValueError):
         t.merge_into(_df(spark, [("a", "x", 1)]), ["entity_id"],
                      when_matched_update=False, when_not_matched_insert=False)
+
+
+def test_compact_zorder_gives_multi_column_pruning_ranges(spark, tmp_path):
+    """Z-order compaction: per-file min/max footer ranges are narrow on
+    BOTH clustered columns (multi-column data skipping), where a plain
+    single-column sort leaves the second column's per-file range at full
+    width; resolved content identical."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    # independent 64×64 grid: x and y carry no mutual information, so a
+    # single-column sort CANNOT narrow the other column's file ranges
+    rows = [
+        ("e%05d" % i, "N", 0, i % 64, (i // 64) % 64) for i in range(4096)
+    ]
+    df = spark.createDataFrame(
+        rows, "entity_id string, name string, v int, x int, y int"
+    )
+
+    def file_ranges(t, col_index):
+        manifest = t._read_manifest(t.latest_snapshot_id())
+        batch_dir = t.data_dir + "/" + manifest["entries"][0]["batch"]
+        widths = []
+        for f in glob.glob(batch_dir.replace("file:", "") + "/part-*.parquet"):
+            md = pq.read_metadata(f)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_index).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            widths.append(max(maxs) - min(mins))
+        return widths
+
+    tz = SnapshotTable(spark, str(tmp_path / "tz"))
+    tz.append(df)
+    before = {r["entity_id"] for r in tz.read_resolved(["entity_id"]).collect()}
+    tz.compact(["entity_id"], zorder_by=["x", "y"], sort_partitions=16)
+    assert {r["entity_id"] for r in tz.read_resolved(["entity_id"]).collect()} == before
+
+    # x is column 3, y is column 4 (schema order)
+    x_widths, y_widths = file_ranges(tz, 3), file_ranges(tz, 4)
+    assert len(x_widths) >= 8
+    # every z-ordered file covers a small hyper-rectangle: BOTH columns'
+    # per-file ranges well under the 63-wide global range
+    assert sum(x_widths) / len(x_widths) < 0.55 * 63
+    assert sum(y_widths) / len(y_widths) < 0.55 * 63
+
+    # contrast: sort_by x alone — y stays full-width per file
+    ts = SnapshotTable(spark, str(tmp_path / "ts"))
+    ts.append(df)
+    ts.compact(["entity_id"], sort_by=["x"], sort_partitions=16)
+    y_sorted = file_ranges(ts, 4)
+    assert sum(y_sorted) / len(y_sorted) > 0.9 * 63
