@@ -113,3 +113,37 @@ def test_bfs_distances_equal_python_bfs(sparkref, edge_pairs, source, max_hops):
                 want[nb] = d + 1
                 q.append((nb, d + 1))
     assert got == want
+
+
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n=st.integers(min_value=1, max_value=120),
+    k=st.integers(min_value=1, max_value=9),
+    mod=st.integers(min_value=1, max_value=50),
+)
+def test_distributed_ntile_equals_reference_formula(sparkref, n, k, mod):
+    """For ANY (N, k) — N < k, N % k ≠ 0, heavy ties broken by id — the
+    distributed ntile reproduces the standard fill rule computed directly
+    in Python from the sorted order."""
+    from hinbox_spark.operators.ranking import distributed_ntile
+
+    df = sparkref.range(n).select(
+        F.col("id").alias("doc_id"), (F.col("id") % mod).alias("score")
+    )
+    order = [F.desc("score"), F.asc("doc_id")]
+    got = {
+        r["doc_id"]: r["tile"]
+        for r in distributed_ntile(df, k, order, num_partitions=3).collect()
+    }
+    ranked = sorted(range(n), key=lambda i: (-(i % mod), i))
+    q, r = divmod(n, k)
+    want = {}
+    for pos, doc in enumerate(ranked):
+        if pos < r * (q + 1):
+            want[doc] = pos // (q + 1) + 1
+        else:
+            want[doc] = r + (pos - r * (q + 1)) // q + 1
+    assert got == want
