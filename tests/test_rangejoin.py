@@ -159,3 +159,30 @@ def test_interval_overlap_join_plan_has_no_nested_loop(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_overlap_join_respects_equality_keys(spark):
+    """With `on` keys, overlapping intervals under DIFFERENT keys never
+    pair — the cell join composes with the equality key."""
+    from hinbox_spark.operators.rangejoin import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [
+            ("k1", 1, "2024-01-01 00:00:00", "2024-01-01 02:00:00"),
+            ("k2", 2, "2024-01-01 00:30:00", "2024-01-01 01:30:00"),
+        ],
+        "k string, iid long, s string, e string",
+    ).withColumn("s", F.col("s").cast("timestamp")).withColumn(
+        "e", F.col("e").cast("timestamp")
+    )
+    right = left.select(
+        "k", F.col("iid").alias("jid"),
+        F.col("s").alias("s2"), F.col("e").alias("e2"),
+    )
+    out = interval_overlap_join(
+        left, right, on=["k"], left_start="s", left_end="e",
+        right_start="s2", right_end="e2", bucket_s=3600,
+    )
+    pairs = sorted((r["iid"], r["jid"]) for r in out.collect())
+    # both intervals overlap in TIME, but only same-key self-pairs emit
+    assert pairs == [(1, 1), (2, 2)]
