@@ -2,14 +2,18 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the KG-construction
 pipeline throughput (docs/sec) on a deterministic synthetic corpus.
 
-Prints a COMPACT headline JSON object as the LAST stdout line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {min per query},
-   "sf": ..., "kg_docs_per_sec": ..., "cpus": ..., "runs_per_query": N}
-The verbose audit trail (every run's timing + the loadavg samples around
-each run) goes to a SIDECAR file, BENCH_runs_verbose.json next to this
-script — NOT stdout. The driver captures only a bounded stdout tail, and
-round 3's single giant line (per-query run arrays + 55 loadavg samples)
-overflowed it, leaving BENCH_r03.json unparseable ("parsed": null).
+Prints a COMPACT (≤1 KB, asserted) headline JSON object as the LAST stdout
+line — SCALARS only:
+  {"metric": "headline_total_sec", "value": N, "unit": "sec",
+   "n_queries": N, "sf": ..., "kg_sec": ..., "kg_docs_per_sec": ...,
+   "kg_marginal_docs_per_sec": ..., "cpus": ..., "runs_per_query": N}
+Per-query minima, every run's timing, per-run KG stage breakdowns, and the
+loadavg samples around each run go to a SIDECAR file,
+BENCH_runs_verbose.json next to this script — NOT stdout. The driver
+captures only a bounded stdout tail; rounds 3 AND 4 overflowed it (r3: one
+giant line; r4: 63 per-query entries ≈ 2.2 KB), leaving both BENCH_r0N.json
+artifacts unparseable ("parsed": null). Scalars-only keeps the line ~350 B
+even as the query set grows.
 
 Execution is forced with the noop sink (full computation, no driver
 collect). Each query time includes plan + execution, not session startup.
@@ -145,6 +149,26 @@ def main() -> None:
     from hinbox_spark.pipeline import run_pipeline
     from hinbox_spark.sources.pages_gen import pages_dataframe_distributed
 
+    stage_runs: dict[str, list[dict]] = {"kg_pipeline": [], "kg_pipeline_3x": []}
+
+    def _kg_min_of_n(pages, root: str, tag: str) -> float:
+        """min-of-N full-pipeline wall time; per-run stage breakdown and
+        loadavg go to the sidecar so a load-polluted sample is diagnosable
+        per-stage instead of by whole-run comparison."""
+        runs = []
+        for i in range(N_RUNS):
+            _sample_load()
+            out_dir = f"{root}/{tag}-{i}"
+            stages: dict[str, float] = {}
+            t0 = time.time()
+            run_pipeline(spark, pages, out_dir, resume=False,
+                         stage_times=stages)
+            runs.append(round(time.time() - t0, 3))
+            stage_runs[tag].append(stages)
+            shutil.rmtree(out_dir, ignore_errors=True)
+        all_runs[tag] = runs
+        return min(runs)
+
     bench_root = tempfile.mkdtemp(prefix="bench_kg_root_")
     try:
         warm = pages_dataframe_distributed(spark, 400, seed=7, partitions=8)
@@ -156,70 +180,84 @@ def main() -> None:
         ).write.mode("overwrite").parquet(pages_dir)
         pages = spark.read.parquet(pages_dir)
         n_pages = pages.count()
-        kg_runs = []
-        for i in range(N_RUNS):
-            _sample_load()
-            out_dir = bench_root + f"/run-{i}"
-            t0 = time.time()
-            run_pipeline(spark, pages, out_dir, resume=False)
-            kg_runs.append(round(time.time() - t0, 3))
-            shutil.rmtree(out_dir, ignore_errors=True)
-        all_runs["kg_pipeline"] = kg_runs
-        kg_sec = min(kg_runs)
+        kg_sec = _kg_min_of_n(pages, bench_root, "kg_pipeline")
         timings["kg_pipeline"] = kg_sec
         _sample_load()
 
-        # marginal throughput: one run at 3× pages. The small-corpus number
-        # is dominated by the per-RUN fixed tail (stage commits + worker
-        # spin-up — BENCH.md's Amdahl fit), so docs/sec at one size
-        # understates the engine; the slope between two sizes measures the
-        # actual per-page cost that survives at 10^12 docs.
+        # marginal throughput: min-of-N at BOTH corpus sizes before
+        # differencing. The small-corpus docs/sec is dominated by the
+        # per-RUN fixed tail (stage commits + worker spin-up — BENCH.md's
+        # Amdahl fit), so the slope between two sizes measures the actual
+        # per-page cost that survives at 10^12 docs. A single sample at
+        # each size is the wrong estimator: round-4's artifact recorded a
+        # 48×-off marginal because one run landed in a host load spike and
+        # the denominator collapsed. min-of-N shrinks that risk; the
+        # plausibility ceiling below catches what's left.
         big_dir = bench_root + "/pages_big"
         pages_dataframe_distributed(
             spark, 3 * KG_PAGES, seed=42, partitions=4 * cpus
         ).write.mode("overwrite").parquet(big_dir)
         big = spark.read.parquet(big_dir)
         n_big = big.count()
-        _sample_load()
-        t0 = time.time()
-        run_pipeline(spark, big, bench_root + "/run-big", resume=False)
-        kg_big_sec = round(time.time() - t0, 3)
-        all_runs["kg_pipeline_3x"] = [kg_big_sec]
+        kg_big_sec = _kg_min_of_n(big, bench_root, "kg_pipeline_3x")
         marginal = (
             round((n_big - n_pages) / (kg_big_sec - kg_sec), 2)
             if kg_big_sec > kg_sec
             else None
         )
+        # Plausibility ceiling: quiet-window measured runs on this 32-core
+        # host peak at ~6.3k docs/s END-TO-END at 1.5M pages (BENCH.md),
+        # and the quiet marginal is ~4.7k. A computed marginal above
+        # MARGINAL_CEILING implies the denominator collapsed under
+        # background load (two noisy samples nearly equal), not that the
+        # engine got 10× faster — report null plus the raw inputs so the
+        # artifact is diagnosable instead of wrong.
+        MARGINAL_CEILING = 25_000.0
+        marginal_raw = marginal
+        if marginal is not None and marginal > MARGINAL_CEILING:
+            marginal = None
         _sample_load()
     finally:
         shutil.rmtree(bench_root, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
-    # verbose audit trail → sidecar file (auditable, never on stdout)
+    # verbose audit trail → sidecar file (auditable, never on stdout):
+    # per-query run arrays AND minima, per-run kg stage breakdowns,
+    # loadavg samples around every run.
     sidecar = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_runs_verbose.json"
     )
     with open(sidecar, "w") as f:
         json.dump(
-            {"queries_runs": all_runs, "loadavg": load_samples, "sf": sf,
-             "cpus": cpus, "kg_pages": n_pages},
+            {"queries_min": timings, "queries_runs": all_runs,
+             "kg_stage_times": stage_runs, "loadavg": load_samples,
+             "sf": sf, "cpus": cpus, "kg_pages": n_pages,
+             "kg_pages_3x": n_big, "kg_big_sec": kg_big_sec,
+             "kg_marginal_raw": marginal_raw},
             f,
         )
-    # compact headline as the LAST stdout line (driver tail-capture contract)
+    # compact headline as the LAST stdout line — the driver captures a
+    # bounded stdout tail, so this line must stay well under 1 KB:
+    # headline SCALARS only, per-query minima live in the sidecar.
     result = {
         "metric": "headline_total_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "n_queries": len(timings),
         "sf": sf,
+        "kg_sec": kg_sec,
+        "kg_big_sec": kg_big_sec,
         "kg_docs_per_sec": round(n_pages / kg_sec, 2),
         "kg_marginal_docs_per_sec": marginal,
         "kg_pages": n_pages,
         "cpus": cpus,
         "runs_per_query": N_RUNS,
+        "queries_file": "BENCH_runs_verbose.json",
     }
-    print(json.dumps(result))
+    line = json.dumps(result)
+    assert len(line) <= 1024, f"headline line {len(line)}B breaks the tail contract"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -141,9 +141,27 @@ def run_pipeline(
     output_dir: str,
     cfg: DomainConfig | None = None,
     resume: bool = True,
+    stage_times: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Run all stages; stages whose output table already exists are skipped
-    when resume=True (checkpoint/resume at stage boundaries)."""
+    when resume=True (checkpoint/resume at stage boundaries).
+
+    When ``stage_times`` is a dict, wall-clock seconds per coarse stage
+    block are recorded into it (extract / link_score / cluster_entities /
+    edges_profiles / metrics). Blocks overlap background writes, so the
+    numbers are boundary-to-boundary wall time on the driver thread — a
+    diagnosis aid for the bench sidecar, not disjoint CPU accounting."""
+    import time as _time
+
+    _t_block = _time.monotonic()
+
+    def _mark(name: str) -> None:
+        nonlocal _t_block
+        if stage_times is not None:
+            now = _time.monotonic()
+            stage_times[name] = round(now - _t_block, 3)
+            _t_block = now
+
     cfg = cfg or get_default_config()
     gaz = default_gazetteer()
     hfs.mkdirs(spark, output_dir)
@@ -229,6 +247,7 @@ def run_pipeline(
             df.unpersist()
         if bg_error is not None and sys.exc_info()[0] is None:
             raise bg_error
+    _mark("extract")
 
     articles = spark.read.parquet(_table_path(output_dir, "articles"))
     mentions_raw = spark.read.parquet(_table_path(output_dir, "mentions"))
@@ -355,6 +374,7 @@ def run_pipeline(
         # threads below, and an eager checkpoint removes any double-
         # materialization race a lazy one would allow
         accepted = accepted.localCheckpoint()
+        _mark("link_score")
 
         # A1 parity: merge-decision counters (reference MergeStats —
         # merged/skipped/disputed per type/reason) as a metrics table.
@@ -464,6 +484,7 @@ def run_pipeline(
                     spark, cfg.snapshot_store_path.rstrip("/") + "/entities"
                 ).merge(entities)
 
+            _mark("cluster_entities")
             # edges and profiles both read only the cached mention_clusters
             # and the written entities table — independent jobs, overlapped
             # the same way as decisions
@@ -492,6 +513,7 @@ def run_pipeline(
                     spark.read.parquet(_table_path(output_dir, "profiles")),
                     spark.read.parquet(_table_path(output_dir, "edges")),
                 )
+            _mark("edges_profiles")
         finally:
             # join the concurrent writes BEFORE unwinding — a failure in
             # the foreground chain must not leave background writes racing
@@ -531,6 +553,7 @@ def run_pipeline(
             .unionByName(_stage_counts(review, "review"))
         )
         _write(m, output_dir, "metrics")
+    _mark("metrics")
 
     return {
         "articles": articles,

@@ -12,6 +12,15 @@ batch whose id is already in the committed history is skipped without
 writing. This is the same design real Iceberg/Delta streaming sinks use
 (batch ids stored in snapshot summary metadata, checked on recovery).
 
+The high-water batch id is ADDITIONALLY persisted as a create-exclusive
+marker file under `<table>/_sinks/<sink_id>/` (the ChangeFeed cursor
+protocol): `expire_snapshots` can GC every streaming-merge manifest, and a
+sink restart that recovered from manifests alone would then see -1 and
+re-merge a re-delivered epoch — benign for read_resolved (identical rows,
+last-wins) but it would duplicate rows in raw reads and re-emit the batch
+into the CDC feed. Recovery takes max(marker, manifest scan), so the
+ledger survives expiry AND a crash between commit and marker publish.
+
 Scale shape: the recovery scan walks manifests (O(snapshot history), JSON
 metadata only — bounded by `expire_snapshots`) exactly once per sink
 restart; steady-state skip checks are an in-memory integer compare, and
@@ -24,9 +33,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from hinbox_spark import fs as hfs
 from hinbox_spark.tables import SnapshotTable
 
 _OP_PREFIX = "streaming-merge"
+_MARKER_FMT = "committed-%012d"
 
 
 class StreamingMergeSink:
@@ -34,11 +45,14 @@ class StreamingMergeSink:
     micro-batch into a SnapshotTable as a merge-on-read upsert.
 
     `key_cols` + `order_col`: when given, each micro-batch is first
-    collapsed to ONE row per key (max_by over `order_col`, key as the
-    deterministic tie-break via the struct compare) — read_resolved breaks
-    per-key ties across batches by `_seq`, so rows sharing a key WITHIN one
-    batch must be pre-collapsed deterministically or the resolved winner
-    would be partition-order-dependent.
+    collapsed to ONE row per key (max_by over `order_col`, the full PAYLOAD
+    struct as the deterministic tie-break) — read_resolved breaks per-key
+    ties across batches by `_seq`, so rows sharing a key WITHIN one batch
+    must be pre-collapsed deterministically or the resolved winner would be
+    partition-order-dependent. The key columns are constant within each
+    group and break no ties; tying on the payload itself makes two rows
+    sharing (key, order_col) but differing payload pick the same winner
+    under any partitioning.
     """
 
     def __init__(
@@ -56,19 +70,46 @@ class StreamingMergeSink:
         self.sink_id = sink_id
         self.key_cols = key_cols
         self.order_col = order_col
+        self.marker_dir = f"{table.path}/_sinks/{sink_id}"
         self._max_committed: int | None = None  # lazily recovered
 
     def _recover_max_committed(self) -> int:
-        """Walk the committed snapshot history once and find the highest
-        micro-batch id this sink already merged (crash recovery). Batch ids
-        of one streaming query are monotone, so one integer is enough."""
+        """Highest micro-batch id this sink already merged (crash
+        recovery) = max over BOTH ledgers: the durable marker files (which
+        survive `expire_snapshots`) and a one-time walk of the surviving
+        snapshot manifests (which covers a crash between commit and marker
+        publish). Batch ids of one streaming query are monotone, so one
+        integer is enough."""
         best = -1
+        spark = self.table.spark
+        if hfs.exists(spark, self.marker_dir):
+            for f in hfs.list_files(spark, self.marker_dir):
+                name = f.rsplit("/", 1)[-1]
+                if name.startswith("committed-"):
+                    best = max(best, int(name.split("-", 1)[1]))
         prefix = f"{_OP_PREFIX}:{self.sink_id}:"
         for snap_id in self.table._snapshot_ids():
             op = self.table._read_manifest(snap_id).get("operation", "")
             if op.startswith(prefix):
                 best = max(best, int(op[len(prefix):]))
         return best
+
+    def _publish_marker(self, batch_id: int) -> None:
+        """Durable high-water marker (ChangeFeed cursor protocol):
+        create-exclusive publish, then best-effort GC of older markers so
+        the dir stays O(1) files instead of O(epochs)."""
+        spark = self.table.spark
+        hfs.mkdirs(spark, self.marker_dir)
+        tmp = self.marker_dir + f"/_tmp-{batch_id}"
+        hfs.write_text(spark, tmp, str(batch_id))
+        if not hfs.publish_without_overwrite(
+            spark, tmp, self.marker_dir + "/" + _MARKER_FMT % batch_id
+        ):
+            hfs.delete(spark, tmp)  # re-delivered epoch already marked
+        for f in hfs.list_files(spark, self.marker_dir):
+            name = f.rsplit("/", 1)[-1]
+            if name.startswith("committed-") and int(name.split("-", 1)[1]) < batch_id:
+                hfs.delete(spark, f)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if self._max_committed is None:
@@ -83,9 +124,14 @@ class StreamingMergeSink:
                 .agg(
                     F.max_by(
                         F.struct(*payload),
-                        # order_col first, full key struct as tie-break —
-                        # bit-deterministic under any partitioning
-                        F.struct(F.col(self.order_col), *[F.col(k) for k in self.key_cols]),
+                        # order_col first, full PAYLOAD struct as tie-break
+                        # (key cols are constant within the group and break
+                        # nothing) — bit-deterministic under any
+                        # partitioning even when (key, order_col) collide
+                        F.struct(
+                            F.col(self.order_col),
+                            *[F.col(c) for c in payload],
+                        ),
                     ).alias("_row")
                 )
                 .select(
@@ -98,6 +144,7 @@ class StreamingMergeSink:
             lambda entries, seq: entries + [{"batch": batch, "seq": seq}],
             f"{_OP_PREFIX}:{self.sink_id}:{batch_id}",
         )
+        self._publish_marker(batch_id)
         self._max_committed = batch_id
 
 

@@ -48,6 +48,9 @@ from pyspark.sql import DataFrame, SparkSession
 from hinbox_spark import fs as hfs
 
 _SNAP_FMT = "snapshot-%012d.json"
+# read_resolved(scope=...) collects scope keys for manifest pruning only
+# when the scope is at most this many rows (probed with limit(K+1).count())
+_SCOPE_PRUNE_CAP = 100_000
 
 
 class CommitConflict(Exception):
@@ -410,6 +413,20 @@ class SnapshotTable:
             return 0
         return len(self._read_manifest(head)["entries"])
 
+    def _union_schema_empty(self, entries: list[dict]) -> DataFrame:
+        """Zero-row frame carrying the UNION of the given batches' schemas —
+        exactly what an unpruned read would produce via
+        `unionByName(allowMissingColumns=True)`. Footer-only planning
+        (parquet mergeSchema + limit 0), no data scan: a delete() tombstone
+        batch at the head must not make an all-pruned read lose the payload
+        columns."""
+        paths = [self.data_dir + "/" + e["batch"] for e in entries]
+        return (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*paths)
+            .limit(0)
+        )
+
     def read(
         self,
         snapshot_id: int | None = None,
@@ -451,11 +468,13 @@ class SnapshotTable:
 
             entries = [e for e in entries if _may_contain(e)]
             if not entries:
-                # every batch pruned: empty frame with the head batch schema
-                empty = self.spark.read.parquet(
-                    self.data_dir + "/" + manifest["entries"][-1]["batch"]
-                ).limit(0)
-                return empty.withColumn("_seq", F.lit(0).cast("long"))
+                # every batch pruned: empty frame with the UNION schema of
+                # all the snapshot's batches — the schema an unpruned read
+                # would carry via allowMissingColumns (the last batch alone
+                # may be a tombstone batch lacking the payload columns)
+                return self._union_schema_empty(
+                    manifest["entries"]
+                ).withColumn("_seq", F.lit(0).cast("long"))
         parts = []
         for e in entries:
             parts.append(
@@ -491,13 +510,23 @@ class SnapshotTable:
                 f"scope columns {on} must be a prefix of key_cols {key_cols}"
             )
             scope = scope.dropDuplicates(on)
-            # scope is small by contract (it is broadcast below), so
-            # collecting its first key column costs one tiny job and buys
-            # manifest-level batch pruning: un-stats'd batches still scan,
-            # stats'd batches outside the key range never do
-            keys = [r[0] for r in scope.select(on[0]).collect()]
-            raw = self.read(snapshot_id, prune_keys=(on[0], keys))
-            raw = raw.join(F.broadcast(scope), on, "left_semi")
+            # manifest-level batch pruning wants the key list on the
+            # driver — safe only for point-lookup-sized scopes, so probe
+            # the size FIRST (bounded: limit(K+1).count(), the
+            # clustering.py pattern) instead of collecting unconditionally.
+            # A production-scale delta with millions of changed keys skips
+            # the prune and relies on the broadcast semi-join alone —
+            # pruning is an optimization, never the correctness path.
+            probe = scope.limit(_SCOPE_PRUNE_CAP + 1).count()
+            if probe <= _SCOPE_PRUNE_CAP:
+                keys = [r[0] for r in scope.select(on[0]).collect()]
+                raw = self.read(snapshot_id, prune_keys=(on[0], keys))
+                raw = raw.join(F.broadcast(scope), on, "left_semi")
+            else:
+                # above the cap the scope is also too big to force through
+                # a driver-side broadcast — plain semi-join, AQE picks the
+                # physical strategy (it still broadcasts when it fits)
+                raw = self.read(snapshot_id).join(scope, on, "left_semi")
         else:
             raw = self.read(snapshot_id)
         payload = [
@@ -533,8 +562,15 @@ class SnapshotTable:
         O(snapshots × batches) JSON work, no table scan. A `rollback_to`
         commit re-lists old batches, so restored batches reappear in the
         feed tagged with its `rollback:<id>` operation — an honest replay
-        signal, not a silent gap. `from_snapshot=None` streams from the
-        table's beginning."""
+        signal, not a silent gap. `compact` snapshots are SKIPPED entirely
+        (Iceberg's incremental append scan skips REPLACE snapshots): a
+        compaction rewrites already-emitted rows into a new batch, and
+        replaying the whole resolved table into the feed would double-count
+        every delta downstream. `from_snapshot=None` streams from the
+        table's beginning; if `expire_snapshots` has GC'd the manifest
+        history before `from_snapshot`, a clear error is raised instead of
+        a silent partial feed — the consumer must fall back to a full
+        `read_resolved`."""
         head = to_snapshot if to_snapshot is not None else self.latest_snapshot_id()
         if head is None:
             raise FileNotFoundError(f"no committed snapshot at {self.path}")
@@ -544,11 +580,34 @@ class SnapshotTable:
             if sid > head or (from_snapshot is not None and sid <= from_snapshot):
                 continue
             m = self._read_manifest(sid)
-            parent_batches = (
-                {e["batch"] for e in self._read_manifest(m["parent"])["entries"]}
-                if m["parent"] is not None
-                else set()
-            )
+            if m.get("operation") == "compact":
+                # rewrite, not new data: every row in the compacted batch
+                # was already emitted by the commit that introduced it
+                continue
+            if m["parent"] is not None:
+                try:
+                    parent_batches = {
+                        e["batch"]
+                        for e in self._read_manifest(m["parent"])["entries"]
+                    }
+                except Exception:
+                    # the parent manifest was expired. With a cursor this
+                    # means the feed's history is gone — partial output
+                    # would silently double-count, so fail loudly. From
+                    # the beginning (cursor None) the oldest surviving
+                    # manifest's FULL entry set IS the complete remaining
+                    # history, so an empty parent set is exactly right.
+                    if from_snapshot is not None:
+                        raise FileNotFoundError(
+                            f"change history expired: snapshot {m['parent']}"
+                            f" (parent of {sid}) was removed by"
+                            f" expire_snapshots before"
+                            f" from_snapshot={from_snapshot}; re-read the"
+                            f" table with read_resolved instead"
+                        )
+                    parent_batches = set()
+            else:
+                parent_batches = set()
             for e in m["entries"]:
                 if e["batch"] in parent_batches:
                     continue
@@ -562,11 +621,12 @@ class SnapshotTable:
                 raise FileNotFoundError(
                     f"no batches visible at snapshot {head} of {self.path}"
                 )
-            empty = self.spark.read.parquet(
-                self.data_dir + "/" + head_entries[-1]["batch"]
-            ).limit(0)
-            return empty.withColumn("_seq", F.lit(0).cast("long")).withColumn(
-                "_operation", F.lit("")
+            # union schema across ALL head batches, not the last one alone
+            # (it may be a tombstone batch without the payload columns)
+            return (
+                self._union_schema_empty(head_entries)
+                .withColumn("_seq", F.lit(0).cast("long"))
+                .withColumn("_operation", F.lit(""))
             )
         out = new_parts[0]
         for p in new_parts[1:]:

@@ -659,3 +659,109 @@ def test_compact_zorder_gives_multi_column_pruning_ranges(spark, tmp_path):
     ts.compact(["entity_id"], sort_by=["x"], sort_partitions=16)
     y_sorted = file_ranges(ts, 4)
     assert sum(y_sorted) / len(y_sorted) > 0.9 * 63
+
+
+def test_read_changes_skips_compact_snapshots(spark, tmp_path):
+    """A compact() snapshot is a REWRITE of already-emitted rows, not new
+    data: the CDC feed must skip it entirely (Iceberg's incremental append
+    scan skips REPLACE snapshots), or every routine compaction would replay
+    the whole resolved table and downstream delta consumers double-count."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [("a", "Alpha", 1)]))        # snap 1
+    t.merge(_df(spark, [("a", "Alpha2", 2)]))        # snap 2
+    t.compact(["entity_id"])                         # snap 3 — rewrite only
+    t.append(_df(spark, [("b", "Beta", 1)]))         # snap 4
+    rows = t.read_changes(1).collect()               # window 2..4
+    assert {(r["entity_id"], r["v"]) for r in rows} == {("a", 2), ("b", 1)}
+    assert {r["_operation"] for r in rows} == {"merge", "append"}
+
+    # a cursor sitting ON the compact snapshot still sees only later deltas
+    rows3 = t.read_changes(3).collect()
+    assert {(r["entity_id"], r["v"]) for r in rows3} == {("b", 1)}
+
+
+def test_read_changes_after_expire_snapshots(spark, tmp_path):
+    """expire_snapshots GCs old manifests; read_changes with a cursor below
+    the surviving history must fail LOUDLY (a silent partial feed would
+    double-count downstream), while cursor=None treats the oldest surviving
+    manifest's full entry set as the complete remaining history."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [("a", "Alpha", 1)]))    # snap 1
+    t.append(_df(spark, [("b", "Beta", 1)]))     # snap 2
+    t.append(_df(spark, [("c", "Gamma", 1)]))    # snap 3
+    t.expire_snapshots(keep_last=2)              # drops manifest 1
+
+    # snap 2's parent manifest (1) is gone → cursor=1 raises, not partial
+    with pytest.raises(FileNotFoundError, match="expired"):
+        t.read_changes(1)
+
+    # cursor inside the surviving window still works
+    assert {r["entity_id"] for r in t.read_changes(2).collect()} == {"c"}
+
+    # from the beginning: full replay of everything still visible
+    got = {r["entity_id"] for r in t.read_changes(None).collect()}
+    assert got == {"a", "b", "c"}
+
+
+def test_all_pruned_read_keeps_union_schema(spark, tmp_path):
+    """When manifest pruning eliminates every batch, the empty frame must
+    carry the UNION schema of the snapshot's batches — a delete() tombstone
+    batch at the head (key + _tombstone only) must not silently drop the
+    payload columns schema-dependent callers select."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [("a", "Alpha", 1)]), stats_col="entity_id")
+    t.delete(
+        spark.createDataFrame([("a",)], "entity_id string"),
+        stats_col="entity_id",
+    )
+    out = t.read(prune_keys=("entity_id", ["zzz"]))  # prunes every batch
+    assert out.count() == 0
+    assert {"entity_id", "name", "v", "_tombstone", "_seq"} <= set(out.columns)
+
+    # same guarantee on the read_changes empty-window path
+    head = t.latest_snapshot_id()
+    feed = t.read_changes(head, head)
+    assert feed.count() == 0
+    assert {"entity_id", "name", "v", "_tombstone", "_seq", "_operation"} <= set(
+        feed.columns
+    )
+
+
+def test_read_resolved_oversize_scope_skips_prune_collect(
+    spark, tmp_path, monkeypatch
+):
+    """read_resolved(scope=...) must not collect an unbounded scope to the
+    driver: above _SCOPE_PRUNE_CAP the bounded probe skips manifest pruning
+    (an optimization, never the correctness path) and resolution goes
+    through the semi-join alone — same answer, no driver-side key list."""
+    import hinbox_spark.tables as tables_mod
+
+    monkeypatch.setattr(tables_mod, "_SCOPE_PRUNE_CAP", 2)
+    collected = []
+    orig = SnapshotTable.read
+
+    def spy_read(self, snapshot_id=None, prune_keys=None):
+        collected.append(prune_keys)
+        return orig(self, snapshot_id, prune_keys)
+
+    monkeypatch.setattr(SnapshotTable, "read", spy_read)
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(
+        _df(spark, [("a", "Alpha", 1), ("b", "Beta", 1)]), stats_col="entity_id"
+    )
+    t.merge(
+        _df(spark, [("c", "Gamma", 1), ("d", "Delta", 1)]), stats_col="entity_id"
+    )
+
+    big_scope = spark.createDataFrame(
+        [("a",), ("b",), ("c",)], "entity_id string"
+    )  # 3 keys > cap 2
+    out = t.read_resolved(["entity_id"], scope=big_scope)
+    assert {r["entity_id"] for r in out.collect()} == {"a", "b", "c"}
+    assert collected[-1] is None  # prune path skipped above the cap
+
+    small_scope = spark.createDataFrame([("d",)], "entity_id string")
+    out2 = t.read_resolved(["entity_id"], scope=small_scope)
+    assert {r["entity_id"] for r in out2.collect()} == {"d"}
+    assert collected[-1] is not None  # point lookup still prunes

@@ -103,3 +103,56 @@ def test_within_batch_duplicate_keys_collapse_deterministically(spark, tmp_path)
     assert _resolved(table) == {"e1": "fresh", "e2": "only"}
     # the collapse happened at WRITE time (one row per key in the batch)
     assert table.read().count() == 2
+
+
+def test_tie_on_order_col_resolved_by_payload_not_partition_order(
+    spark, tmp_path
+):
+    """Two rows sharing (key, order_col) but differing payload: the key
+    columns are constant within the group and break no ties, so the winner
+    must come from the payload struct — identical under any partitioning."""
+    winners = []
+    for parts in (1, 7, 32):
+        table = SnapshotTable(spark, str(tmp_path / f"store-{parts}"))
+        sink = StreamingMergeSink(
+            table, "entities", key_cols=["entity_id"], order_col="updated_at"
+        )
+        rows = [
+            ("e1", "banana", _ts(3)),
+            ("e1", "apple", _ts(3)),   # same key, same timestamp
+            ("e1", "cherry", _ts(3)),
+        ]
+        sink(_rows(spark, rows).repartition(parts), batch_id=0)
+        winners.append(_resolved(table)["e1"])
+    # bit-deterministic: every partitioning picks the same winner, and it is
+    # the max of the payload struct ordering (profile sorts first)
+    assert winners == ["cherry", "cherry", "cherry"]
+
+
+def test_batch_ledger_survives_snapshot_expiry(spark, tmp_path):
+    """expire_snapshots can GC every streaming-merge manifest; the durable
+    marker file must still stop a re-delivered epoch from re-merging (which
+    would duplicate rows in raw reads and re-emit into the CDC feed)."""
+    table = SnapshotTable(spark, str(tmp_path / "store"))
+    sink = StreamingMergeSink(
+        table, "entities", key_cols=["entity_id"], order_col="updated_at"
+    )
+    sink(_rows(spark, [("e1", "v1", _ts(0))]), batch_id=0)
+    sink(_rows(spark, [("e1", "v2", _ts(1))]), batch_id=1)
+    table.compact(["entity_id"])
+    table.expire_snapshots(keep_last=1)  # only the compact manifest survives
+
+    # fresh sink instance after a restart: manifests carry no merge ops any
+    # more — recovery must come from the marker file
+    sink2 = StreamingMergeSink(
+        table, "entities", key_cols=["entity_id"], order_col="updated_at"
+    )
+    n = table.n_batches()
+    head = table.latest_snapshot_id()
+    sink2(_rows(spark, [("e1", "v2", _ts(1))]), batch_id=1)  # re-delivery
+    assert table.n_batches() == n and table.latest_snapshot_id() == head
+    assert table.read().count() == 1  # no duplicate rows in the raw read
+
+    # genuinely new epochs still commit
+    sink2(_rows(spark, [("e2", "w1", _ts(2))]), batch_id=2)
+    assert _resolved(table) == {"e1": "v2", "e2": "w1"}
