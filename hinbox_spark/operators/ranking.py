@@ -96,6 +96,66 @@ def _ranked_with_total(
     return ranked, acc
 
 
+def global_running_counts(
+    df: DataFrame,
+    order_exprs: list[Column],
+    flag_col: str,
+    count_col: str = "n_before",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """For each row, the EXACT number of rows with `flag_col` = 1 strictly
+    BEFORE it under the given total order — the primitive behind sweep-line
+    counting (interval-overlap counts, rank-in-other-set, searchsorted).
+
+    Same zero-single-task plan as `global_row_numbers`: range partition +
+    local sort + an O(partitions) offset fold — except the folded quantity
+    is the per-partition FLAG count rather than the row count, and the
+    mapInPandas pass keeps an exclusive running flag-cumsum instead of a
+    row counter. Adds `count_col` (long)."""
+    parts = (
+        df.repartitionByRange(num_partitions, *order_exprs)
+        if num_partitions
+        else df.repartitionByRange(*order_exprs)
+    ).sortWithinPartitions(*order_exprs)
+    parts = parts.localCheckpoint(eager=False)
+
+    sizes = (
+        parts.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.sum(F.col(flag_col).cast("long")).alias("n_flag"))
+        .collect()
+    )
+    by_pid = {r["pid"]: r["n_flag"] or 0 for r in sizes}
+    offsets, acc = [], 0
+    for pid in range(max(by_pid) + 1 if by_pid else 0):
+        offsets.append((pid, acc))
+        acc += by_pid.get(pid, 0)
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "pid int, _offset long")
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        list(parts.schema.fields) + [StructField("_local", LongType())]
+    )
+
+    def _local_flag_prefix(it):
+        n = 0  # flagged rows seen so far in this partition
+        for pdf in it:
+            flags = pdf[flag_col].astype("int64")
+            # exclusive prefix sum: count of flagged rows strictly before
+            pdf = pdf.assign(_local=flags.cumsum() - flags + n)
+            n += int(flags.sum())
+            yield pdf
+
+    return (
+        parts.mapInPandas(_local_flag_prefix, schema=schema)
+        .withColumn("pid", F.spark_partition_id())
+        .join(F.broadcast(off_df), "pid")
+        .withColumn(count_col, (F.col("_offset") + F.col("_local")).cast("long"))
+        .drop("pid", "_offset", "_local")
+    )
+
+
 def distributed_ntile(
     df: DataFrame,
     k: int,

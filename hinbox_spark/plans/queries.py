@@ -2856,16 +2856,19 @@ JOIN nation ON n_nationkey = nationkey
 
 
 def q_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval × interval overlap join: per user session (30-min-gap
-    sessionization, the `events_sessions` rule), how many OTHER users'
-    sessions overlap it in time. Runs through
-    `operators.rangejoin.interval_overlap_join` — sessions explode to
-    1-hour cells, pairs meet on an equi cell join, and each pair is
-    emitted exactly once from the cell holding the later start (no
-    dropDuplicates pass). The DuckDB oracle is the naive non-equi
-    self-join — an independent algorithm. Zero-overlap sessions are kept
-    with n_concurrent = 0 (left join of counts back onto sessions)."""
-    from hinbox_spark.operators.rangejoin import interval_overlap_join
+    """Per user session (30-min-gap sessionization, the `events_sessions`
+    rule), how many OTHER users' sessions overlap it in time — computed by
+    `operators.sweep.count_interval_overlaps`, the O(n log n) sweep
+    identity (starts ≤ end_i) − (ends < start_i) − 1, with ZERO pair rows:
+    a peak hour with s concurrent sessions costs 2n tagged point rows per
+    pass, not ~s² pair candidates in one time cell (the prior
+    interval_overlap_join plan — kept for pair-EMITTING consumers).
+    Subtracting only self is exact here because same-user sessions are
+    disjoint by construction: a >30-min event gap splits sessions, so
+    consecutive same-user sessions are separated by >1800 s and can never
+    overlap. The DuckDB oracle stays the naive non-equi self-join — an
+    independent algorithm."""
+    from hinbox_spark.operators.sweep import count_interval_overlaps
 
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -2881,28 +2884,13 @@ def q_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("s_start"),
             F.max("ts").alias("s_end"),
         )
-    ).localCheckpoint(eager=False)  # sessionize once, feed both join sides
-    other = sessions.select(
-        F.col("user_id").alias("o_user"),
-        F.col("s_start").alias("o_start"),
-        F.col("s_end").alias("o_end"),
-    )
-    pairs = interval_overlap_join(
-        sessions, other, on=[],
-        left_start="s_start", left_end="s_end",
-        right_start="o_start", right_end="o_end",
-        bucket_s=3600,
-    ).filter(F.col("user_id") != F.col("o_user"))
-    counts = pairs.groupBy("user_id", "session_id").agg(
-        F.count("*").alias("n_concurrent")
-    )
-    return (
-        sessions.join(counts, ["user_id", "session_id"], "left")
-        .select(
-            "user_id",
-            "session_id",
-            F.coalesce("n_concurrent", F.lit(0)).alias("n_concurrent"),
-        )
+    ).localCheckpoint(eager=False)  # sessionize once, feed both sweep passes
+    return count_interval_overlaps(
+        sessions,
+        key_cols=["user_id", "session_id"],
+        start_col="s_start",
+        end_col="s_end",
+        out_col="n_concurrent",
     )
 
 
