@@ -165,12 +165,40 @@ class DomainConfig:
     # Iceberg-shaped entity store: atomic optimistic commits, time travel,
     # merge-on-read upsert by entity_id). SURVEY §1.3 mapping.
     snapshot_store_path: str | None = None
+    # YAML-loaded gazetteer entries (config_loader.load_domain_config fills
+    # these from configs/{domain}/categories/*.yaml examples). None → the
+    # built-in curated domain pools above. Tuples so the frozen dataclass
+    # stays cheaply hashable/broadcastable.
+    gazetteer_orgs: tuple[tuple[str, str], ...] | None = None
+    gazetteer_locs: tuple[tuple[str, str], ...] | None = None
+    gazetteer_people: tuple[str, ...] | None = None
+    # Per-type lexical-blocking config (merged defaults + per-type override,
+    # reference: src/config_loader.py:128-158). Empty → defaults everywhere.
+    lexical_blocking_per_type: dict[str, dict] = field(default_factory=dict)
+    # Acronym-generation stopwords for name variants
+    # (reference: src/config_loader.py:246-276 defaults).
+    acronym_stopwords: tuple[str, ...] = (
+        "the", "of", "for", "and", "to", "in", "on", "a", "an", "at", "by",
+    )
 
     def threshold_for(self, entity_type: str) -> float:
         """Resolution chain: per-type → default → 0.75
-        (reference: src/config_loader.py:107-126)."""
+        (reference: src/config_loader.py:107-126; the YAML loader folds the
+        legacy top-level similarity_threshold into 'default')."""
         t = self.similarity_thresholds
         return t.get(entity_type, t.get("default", 0.75))
+
+    def blocking_for(self, entity_type: str | None = None) -> dict:
+        """Lexical-blocking config for one entity type: merged defaults +
+        per-type override (reference: src/config_loader.py:128-158)."""
+        result = {
+            "enabled": False,
+            "threshold": 60,
+            "max_candidates": self.blocking_max_candidates,
+        }
+        if entity_type and entity_type in self.lexical_blocking_per_type:
+            result.update(self.lexical_blocking_per_type[entity_type])
+        return result
 
 
 def get_default_config() -> DomainConfig:

@@ -60,7 +60,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from hinbox_spark import fs as hfs
 from hinbox_spark.config import DomainConfig, get_default_config
-from hinbox_spark.functions.ner import default_gazetteer
+from hinbox_spark.functions.ner import default_gazetteer  # noqa: F401 (back-compat)
 from hinbox_spark.operators.canonicalize import (
     ENTITY_ARTICLES_CAP, build_clusters, build_edge_triples, build_entities,
     canonical_names,
@@ -314,7 +314,8 @@ def run_incremental(
         raise ValueError("run_incremental requires cfg.snapshot_store_path")
     store = cfg.snapshot_store_path
     run_id = run_id or uuid.uuid4().hex
-    gaz = default_gazetteer()
+    from hinbox_spark.config_loader import gazetteer_for
+    gaz = gazetteer_for(cfg)
     hfs.mkdirs(spark, output_dir)
 
     # a previous run that crashed mid-apply left partial store commits —

@@ -116,6 +116,10 @@ def relevance_predicate(keywords: tuple[str, ...] | list[str]) -> F.Column:
     norm_keys = sorted(
         {" " + re.sub(r"[^a-z0-9]+", " ", k.lower()).strip() + " " for k in keywords}
     )
+    if not norm_keys:
+        # no keywords configured (domain with relevance_check: false) → no
+        # filter; an empty F.array would mark EVERY article irrelevant
+        return F.lit(True)
     norm_text = F.concat(
         F.lit(" "),
         F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "),

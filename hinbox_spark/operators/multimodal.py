@@ -1,12 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed through Arrow-batched mapInPandas.
 
-The decode step itself is STUBBED (no image/audio libraries in this
-container — see the module-level DECODERS registry): `decode_media` either
-raises NotImplementedError (strict mode) or applies a deterministic fake
-decoder that parses the synthetic header written by `synth_media`. The
-Spark-side plumbing — schema, batch shape, partition sizing, UDF signature —
-is real and tested (tests/test_multimodal.py).
+The DECODERS registry carries both REAL decoders — pure-stdlib PNG
+(zlib inflate + IHDR parse + scanline unfilter) and WAV (RIFF/PCM), see
+functions/media_codecs.py, plus a format-sniffing 'real' dispatcher — and
+a deterministic 'synth' decoder for the header written by `synth_media`
+(the stand-in for formats whose libraries are absent in this container:
+JPEG, MP4, ...). The Spark-side plumbing — schema, batch shape, partition
+sizing, UDF signature, poison-pill tolerance — is shared by every decoder
+and tested on real PNG/WAV bytes (tests/test_multimodal.py).
 
 Design notes for 100 TB of media:
 - binary payloads ride in their own column so column pruning skips them for
@@ -77,14 +79,64 @@ def _fake_decode(payload: bytes) -> dict:
     return {"kind": kind, "width": w, "height": h, "duration_ms": dur, "body": body}
 
 
-DECODERS = {"synth": _fake_decode}
-# real decoders (absent in this container) would be registered as:
-# DECODERS["image"] = lambda b: cv2.imdecode(...)   # noqa: ERA001
+def _png_decode(payload: bytes) -> dict:
+    """Real PNG decode (pure stdlib: functions/media_codecs.py — zlib
+    inflate + IHDR parse + scanline unfilter). Body is the raw pixel bytes,
+    so the downstream histogram/resize/frame plumbing applies unchanged."""
+    from hinbox_spark.functions.media_codecs import decode_png
+
+    d = decode_png(payload)
+    return {
+        "kind": "image",
+        "width": d["width"],
+        "height": d["height"],
+        "duration_ms": 0,
+        "body": d["pixels"].reshape(-1),
+    }
+
+
+def _wav_decode(payload: bytes) -> dict:
+    """Real WAV decode (RIFF/PCM header parse). Body is the PCM byte
+    stream viewed as uint8 — the shared feature/frames contract."""
+    from hinbox_spark.functions.media_codecs import decode_wav
+
+    d = decode_wav(payload)
+    return {
+        "kind": "audio",
+        "width": 0,
+        "height": 0,
+        "duration_ms": d["duration_ms"],
+        "body": d["samples"].view(np.uint8),
+    }
+
+
+def _real_decode(payload: bytes) -> dict:
+    """Format-sniffing real decoder: PNG signature / RIFF magic → the
+    matching stdlib codec; anything else is a decode failure (poison-pill
+    rows, decode_ok=false)."""
+    if payload is None:
+        raise ValueError("null media payload")
+    head = bytes(payload[:8])
+    if head.startswith(b"\x89PNG"):
+        return _png_decode(payload)
+    if head.startswith(b"RIFF"):
+        return _wav_decode(payload)
+    raise ValueError("unrecognized media format")
+
+
+DECODERS = {
+    "synth": _fake_decode,
+    "png": _png_decode,
+    "wav": _wav_decode,
+    "real": _real_decode,
+}
+# further real decoders (JPEG/MP4 — libs absent in this container) would be
+# registered the same way: DECODERS["jpeg"] = lambda b: cv2.imdecode(...)
 
 
 def decode_media(payload: bytes, decoder: str = "synth") -> dict:
-    """Decode one payload. decoder='real' raises until a real library is
-    registered — the Spark plumbing around it is unaffected."""
+    """Decode one payload. Unregistered decoder names raise — the Spark
+    plumbing around the registry is unaffected."""
     fn = DECODERS.get(decoder)
     if fn is None:
         raise NotImplementedError(
@@ -167,15 +219,27 @@ def resize_media(media: DataFrame, target_w: int, target_h: int,
                         out.append(tuple(row) + (True,))
                         continue
                     d = decode_media(bytes(row.payload), decoder)
-                    body = d["body"]
-                    n = max(1, target_w * target_h // 64)
-                    idx = (np.arange(n) * max(1, len(body)) // n) % max(1, len(body))
-                    resized = body[idx] if len(body) else body
-                    payload = (
-                        _MAGIC + b"i"
-                        + struct.pack("<iii", target_w, target_h, 0)
-                        + resized.tobytes()
-                    )
+                    if decoder in ("png", "real") and d["width"] > 0:
+                        # real path: nearest-neighbor resample of the actual
+                        # pixel grid, re-encoded as a real PNG so downstream
+                        # decoders read the resized blob like any other
+                        from hinbox_spark.functions.media_codecs import encode_png
+
+                        c = len(d["body"]) // (d["width"] * d["height"])
+                        px = d["body"].reshape(d["height"], d["width"], c)
+                        ys = (np.arange(target_h) * d["height"] // target_h)
+                        xs = (np.arange(target_w) * d["width"] // target_w)
+                        payload = encode_png(px[ys][:, xs])
+                    else:
+                        body = d["body"]
+                        n = max(1, target_w * target_h // 64)
+                        idx = (np.arange(n) * max(1, len(body)) // n) % max(1, len(body))
+                        resized = body[idx] if len(body) else body
+                        payload = (
+                            _MAGIC + b"i"
+                            + struct.pack("<iii", target_w, target_h, 0)
+                            + resized.tobytes()
+                        )
                     out.append((row.media_id, row.kind, row.mime, target_w,
                                 target_h, row.duration_ms, payload, True))
                 except Exception:

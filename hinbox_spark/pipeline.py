@@ -163,7 +163,9 @@ def run_pipeline(
             _t_block = now
 
     cfg = cfg or get_default_config()
-    gaz = default_gazetteer()
+    from hinbox_spark.config_loader import gazetteer_for
+
+    gaz = gazetteer_for(cfg)  # YAML-loaded entries when present, else default
     hfs.mkdirs(spark, output_dir)
 
     # run-level counters (filled by the stages below when they execute;

@@ -1628,8 +1628,11 @@ def q_copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation) — standalone driver-contract exercise of
     clustering.connected_components. Node ids are namespaced ("c:"/"s:")
     so the two key spaces cannot collide. Returns (n_components,
-    n_nodes, largest_component) — rows-only (iterative fixpoint is not
-    single-query SQL)."""
+    n_nodes, largest_component), oracle-checked against an independent
+    DuckDB algorithm (ORACLE_COPURCHASE_COMPONENTS: bipartite contraction
+    to per-customer supplier chains, then recursive-CTE closure over the
+    small supplier projection — connectivity-preserving, so component
+    sizes match exactly)."""
     from hinbox_spark.operators.clustering import connected_components
 
     e = _purchase_edges(spark, sf_dir).select(
@@ -1648,6 +1651,44 @@ def q_copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("size").alias("n_nodes"),
         F.max("size").alias("largest_component"),
     )
+
+
+# Independent CC algorithm for the oracle: a bipartite graph's components
+# survive contraction to the supplier projection when each customer's
+# supplier set is replaced by a CHAIN of consecutive (sorted) suppliers —
+# connectivity-preserving with O(Σ deg) edges instead of the clique's
+# O(Σ deg²). The recursive closure then runs over only |suppliers| nodes
+# (vs the 60s full-bipartite transitive closure), and component sizes are
+# recovered by attaching distinct-customer counts per supplier label.
+ORACLE_COPURCHASE_COMPONENTS = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), chain AS (
+  SELECT c, s, lag(s) OVER (PARTITION BY c ORDER BY s) AS prev_s FROM e
+), sedges AS (
+  SELECT DISTINCT prev_s AS a, s AS b FROM chain WHERE prev_s IS NOT NULL
+  UNION
+  SELECT DISTINCT s AS a, prev_s AS b FROM chain WHERE prev_s IS NOT NULL
+), snodes AS (SELECT DISTINCT s FROM e),
+reach(node, label) AS (
+  SELECT s, s FROM snodes
+  UNION
+  SELECT sedges.b, reach.label FROM reach JOIN sedges ON sedges.a = reach.node
+), slab AS (SELECT node AS s, min(label) AS lab FROM reach GROUP BY node),
+csize AS (
+  SELECT lab, count(DISTINCT c) AS n_cust FROM e JOIN slab USING (s) GROUP BY lab
+),
+ssize AS (SELECT lab, count(*) AS n_supp FROM slab GROUP BY lab),
+comp AS (
+  SELECT ssize.lab, n_supp + coalesce(n_cust, 0) AS size
+  FROM ssize LEFT JOIN csize USING (lab)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_components,
+       CAST(sum(size) AS BIGINT) AS n_nodes,
+       CAST(max(size) AS BIGINT) AS largest_component
+FROM comp
+"""
 
 
 def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3191,6 +3232,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_anomaly": q_events_anomaly,
     "order_value_histogram": q_order_value_histogram,
     "doc_quality_quartiles": q_doc_quality_quartiles,
+    "copurchase_components": q_copurchase_components,
     # non-SQL-expressible (rows-only driver check; correctness pinned by
     # tests/test_dedup.py and tests/test_ann.py)
     "doc_minhash_near_dups": q_doc_minhash_near_dups,
@@ -3198,7 +3240,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "emb_near_dup_pairs_lsh": q_emb_near_dup_pairs_lsh,
     "doc_simhash_near_dups": q_doc_simhash_near_dups,
-    "copurchase_components": q_copurchase_components,
     "copurchase_reach_hll": q_copurchase_reach_hll,
     "copurchase_pagerank": q_copurchase_pagerank,
     "doc_dedup_keepers": q_doc_dedup_keepers,
@@ -3272,6 +3313,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "nation_activity_full_outer": ORACLE_NATION_ACTIVITY_FULL_OUTER,
     "concurrent_sessions": ORACLE_CONCURRENT_SESSIONS,
     "copurchase_bfs_hops": ORACLE_COPURCHASE_BFS,
+    "copurchase_components": ORACLE_COPURCHASE_COMPONENTS,
     "events_anomaly": ORACLE_EVENTS_ANOMALY,
     "order_value_histogram": ORACLE_ORDER_HISTOGRAM,
     "doc_quality_quartiles": ORACLE_DOC_QUALITY_QUARTILES,

@@ -149,3 +149,49 @@ def test_bfs_distances_exact_hops_and_early_exit(spark):
         for r in bfs_distances(edges, multi, max_hops=10).collect()
     }
     assert got_multi == {"a": 0, "d": 0, "b": 1, "c": 1}
+
+
+def test_components_oracle_multi_component_fixture(spark, tmp_path):
+    """The ORACLE_COPURCHASE_COMPONENTS contraction algorithm (per-customer
+    supplier chains → closure over the supplier projection) must agree with
+    the Spark CC query on a graph with SEVERAL components — sf0.01 is one
+    giant component, which would hide a broken contraction."""
+    import duckdb
+
+    from hinbox_spark.plans.queries import (
+        ORACLE_COPURCHASE_COMPONENTS, q_copurchase_components,
+    )
+
+    # three islands: {c1,c2}×{s1,s2,s3} chained, {c3}×{s4}, {c4,c5}×{s5}
+    # plus a customer bridging two otherwise-separate supplier pairs
+    pairs = [
+        (1, 1), (1, 2), (2, 2), (2, 3),
+        (3, 4),
+        (4, 5), (5, 5),
+        (6, 6), (6, 7),  # bridge: c6 joins s6 and s7
+    ]
+    orders = [(i + 1, c) for i, (c, _) in enumerate(pairs)]
+    lines = [(i + 1, s) for i, (_, s) in enumerate(pairs)]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        lines, "l_orderkey long, l_suppkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+    sdf = q_copurchase_components(spark, str(tmp_path)).toPandas()
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp_path}/{t}.parquet/*.parquet')"
+        )
+    ddf = con.execute(ORACLE_COPURCHASE_COMPONENTS).df()
+
+    got_s = sdf.iloc[0].to_dict()
+    got_d = ddf.iloc[0].to_dict()
+    # hand-check: comp1 = {c1,c2,s1,s2,s3} (5), comp2 = {c3,s4} (2),
+    # comp3 = {c4,c5,s5} (3), comp4 = {c6,s6,s7} (3) → 4 comps, 13 nodes
+    expect = {"n_components": 4, "n_nodes": 13, "largest_component": 5}
+    assert {k: int(v) for k, v in got_s.items()} == expect
+    assert {k: int(v) for k, v in got_d.items()} == expect
