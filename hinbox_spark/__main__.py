@@ -39,6 +39,13 @@ def main(argv: list[str] | None = None) -> int:
                         "(run_incremental: O(|delta|) work, content-hash "
                         "skip, atomic run transaction) instead of a full "
                         "batch run")
+    p.add_argument("--configs-dir", default=None,
+                   help="domain-config root (configs/{domain}/config.yaml "
+                        "+ categories/*.yaml, the reference layout)")
+    p.add_argument("--domain", default=None,
+                   help="domain name under --configs-dir to load "
+                        "(thresholds, equivalence groups, gazetteer, "
+                        "relevance keywords all come from the YAML)")
     args = p.parse_args(argv)
 
     if not args.pages and not args.generate:
@@ -60,7 +67,21 @@ def main(argv: list[str] | None = None) -> int:
         pages = pages_dataframe_distributed(spark, args.generate, args.seed)
 
     cfg = None
-    if args.cache or args.store:
+    if args.domain:
+        from dataclasses import replace
+
+        from hinbox_spark.config_loader import load_domain_config
+
+        if not args.configs_dir:
+            p.error("--domain requires --configs-dir")
+        cfg = load_domain_config(args.configs_dir, args.domain)
+        if args.cache or args.store:
+            cfg = replace(
+                cfg,
+                extraction_cache_path=args.cache or cfg.extraction_cache_path,
+                snapshot_store_path=args.store,
+            )
+    elif args.cache or args.store:
         from hinbox_spark.config import DomainConfig
 
         cfg = DomainConfig(

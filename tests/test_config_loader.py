@@ -372,3 +372,44 @@ def test_toy_domain_pipeline_e2e(configs_dir, spark, tmp_path):
         m["url"] for m in tables["mentions"].collect() if m["url"] is not None
     }
     assert "https://example.org/apollo/3" not in mention_urls
+
+
+def test_cli_domain_flag(spark, tmp_path, capsys):
+    """python -m hinbox_spark --configs-dir configs --domain example_space:
+    the committed example YAML tree drives a real run via the CLI."""
+    import json
+
+    from pyspark.sql.types import (
+        BinaryType, StringType, StructField, StructType, TimestampType,
+    )
+
+    from hinbox_spark.__main__ import main
+
+    schema = StructType(
+        [
+            StructField("url", StringType(), False),
+            StructField("warc_ts", TimestampType(), False),
+            StructField("html", BinaryType(), True),
+            StructField("text", StringType(), True),
+            StructField("lang", StringType(), True),
+        ]
+    )
+    ts = dt.datetime(1969, 7, 20, 20, 17)
+    pages_path = str(tmp_path / "pages.parquet")
+    spark.createDataFrame(
+        [(u, ts, h.encode("utf-8"), None, "en") for u, h in _APOLLO_PAGES], schema
+    ).write.parquet(pages_path)
+
+    rc = main(
+        [
+            "--pages", pages_path,
+            "--output", str(tmp_path / "out"),
+            "--configs-dir", "configs",
+            "--domain", "example_space",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    counts = json.loads(out)["rows"]
+    assert counts["articles"] == 3
+    assert counts["entities"] > 0
