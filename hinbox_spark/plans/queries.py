@@ -1607,7 +1607,13 @@ def q_copurchase_reach_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard error (relative accuracy pinned vs the exact count in
     tests/test_plans.py). Rows-only: DuckDB's HLL differs bit-for-bit."""
     e = _purchase_edges(spark, sf_dir)
-    sk = e.groupBy("suppkey").agg(F.hll_sketch_agg("custkey").alias("sk"))
+    # lgConfigK=10 (1 KB registers, ~3.3% std error vs the ≤5% pinned
+    # accuracy gate): the join below ships ONE SKETCH PER EDGE ROW, so
+    # sketch bytes — not edge count — dominate the shuffle; 12→10 cuts
+    # that volume 4× (and the union-agg GC footprint with it)
+    sk = e.groupBy("suppkey").agg(
+        F.hll_sketch_agg("custkey", F.lit(10)).alias("sk")
+    )
     return (
         e.join(sk, "suppkey")
         .groupBy("custkey")
