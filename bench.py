@@ -99,6 +99,10 @@ HEADLINE = [
     "events_anomaly",
     "order_value_histogram",
     "doc_quality_quartiles",
+    # round-5 additions: TPC-H sweep completion (Q6/Q2/Q20 shapes)
+    "forecast_revenue",
+    "min_cost_supplier",
+    "dominant_part_suppliers",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "20000"))

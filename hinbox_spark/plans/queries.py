@@ -3164,6 +3164,173 @@ GROUP BY 1
 """
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — pure scan + conjunctive filter + scalar aggregate.
+    Every predicate is a parquet-pushable comparison and the projection is
+    2 columns, so at 100 TB this is a row-group-pruned scan of exactly
+    (l_extendedprice, l_discount) with zero shuffle (partial aggregation
+    map-side, one final combine)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+            .alias("forecast_revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+ORACLE_FORECAST_REVENUE = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS forecast_revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape adapted to this schema (lineitem is the part↔supplier
+    bridge; there is no partsupp table): for each SMALL part, the EUROPE
+    supplier offering the minimum observed unit price. The reference Q2's
+    correlated MIN subquery is rewritten as a window argmin with a
+    deterministic suppkey tie-break. The only shuffle is the
+    (part, supplier) pre-aggregate; supplier/nation/region/part dims are
+    broadcast. unit_cost uses MIN (exact, order-independent) rather than
+    AVG so the value hash can't flip on float accumulation order."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    eu_sup = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    parts = p.filter((F.col("p_type") == "SMALL") & (F.col("p_size") <= 15))
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.asc("unit_cost"), F.asc("s_suppkey")
+    )
+    return (
+        cost.join(F.broadcast(eu_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+    )
+
+
+ORACLE_MIN_COST_SUPPLIER = """
+WITH eu_sup AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), cost AS (
+  SELECT l_partkey, l_suppkey,
+         min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT p_partkey, p_name, s_name, n_name AS nation,
+       round(s_acctbal, 2) AS s_acctbal, round(unit_cost, 4) AS unit_cost
+FROM (
+  SELECT p_partkey, p_name, s_name, n_name, s_acctbal, unit_cost,
+         row_number() OVER (PARTITION BY p_partkey
+                            ORDER BY unit_cost ASC, s_suppkey ASC) AS rn
+  FROM cost
+  JOIN eu_sup ON l_suppkey = s_suppkey
+  JOIN part   ON l_partkey = p_partkey
+  WHERE p_type = 'SMALL' AND p_size <= 15
+) WHERE rn = 1
+"""
+
+
+def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape adapted (no partsupp availqty): suppliers who moved
+    an outsized share — more than half of a 'small %' part's total 1997
+    volume — of at least one part, i.e. Q20's 'quantity > 0.5 * shipped'
+    threshold re-anchored on the part's own total. The per-part total is a
+    window sum OVER the shuffled (part, supplier) pre-aggregate — one
+    lineitem scan total (plan-asserted), with the window running on the
+    already-tiny aggregate, not the fact table; supplier dim broadcast for
+    the name join. l_quantity values are integral doubles, so the sums and
+    the 0.5× comparison are exact on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    small_parts = p.filter(F.col("p_name").startswith("small")).select("p_partkey")
+    ps = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(small_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    part_w = Window.partitionBy("l_partkey")
+    dominant = ps.withColumn("part_qty", F.sum("qty").over(part_w)).filter(
+        F.col("qty") > 0.5 * F.col("part_qty")
+    )
+    return (
+        dominant.groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("n_dominated_parts"),
+            F.round(F.sum("qty"), 2).alias("dominated_qty"),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", "n_dominated_parts", "dominated_qty"
+        )
+    )
+
+
+ORACLE_DOMINANT_PART_SUPPLIERS = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+    AND p_name LIKE 'small%'
+  GROUP BY 1, 2
+), part_tot AS (
+  SELECT l_partkey, sum(qty) AS part_qty FROM ps GROUP BY 1
+)
+SELECT s_suppkey, s_name,
+       count(*) AS n_dominated_parts,
+       round(sum(qty), 2) AS dominated_qty
+FROM ps
+JOIN part_tot USING (l_partkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE qty > 0.5 * part_qty
+GROUP BY 1, 2
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -3238,6 +3405,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_anomaly": q_events_anomaly,
     "order_value_histogram": q_order_value_histogram,
     "doc_quality_quartiles": q_doc_quality_quartiles,
+    "forecast_revenue": q_forecast_revenue,
+    "min_cost_supplier": q_min_cost_supplier,
+    "dominant_part_suppliers": q_dominant_part_suppliers,
     "copurchase_components": q_copurchase_components,
     # non-SQL-expressible (rows-only driver check; correctness pinned by
     # tests/test_dedup.py and tests/test_ann.py)
@@ -3323,4 +3493,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "events_anomaly": ORACLE_EVENTS_ANOMALY,
     "order_value_histogram": ORACLE_ORDER_HISTOGRAM,
     "doc_quality_quartiles": ORACLE_DOC_QUALITY_QUARTILES,
+    "forecast_revenue": ORACLE_FORECAST_REVENUE,
+    "min_cost_supplier": ORACLE_MIN_COST_SUPPLIER,
+    "dominant_part_suppliers": ORACLE_DOMINANT_PART_SUPPLIERS,
 }

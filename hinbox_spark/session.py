@@ -45,6 +45,12 @@ def get_spark(
         # stages + concurrent scans on a 128 GiB host and mirrors a
         # realistic per-executor memory budget.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # A silently-dying Python worker otherwise leaves the JVM task in an
+        # untimed socket read forever (observed once during a 480k scaling
+        # run: daemon alive, zero worker children, task pinned 13+ min in
+        # EPoll.wait). faulthandler makes the worker dump a stack on fatal
+        # signals so the death is diagnosable instead of a silent hang.
+        .config("spark.python.worker.faulthandler.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.host", "127.0.0.1")

@@ -507,3 +507,59 @@ def test_cube_and_full_outer_queries_scale_shaped_plans(spark):
     # per-nation rollups, not raw customer/supplier rows
     join_pos = fo.index("FullOuter")
     assert fo[join_pos:].count("HashAggregate") >= 4  # partial+final × 2 inputs
+
+
+def test_round5_tpch_completion_queries(spark):
+    """Round-5 additions complete the TPC-H sweep (Q2/Q6/Q20 shapes,
+    adapted to the no-partsupp schema): Q6 is a pure pushed-down scan with
+    zero joins; Q2's correlated-min rewrite broadcasts every dim around the
+    one (part,supplier) shuffle; Q20 computes both aggregation levels off a
+    single lineitem scan. Values are pinned against the DuckDB oracle at
+    sf0.001 (the driver re-checks at sf0.01)."""
+    import duckdb
+
+    from hinbox_spark.plans.queries import (
+        ORACLE_QUERIES, SPARK_QUERIES, q_dominant_part_suppliers,
+        q_forecast_revenue, q_min_cost_supplier,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    # the 5-conjunct PushedFilters list overflows the default 100-char
+    # metadata truncation; widen it for the assertion, then restore
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        q6 = _plan(q_forecast_revenue(spark, sf))
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    assert "PushedFilters" in q6 and "GreaterThanOrEqual(l_shipdate" in q6
+    assert "LessThan(l_quantity,24" in q6
+    assert "Join" not in q6  # scan → partial agg → one-row combine
+    read = q6.split("ReadSchema")[-1]
+    assert "l_partkey" not in read and "l_tax" not in read
+
+    q2 = _plan(q_min_cost_supplier(spark, sf))
+    assert "BroadcastHashJoin" in q2
+    assert q2.count("lineitem.parquet") == 1
+
+    q20 = _plan(q_dominant_part_suppliers(spark, sf))
+    assert "BroadcastHashJoin" in q20
+    assert q20.count("lineitem.parquet") == 1  # part_tot re-aggregates ps
+
+    con = duckdb.connect()
+    for t in ("lineitem", "part", "supplier", "nation", "region"):
+        con.execute(
+            f"create view {t} as select * from read_parquet('{sf}/{t}.parquet')"
+        )
+    for name in (
+        "forecast_revenue", "min_cost_supplier", "dominant_part_suppliers"
+    ):
+        sdf = SPARK_QUERIES[name](spark, sf).toPandas()
+        ddf = con.execute(ORACLE_QUERIES[name]).df()
+        cols = sorted(sdf.columns)
+        assert cols == sorted(ddf.columns), name
+        got = sorted(map(tuple, sdf[cols].itertuples(index=False)))
+        want = sorted(map(tuple, ddf[cols].itertuples(index=False)))
+        assert got == want, f"{name}: spark != duckdb"
+        assert len(got) > 0, name
