@@ -175,6 +175,10 @@ class DomainConfig:
     # Per-type lexical-blocking config (merged defaults + per-type override,
     # reference: src/config_loader.py:128-158). Empty → defaults everywhere.
     lexical_blocking_per_type: dict[str, dict] = field(default_factory=dict)
+    # Domain-wide dedup.lexical_blocking defaults — what blocking_for
+    # returns for entity types without a per-type entry (a YAML domain's
+    # defaults must apply to NEW types too, not just ENTITY_CATEGORIES).
+    lexical_blocking_defaults: dict = field(default_factory=dict)
     # Acronym-generation stopwords for name variants
     # (reference: src/config_loader.py:246-276 defaults).
     acronym_stopwords: tuple[str, ...] = (
@@ -196,6 +200,7 @@ class DomainConfig:
             "threshold": 60,
             "max_candidates": self.blocking_max_candidates,
         }
+        result.update(self.lexical_blocking_defaults)
         if entity_type and entity_type in self.lexical_blocking_per_type:
             result.update(self.lexical_blocking_per_type[entity_type])
         return result

@@ -136,7 +136,11 @@ def _equivalence_groups(raw: dict[str, Any]) -> dict[str, list[list[str]]]:
     out: dict[str, list[list[str]]] = {}
     variants = raw.get("dedup", {}).get("name_variants") or {}
     for etype, vcfg in variants.items():
-        groups = (vcfg or {}).get("equivalence_groups") or []
+        # name_variants holds non-type keys too (acronym_stopwords is read
+        # at load time below); only dict values are per-type variant blocks
+        if not isinstance(vcfg, dict):
+            continue
+        groups = vcfg.get("equivalence_groups") or []
         out[etype] = [[str(m) for m in g] for g in groups]
     return out
 
@@ -234,6 +238,7 @@ def load_domain_config(configs_dir: str, domain: str) -> DomainConfig:
             etype: _lexical_blocking(raw, etype)
             for etype in ENTITY_CATEGORIES
         },
+        lexical_blocking_defaults=_lexical_blocking(raw),
         acronym_stopwords=tuple(
             (raw.get("dedup", {}).get("name_variants", {}) or {})
             .get("acronym_stopwords", _ACRONYM_STOPWORDS_DEFAULT)

@@ -77,7 +77,17 @@ def count_interval_overlaps(
     a = _pass(start_col, 0, end_col).withColumnRenamed("_n", "_a")
     # B: ends < start_i   (probe typ=0 sorts before end typ=1 at ties)
     b = _pass(end_col, 1, start_col).withColumnRenamed("_n", "_b")
-    return a.join(b, key_cols).select(
-        *key_cols,
+    # null-safe equi-join: a plain `join(b, key_cols)` would silently DROP
+    # rows whose key columns contain NULL (NULL != NULL), where the
+    # pair-join plan this operator replaces kept them with count 0
+    b = b.select(
+        *[F.col(c).alias(f"_k_{c}") for c in key_cols], "_b"
+    )
+    cond = None
+    for c in key_cols:
+        eq = a[c].eqNullSafe(b[f"_k_{c}"])
+        cond = eq if cond is None else (cond & eq)
+    return a.join(b, cond).select(
+        *[a[c] for c in key_cols],
         (F.col("_a") - F.col("_b") - F.lit(1)).cast("long").alias(out_col),
     )

@@ -25,7 +25,6 @@ from pyspark.sql import DataFrame, SparkSession
 
 from hinbox_spark import fs as hfs
 from hinbox_spark.config import DomainConfig, get_default_config
-from hinbox_spark.functions.ner import default_gazetteer
 from hinbox_spark.operators.canonicalize import (
     build_clusters, build_edge_triples, build_entities, canonical_names,
 )

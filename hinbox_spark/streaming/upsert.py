@@ -36,6 +36,20 @@ from pyspark.sql import DataFrame
 from hinbox_spark import fs as hfs
 from hinbox_spark.tables import SnapshotTable
 
+
+def _contains_map(dt) -> bool:
+    """True if the type holds a MapType anywhere — Spark rejects those in
+    ordering expressions (max_by's comparator included)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
 _OP_PREFIX = "streaming-merge"
 _MARKER_FMT = "committed-%012d"
 
@@ -119,29 +133,36 @@ class StreamingMergeSink:
         df = batch_df
         if self.key_cols:
             payload = [c for c in df.columns if c not in self.key_cols]
+            # order_col first, then the PAYLOAD as tie-break (key cols are
+            # constant within the group and break nothing) —
+            # bit-deterministic under any partitioning even when
+            # (key, order_col) collide. Columns containing a MapType
+            # anywhere are not orderable in Spark, so they ride the
+            # ordering as their canonical JSON text instead of raw.
+            orderable = [
+                c for c in payload if not _contains_map(df.schema[c].dataType)
+            ]
+            tie: list = [F.col(self.order_col)]
+            tie += [F.col(c) for c in orderable]
+            unorderable = [c for c in payload if c not in orderable]
+            if unorderable:
+                tie.append(
+                    F.to_json(F.struct(*[F.col(c) for c in unorderable]))
+                )
             df = (
                 df.groupBy(*self.key_cols)
                 .agg(
-                    F.max_by(
-                        F.struct(*payload),
-                        # order_col first, full PAYLOAD struct as tie-break
-                        # (key cols are constant within the group and break
-                        # nothing) — bit-deterministic under any
-                        # partitioning even when (key, order_col) collide
-                        F.struct(
-                            F.col(self.order_col),
-                            *[F.col(c) for c in payload],
-                        ),
-                    ).alias("_row")
+                    F.max_by(F.struct(*payload), F.struct(*tie)).alias("_row")
                 )
                 .select(
                     *self.key_cols,
                     *[F.col(f"_row.{c}").alias(c) for c in payload],
                 )
             )
-        batch, _ = self.table._write_batch(df)
+        batch, _, _cols = self.table._write_batch(df)
         self.table._commit(
-            lambda entries, seq: entries + [{"batch": batch, "seq": seq}],
+            lambda entries, seq: entries
+            + [{"batch": batch, "seq": seq, "columns": _cols}],
             f"{_OP_PREFIX}:{self.sink_id}:{batch_id}",
         )
         self._publish_marker(batch_id)

@@ -96,9 +96,13 @@ class SnapshotTable:
         batch's (min, max) of that column for manifest-level pruning. The
         stats job scans ONLY the just-written batch (the delta, not the
         table) and reads one column from fresh footers — O(batch), cheap.
-        Returns (batch, stats|None); stats is {col, min, max} with values
-        limited to JSON-native types (string/numeric cluster keys — the
-        entity_id/url keys this store is built for)."""
+        Returns (batch, stats|None, cols); stats is {col, min, max} with
+        values limited to JSON-native types (string/numeric cluster keys —
+        the entity_id/url keys this store is built for); cols is the
+        batch's column DDL recorded into the manifest entry so empty /
+        all-pruned reads derive their schema from metadata alone instead
+        of footer-reading every batch (Iceberg keeps the schema in table
+        metadata for the same reason)."""
         batch = "batch-" + uuid.uuid4().hex
         df.write.mode("overwrite").parquet(self.data_dir + "/" + batch)
         stats = None
@@ -110,7 +114,8 @@ class SnapshotTable:
             )
             if row["lo"] is not None and isinstance(row["lo"], (str, int, float)):
                 stats = {"col": stats_col, "min": row["lo"], "max": row["hi"]}
-        return batch, stats
+        cols = [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+        return batch, stats, cols
 
     def _commit(self, build_entries, operation: str, retries: int = 5) -> int:
         """Optimistically commit: read head, build the new batch list from
@@ -146,23 +151,25 @@ class SnapshotTable:
     # ── writes ──
 
     @staticmethod
-    def _entry(batch: str, seq: int, stats) -> dict:
+    def _entry(batch: str, seq: int, stats, cols=None) -> dict:
         e = {"batch": batch, "seq": seq}
         if stats is not None:
             e["stats"] = stats
+        if cols is not None:
+            e["columns"] = cols
         return e
 
     def append(self, df: DataFrame, stats_col: str | None = None) -> int:
-        batch, stats = self._write_batch(df, stats_col)
+        batch, stats, cols = self._write_batch(df, stats_col)
         return self._commit(
-            lambda entries, seq: entries + [self._entry(batch, seq, stats)],
+            lambda entries, seq: entries + [self._entry(batch, seq, stats, cols)],
             "append",
         )
 
     def overwrite(self, df: DataFrame, stats_col: str | None = None) -> int:
-        batch, stats = self._write_batch(df, stats_col)
+        batch, stats, cols = self._write_batch(df, stats_col)
         return self._commit(
-            lambda entries, seq: [self._entry(batch, seq, stats)], "overwrite"
+            lambda entries, seq: [self._entry(batch, seq, stats, cols)], "overwrite"
         )
 
     def merge(self, df: DataFrame, stats_col: str | None = None) -> int:
@@ -171,9 +178,9 @@ class SnapshotTable:
         append. No data rewrite — O(new rows) work at commit. `stats_col`
         records the batch's key range in the manifest, letting scoped reads
         skip whole batches (Iceberg's manifest-level file pruning)."""
-        batch, stats = self._write_batch(df, stats_col)
+        batch, stats, cols = self._write_batch(df, stats_col)
         return self._commit(
-            lambda entries, seq: entries + [self._entry(batch, seq, stats)],
+            lambda entries, seq: entries + [self._entry(batch, seq, stats, cols)],
             "merge",
         )
 
@@ -238,9 +245,9 @@ class SnapshotTable:
         batch_df = pieces[0]
         for p in pieces[1:]:
             batch_df = batch_df.unionByName(p, allowMissingColumns=True)
-        batch, stats = self._write_batch(batch_df, stats_col)
+        batch, stats, cols = self._write_batch(batch_df, stats_col)
         return self._commit(
-            lambda entries, seq: entries + [self._entry(batch, seq, stats)],
+            lambda entries, seq: entries + [self._entry(batch, seq, stats, cols)],
             "merge-into",
         )
 
@@ -256,9 +263,9 @@ class SnapshotTable:
         tomb = keys_df.dropDuplicates(list(keys_df.columns)).withColumn(
             "_tombstone", F.lit(True)
         )
-        batch, stats = self._write_batch(tomb, stats_col)
+        batch, stats, cols = self._write_batch(tomb, stats_col)
         return self._commit(
-            lambda entries, seq: entries + [self._entry(batch, seq, stats)],
+            lambda entries, seq: entries + [self._entry(batch, seq, stats, cols)],
             "delete",
         )
 
@@ -328,11 +335,11 @@ class SnapshotTable:
             resolved = resolved.sortWithinPartitions(*sort_by)
         # the compacted batch records its key range too (sorted layouts get
         # row-group pruning AND manifest pruning on the same column)
-        batch, stats = self._write_batch(
+        batch, stats, cols = self._write_batch(
             resolved, stats_col=(sort_by[0] if sort_by else None)
         )
         return self._commit(
-            lambda entries, seq: [self._entry(batch, seq, stats)], "compact"
+            lambda entries, seq: [self._entry(batch, seq, stats, cols)], "compact"
         )
 
     # ── maintenance ──
@@ -419,7 +426,21 @@ class SnapshotTable:
         `unionByName(allowMissingColumns=True)`. Footer-only planning
         (parquet mergeSchema + limit 0), no data scan: a delete() tombstone
         batch at the head must not make an all-pruned read lose the payload
-        columns."""
+        columns.
+
+        When every entry carries manifest-recorded `columns` (all writes
+        since the field landed), the schema comes from metadata alone —
+        O(1) driver JSON, no file access: the point-lookup MISS path on a
+        table with thousands of pre-compaction batches must not
+        footer-read them all to return nothing. Legacy manifests fall
+        back to distributed footer merging (mergeSchema + limit 0)."""
+        if all("columns" in e for e in entries):
+            seen: dict[str, str] = {}
+            for e in entries:
+                for name, ddl in e["columns"]:
+                    seen[name] = ddl  # later batches win a type evolution
+            ddl = ", ".join(f"`{n}` {t}" for n, t in seen.items())
+            return self.spark.createDataFrame([], ddl)
         paths = [self.data_dir + "/" + e["batch"] for e in entries]
         return (
             self.spark.read.option("mergeSchema", "true")
@@ -519,9 +540,15 @@ class SnapshotTable:
             # pruning is an optimization, never the correctness path.
             probe = scope.limit(_SCOPE_PRUNE_CAP + 1).count()
             if probe <= _SCOPE_PRUNE_CAP:
-                keys = [r[0] for r in scope.select(on[0]).collect()]
+                # one full evaluation of the scope lineage: the collected
+                # rows feed BOTH the manifest prune and the semi-join (as
+                # a literal frame) — re-evaluating a computed delta's
+                # lineage a third time inside the join is pure waste
+                rows = scope.collect()
+                keys = [r[on[0]] for r in rows]
+                scope_lit = self.spark.createDataFrame(rows, scope.schema)
                 raw = self.read(snapshot_id, prune_keys=(on[0], keys))
-                raw = raw.join(F.broadcast(scope), on, "left_semi")
+                raw = raw.join(F.broadcast(scope_lit), on, "left_semi")
             else:
                 # above the cap the scope is also too big to force through
                 # a driver-side broadcast — plain semi-join, AQE picks the
@@ -585,12 +612,19 @@ class SnapshotTable:
                 # was already emitted by the commit that introduced it
                 continue
             if m["parent"] is not None:
-                try:
+                parent_path = self.snap_dir + "/" + _SNAP_FMT % m["parent"]
+                # distinguish EXPIRED (file verifiably absent — the only
+                # state expire_snapshots produces) from a corrupt manifest
+                # or a transient FS failure: treating those as "history
+                # starts here" would silently re-emit (double-count) every
+                # batch the missing parent already delivered, so they
+                # propagate instead.
+                if hfs.exists(self.spark, parent_path):
                     parent_batches = {
                         e["batch"]
                         for e in self._read_manifest(m["parent"])["entries"]
                     }
-                except Exception:
+                else:
                     # the parent manifest was expired. With a cursor this
                     # means the feed's history is gone — partial output
                     # would silently double-count, so fail loudly. From

@@ -73,6 +73,10 @@ def worker(cores: int, n_pages: int) -> None:
 SCALING_CORES = tuple(
     int(c) for c in os.environ.get("SPARK_GRAFT_SCALING_CORES", "4,16").split(",")
 )
+if len(SCALING_CORES) != 2 or SCALING_CORES[0] >= SCALING_CORES[1]:
+    raise SystemExit(
+        f"SPARK_GRAFT_SCALING_CORES must be 'small,big': {SCALING_CORES}"
+    )
 
 
 def orchestrate(n_pages: int) -> None:
@@ -137,9 +141,13 @@ def orchestrate(n_pages: int) -> None:
                     hist[r["cores"]].append(r["docs_per_sec"])
     thr_n = max(hist[n_small])
     thr_4n = max(hist[n_big])
-    eff = thr_4n / (4 * thr_n)
+    # divide by the ACTUAL core ratio — the pair is env-configurable and
+    # need not be 4× (e.g. "8,16" is a 2× step)
+    eff = thr_4n / ((n_big / n_small) * thr_n)
     summary = {
-        "metric": "scaling_efficiency_N_to_4N",
+        "metric": f"scaling_efficiency_{n_small}c_to_{n_big}c"
+        if n_big != 4 * n_small
+        else "scaling_efficiency_N_to_4N",
         "value": round(eff, 3),
         "n_pages": n_pages,
         "runs_per_level": n_runs,

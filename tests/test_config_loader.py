@@ -413,3 +413,47 @@ def test_cli_domain_flag(spark, tmp_path, capsys):
     counts = json.loads(out)["rows"]
     assert counts["articles"] == 3
     assert counts["entities"] > 0
+
+
+def test_acronym_stopwords_key_does_not_crash_loader(tmp_path):
+    """dedup.name_variants.acronym_stopwords is a LIST living next to the
+    per-type variant dicts — the equivalence-group walk must skip it
+    (regression: it was iterated as an entity type and crashed with
+    AttributeError on .get)."""
+    root = tmp_path / "configs"
+    _write_domain(
+        root,
+        "d1",
+        {
+            "dedup": {
+                "name_variants": {
+                    "acronym_stopwords": ["the", "of"],
+                    "people": {"equivalence_groups": [["bill", "william"]]},
+                }
+            }
+        },
+        {},
+    )
+    cfg = load_domain_config(str(root), "d1")
+    assert cfg.acronym_stopwords == ("the", "of")
+    assert cfg.equivalence_groups["people"] == [["bill", "william"]]
+    assert "acronym_stopwords" not in cfg.equivalence_groups
+
+
+def test_blocking_defaults_apply_to_unknown_types(tmp_path):
+    """A YAML domain's dedup.lexical_blocking defaults must reach entity
+    types WITHOUT a per-type entry (and the no-type call), not only the
+    four built-in categories (regression: blocking_for re-hardcoded
+    enabled=False/threshold=60 for those)."""
+    root = tmp_path / "configs"
+    _write_domain(
+        root,
+        "d1",
+        {"dedup": {"lexical_blocking": {"enabled": True, "threshold": 55}}},
+        {},
+    )
+    cfg = load_domain_config(str(root), "d1")
+    for probe in (None, "some_new_type"):
+        blk = cfg.blocking_for(probe)
+        assert blk["enabled"] is True
+        assert blk["threshold"] == 55

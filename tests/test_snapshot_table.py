@@ -765,3 +765,42 @@ def test_read_resolved_oversize_scope_skips_prune_collect(
     out2 = t.read_resolved(["entity_id"], scope=small_scope)
     assert {r["entity_id"] for r in out2.collect()} == {"d"}
     assert collected[-1] is not None  # point lookup still prunes
+
+
+def test_all_pruned_schema_is_metadata_only(spark, tmp_path):
+    """Manifests record each batch's columns, so the all-pruned empty frame
+    comes from manifest JSON alone — proven by deleting the data files
+    from disk: the footer-merging fallback would crash, the metadata path
+    must not notice (the point-lookup MISS on a table with thousands of
+    batches reads zero files)."""
+    import shutil
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [("a", "Alpha", 1)]), stats_col="entity_id")
+    t.delete(
+        spark.createDataFrame([("a",)], "entity_id string"),
+        stats_col="entity_id",
+    )
+    head = t._read_manifest(t.latest_snapshot_id())
+    assert all("columns" in e for e in head["entries"])
+    shutil.rmtree(t.data_dir)  # no data files left — metadata must suffice
+    out = t.read(prune_keys=("entity_id", ["zzz"]))
+    assert out.count() == 0
+    assert {"entity_id", "name", "v", "_tombstone", "_seq"} <= set(out.columns)
+
+
+def test_read_changes_corrupt_parent_manifest_propagates(spark, tmp_path):
+    """Only a verifiably ABSENT parent manifest means 'history expired'; a
+    corrupt (present but unreadable) one must raise, not silently reset
+    parent_batches and double-count the feed."""
+    from hinbox_spark.tables import _SNAP_FMT
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [("a", "Alpha", 1)]))
+    t.append(_df(spark, [("b", "Beta", 1)]))
+    # corrupt snapshot 1 (parent of 2) in place
+    p = os.path.join(str(tmp_path / "t"), "snapshots", _SNAP_FMT % 1)
+    with open(p, "w") as f:
+        f.write("{ not json")
+    with pytest.raises(Exception):
+        t.read_changes(None).collect()

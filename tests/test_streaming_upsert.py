@@ -156,3 +156,29 @@ def test_batch_ledger_survives_snapshot_expiry(spark, tmp_path):
     # genuinely new epochs still commit
     sink2(_rows(spark, [("e2", "w1", _ts(2))]), batch_id=2)
     assert _resolved(table) == {"e1": "v2", "e2": "w1"}
+
+
+def test_map_payload_column_is_upsertable(spark, tmp_path):
+    """A payload containing a MapType must not break the within-batch
+    collapse: map columns are not orderable in Spark, so the deterministic
+    tie-break carries them as canonical JSON text instead of raw
+    (regression: the full-payload ordering struct raised
+    'data type map<...> is not orderable' on the first micro-batch)."""
+    table = SnapshotTable(spark, str(tmp_path / "t"))
+    sink = StreamingMergeSink(
+        table, "s", key_cols=["entity_id"], order_col="updated_at"
+    )
+    df = spark.createDataFrame(
+        [
+            ("a", {"k": "old"}, _ts(1)),
+            ("a", {"k": "new"}, _ts(2)),  # later order_col wins
+            ("b", {"k": "only"}, _ts(1)),
+        ],
+        "entity_id string, attrs map<string,string>, updated_at timestamp",
+    )
+    sink(df, 0)
+    got = {
+        r["entity_id"]: dict(r["attrs"])
+        for r in table.read_resolved(["entity_id"]).collect()
+    }
+    assert got == {"a": {"k": "new"}, "b": {"k": "only"}}

@@ -123,3 +123,21 @@ def test_no_single_partition_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "SinglePartition" not in plan
+
+
+def test_null_keys_are_kept(spark):
+    """Rows whose key columns contain NULL must not vanish: the final
+    pass-A/pass-B join is null-safe (regression: a plain equi-join
+    dropped them, where the pair-join plan this operator replaces
+    returned them with count 0)."""
+    from hinbox_spark.operators.sweep import count_interval_overlaps
+
+    rows = [
+        ("s1", 0, 10),
+        ("s2", 5, 15),
+        (None, 20, 30),  # overlaps nothing, must still appear
+    ]
+    df = spark.createDataFrame(rows, "sid string, t0 int, t1 int")
+    out = count_interval_overlaps(df, ["sid"], "t0", "t1").collect()
+    got = {r["sid"]: r["n_overlapping"] for r in out}
+    assert got == {"s1": 1, "s2": 1, None: 0}
