@@ -3205,7 +3205,10 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic suppkey tie-break. The only shuffle is the
     (part, supplier) pre-aggregate; supplier/nation/region/part dims are
     broadcast. unit_cost uses MIN (exact, order-independent) rather than
-    AVG so the value hash can't flip on float accumulation order."""
+    AVG so the value hash can't flip on float accumulation order, and the
+    displayed values use floor-scaling instead of round() — engines
+    disagree on round()'s half-boundary doubles (438.07875 → .0787 vs
+    .0788 at sf0.1) while x*10^k and floor are bit-identical IEEE ops."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     s = _t(spark, sf_dir, "supplier")
@@ -3236,8 +3239,8 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_name",
             "s_name",
             F.col("n_name").alias("nation"),
-            F.round("s_acctbal", 2).alias("s_acctbal"),
-            F.round("unit_cost", 4).alias("unit_cost"),
+            (F.floor(F.col("s_acctbal") * 100) / 100).alias("s_acctbal"),
+            (F.floor(F.col("unit_cost") * 10000) / 10000).alias("unit_cost"),
         )
     )
 
@@ -3255,7 +3258,8 @@ WITH eu_sup AS (
   FROM lineitem GROUP BY 1, 2
 )
 SELECT p_partkey, p_name, s_name, n_name AS nation,
-       round(s_acctbal, 2) AS s_acctbal, round(unit_cost, 4) AS unit_cost
+       floor(s_acctbal * 100) / 100 AS s_acctbal,
+       floor(unit_cost * 10000) / 10000 AS unit_cost
 FROM (
   SELECT p_partkey, p_name, s_name, n_name, s_acctbal, unit_cost,
          row_number() OVER (PARTITION BY p_partkey
