@@ -103,6 +103,7 @@ HEADLINE = [
     "forecast_revenue",
     "min_cost_supplier",
     "dominant_part_suppliers",
+    "doc_exact_substring_spans",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "20000"))

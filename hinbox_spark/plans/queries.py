@@ -3335,6 +3335,93 @@ GROUP BY 1, 2
 """
 
 
+_SPAN_L = 8  # words per exact-match window (Lee et al. 2022 use ~50 BPE
+# tokens; scaled to this corpus's short synthetic docs)
+
+
+def q_doc_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — the ExactSubstr
+    criterion): every maximal word span of length ≥ {_SPAN_L} that appears
+    verbatim in ≥2 distinct documents, reported per document as
+    (doc_id, span_start, span_words). The suffix-array formulation of the
+    paper is inherently single-machine; the distributed re-expression is
+    positional shingling: every doc emits its length-L windows WITH
+    position, windows shared across ≥2 docs are found by a groupBy on the
+    window content, and surviving positions merge into maximal spans with
+    a per-doc gaps-and-islands fold (pos − row_number is constant within
+    a run of consecutive positions).
+
+    Scale shape: the groupBy on the window content is the only corpus-wide
+    shuffle and it map-side combines; the hit→span merge windows partition
+    BY DOC (bounded per-doc work, never a global sort). At 10¹² docs you
+    would group on a 128-bit hash of the window instead of its text
+    (collision probability ≪ corpus size⁻¹) — text is kept here so the
+    DuckDB oracle is exact, and the note is the only delta. Within-doc
+    repeats are NOT flagged (cross-doc distinct count ≥ 2), matching the
+    oracle."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    span = _SPAN_L - 1
+    grams = F.when(
+        F.size(w) > span,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - span),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.concat_ws(" ", F.slice(w, i, _SPAN_L)).alias("gram"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+    g = d.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram")
+    )
+    dup = (
+        g.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    # hit join reuses the gram hash partitioning from the groupBy; the
+    # dup side is the aggregate output (small), the big side shuffles once
+    hits = g.join(dup, "gram").select("doc_id", "pos")
+    doc_w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = hits.withColumn(
+        "island", F.col("pos") - F.row_number().over(doc_w)
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") - F.min("pos") + _SPAN_L)
+            .cast("long")
+            .alias("span_words"),
+        )
+        .select("doc_id", "span_start", "span_words")
+        .orderBy("doc_id", "span_start")
+    )
+
+
+ORACLE_EXACT_SUBSTRING_SPANS = f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, g AS pos, array_to_string(w[g:g+{_SPAN_L - 1}], ' ') AS gram
+  FROM words,
+       unnest(generate_series(1, greatest(len(w) - {_SPAN_L - 1}, 0))) AS t(g)
+),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+hits AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM grams JOIN dup USING (gram)
+)
+SELECT doc_id, min(pos) AS span_start,
+       CAST(max(pos) - min(pos) + {_SPAN_L} AS BIGINT) AS span_words
+FROM hits GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -3412,6 +3499,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "forecast_revenue": q_forecast_revenue,
     "min_cost_supplier": q_min_cost_supplier,
     "dominant_part_suppliers": q_dominant_part_suppliers,
+    "doc_exact_substring_spans": q_doc_exact_substring_spans,
     "copurchase_components": q_copurchase_components,
     # non-SQL-expressible (rows-only driver check; correctness pinned by
     # tests/test_dedup.py and tests/test_ann.py)
@@ -3500,4 +3588,5 @@ ORACLE_QUERIES: dict[str, str] = {
     "forecast_revenue": ORACLE_FORECAST_REVENUE,
     "min_cost_supplier": ORACLE_MIN_COST_SUPPLIER,
     "dominant_part_suppliers": ORACLE_DOMINANT_PART_SUPPLIERS,
+    "doc_exact_substring_spans": ORACLE_EXACT_SUBSTRING_SPANS,
 }

