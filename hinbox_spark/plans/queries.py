@@ -2004,9 +2004,13 @@ def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1, identical output; blocks still truncate lineage as each
     round materializes). No dangling-mass term is needed: every
     node of this graph has degree ≥ 1 by construction (nodes come from
-    the edge list). Rows-only driver check (iterative fixpoint is not
-    single-query SQL); values pinned vs a numpy power iteration in
-    tests/test_graph_queries.py. Returns top-10 (node_id, rank)."""
+    the edge list). Oracle-checked: a DuckDB RECURSIVE CTE runs the same
+    8 fixed iterations (no dangling nodes → every node receives
+    contributions every round, so the pure-recursive join loses nobody);
+    8-dp rounding leaves ~6 orders of magnitude of headroom over
+    cross-engine float-summation-order error. Values additionally pinned
+    vs a numpy power iteration in tests/test_graph_queries.py. Returns
+    top-10 (node_id, rank)."""
     e = _purchase_edges(spark, sf_dir)
     fwd = e.select(
         F.concat(F.lit("c:"), F.col("custkey")).alias("src"),
@@ -2046,6 +2050,31 @@ def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("node_id"))
         .limit(10)
     )
+
+
+ORACLE_COPURCHASE_PAGERANK = """
+WITH RECURSIVE
+e AS (
+  SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+oe AS (SELECT edges.src, edges.dst, deg.deg FROM edges JOIN deg USING (src)),
+n AS (SELECT count(*) AS c FROM deg),
+pr AS (
+  SELECT 0 AS iter, src AS node_id, 1.0 / (SELECT c FROM n) AS rank FROM deg
+  UNION ALL
+  SELECT pr.iter + 1, oe.dst,
+         0.15 / (SELECT c FROM n) + 0.85 * sum(pr.rank / oe.deg)
+  FROM pr JOIN oe ON oe.src = pr.node_id
+  WHERE pr.iter < 8
+  GROUP BY pr.iter, oe.dst
+)
+SELECT node_id, round(rank, 8) AS rank FROM pr WHERE iter = 8
+ORDER BY rank DESC, node_id
+LIMIT 10
+"""
 
 
 def q_doc_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3509,8 +3538,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_near_dup_pairs_lsh": q_emb_near_dup_pairs_lsh,
     "doc_simhash_near_dups": q_doc_simhash_near_dups,
     "copurchase_reach_hll": q_copurchase_reach_hll,
-    "copurchase_pagerank": q_copurchase_pagerank,
     "doc_dedup_keepers": q_doc_dedup_keepers,
+    # oracle-checked since round 5 (fixed-iteration recursive CTE)
+    "copurchase_pagerank": q_copurchase_pagerank,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -3589,4 +3619,5 @@ ORACLE_QUERIES: dict[str, str] = {
     "min_cost_supplier": ORACLE_MIN_COST_SUPPLIER,
     "dominant_part_suppliers": ORACLE_DOMINANT_PART_SUPPLIERS,
     "doc_exact_substring_spans": ORACLE_EXACT_SUBSTRING_SPANS,
+    "copurchase_pagerank": ORACLE_COPURCHASE_PAGERANK,
 }
