@@ -104,6 +104,8 @@ HEADLINE = [
     "min_cost_supplier",
     "dominant_part_suppliers",
     "doc_exact_substring_spans",
+    "copurchase_triangles",
+    "corpus_bigram_pmi",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "20000"))

@@ -1989,6 +1989,116 @@ LIMIT 50
 """
 
 
+def q_corpus_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining — adjacent-bigram association strength, the
+    corpus-analytics pass that finds multi-word expressions before
+    tokenizer training (reference analog: the n-gram signals feeding
+    linking/dedup; here corpus-global). Emits the top-10 bigrams by
+    LIFT = P(w1,w2) / (P(w1)·P(w2)) — PMI before the log, monotone in
+    PMI — kept as one IEEE division of integer-exact counts so the
+    cross-engine value hash can't flake on transcendental rounding (the
+    same discipline as the integer-exact TF-IDF query).
+
+    Scale shape: bigram construction is a LINEAR zip of each token array
+    with its own tail (no quadratic within-doc pairing); unigram and
+    bigram counts both shrink via map-side partial aggregation before
+    their one shuffle; the two count joins are on the bigram's words and
+    the totals ride in as a broadcast scalar row. A min-count gate
+    (c12 ≥ 5) drops hapax noise exactly like a production collocation
+    pass."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = docs.select(
+        F.filter(
+            F.split(F.lower("text"), " "), lambda w: w != F.lit("")
+        ).alias("ws")
+    )
+    uni = (
+        ws.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    bi_all = (
+        ws.filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("ws"), 1, F.size("ws") - 1),
+                    F.slice(F.col("ws"), 2, F.size("ws") - 1),
+                    lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    bi = bi_all.filter(F.col("c12") >= 5)
+    # totals over the FULL distributions (the min-count gate selects which
+    # bigrams are reported, not the probability space they score against)
+    totals = uni.agg(F.sum("c").alias("n_uni")).crossJoin(
+        bi_all.agg(F.sum("c12").alias("n_bi"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    lift = (
+        F.col("c12").cast("double")
+        * F.col("n_uni").cast("double")
+        * F.col("n_uni").cast("double")
+    ) / (
+        F.col("c1").cast("double")
+        * F.col("c2").cast("double")
+        * F.col("n_bi").cast("double")
+    )
+    return (
+        bi.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1", "w2", "c12", F.round(lift, 4).alias("lift")
+        )
+        .orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
+        .limit(10)
+    )
+
+
+ORACLE_CORPUS_BIGRAM_PMI = """
+WITH ws AS (
+  SELECT list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+  FROM documents
+),
+uni AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(ws) AS w FROM ws)
+  GROUP BY w
+),
+bi_all AS (
+  SELECT z[1] AS w1, z[2] AS w2, count(*) AS c12
+  FROM (
+    SELECT unnest(list_zip(
+             ws[1:len(ws) - 1], ws[2:len(ws)])) AS z
+    FROM ws WHERE len(ws) >= 2
+  )
+  GROUP BY 1, 2
+),
+bi AS (SELECT * FROM bi_all WHERE c12 >= 5),
+totals AS (
+  SELECT (SELECT sum(c) FROM uni) AS n_uni,
+         (SELECT sum(c12) FROM bi_all) AS n_bi
+)
+SELECT bi.w1 AS w1, bi.w2 AS w2, bi.c12 AS c12,
+       round((CAST(bi.c12 AS DOUBLE) * CAST(n_uni AS DOUBLE)
+              * CAST(n_uni AS DOUBLE))
+             / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)
+                * CAST(n_bi AS DOUBLE)), 4) AS lift
+FROM bi
+JOIN uni u1 ON u1.w = bi.w1
+JOIN uni u2 ON u2.w = bi.w2
+CROSS JOIN totals
+ORDER BY lift DESC, w1 ASC, w2 ASC
+LIMIT 10
+"""
+
+
 def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the bidirected bipartite purchase graph — the iterative
     graph-analytics shape a KG consumer runs on the materialized edges
@@ -2073,6 +2183,101 @@ pr AS (
 )
 SELECT node_id, round(rank, 8) AS rank FROM pr WHERE iter = 8
 ORDER BY rank DESC, node_id
+LIMIT 10
+"""
+
+
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting — the classic graph-cohesion analytic (clustering
+    coefficient's numerator) over the customer co-supplier projection.
+    Top-10 customers by the number of triangles they sit in.
+
+    The bipartite purchase graph itself is triangle-free, so the query
+    first PROJECTS it: two customers are adjacent iff some supplier links
+    them. A raw projection is Σ(degree²) — quadratic in a mega-supplier's
+    customer count — so each supplier contributes pairs only among its 8
+    smallest custkeys (deterministic cap, the same capped-projection
+    discipline as the LSH bucket caps). The cap itself runs through the
+    `bounded_topk` tournament, so a mega-supplier never sorts in one task,
+    and the projected edge set is bounded at C(8,2)=28 rows per supplier.
+
+    Triangle enumeration is the standard ordered wedge-check: edges kept
+    as a<b only (each triangle materializes exactly once as a<b<c), one
+    self-join builds wedges, one more membership join closes them. On an
+    uncapped power-law graph the refinement is degree-orientation (edges
+    point low→high degree) which bounds wedge fan-out by arboricity; the
+    cap already enforces a stronger bound here. Exact, deterministic,
+    oracle-checked against DuckDB running the identical capped
+    definition."""
+    from hinbox_spark.functions.skew import bounded_topk
+
+    e = _purchase_edges(spark, sf_dir)
+    capped = bounded_topk(
+        e, ["suppkey"], [F.asc("custkey")], 8, F.xxhash64("custkey")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.suppkey") == F.col("b.suppkey"))
+            & (F.col("a.custkey") < F.col("b.custkey")),
+        )
+        .select(F.col("a.custkey").alias("x"), F.col("b.custkey").alias("y"))
+        .distinct()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.x") == F.col("e1.y"))
+        .join(
+            e3,
+            (F.col("e3.x") == F.col("e1.x")) & (F.col("e3.y") == F.col("e2.y")),
+        )
+        .select(
+            F.col("e1.x").alias("u"),
+            F.col("e1.y").alias("v"),
+            F.col("e2.y").alias("w"),
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("custkey"))
+        .groupBy("custkey")
+        .agg(F.count("*").alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), F.asc("custkey"))
+        .limit(10)
+    )
+
+
+ORACLE_COPURCHASE_TRIANGLES = """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS custkey, l_suppkey AS suppkey
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+capped AS (
+  SELECT suppkey, custkey FROM (
+    SELECT suppkey, custkey,
+           row_number() OVER (PARTITION BY suppkey ORDER BY custkey) AS rn
+    FROM e
+  ) WHERE rn <= 8
+),
+edges AS (
+  SELECT DISTINCT a.custkey AS x, b.custkey AS y
+  FROM capped a JOIN capped b
+    ON a.suppkey = b.suppkey AND a.custkey < b.custkey
+),
+tri AS (
+  SELECT e1.x AS u, e1.y AS v, e2.y AS w
+  FROM edges e1
+  JOIN edges e2 ON e2.x = e1.y
+  JOIN edges e3 ON e3.x = e1.x AND e3.y = e2.y
+),
+nodes AS (
+  SELECT u AS custkey FROM tri
+  UNION ALL SELECT v FROM tri
+  UNION ALL SELECT w FROM tri
+)
+SELECT custkey, count(*) AS n_triangles
+FROM nodes GROUP BY 1
+ORDER BY n_triangles DESC, custkey ASC
 LIMIT 10
 """
 
@@ -3541,6 +3746,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_dedup_keepers": q_doc_dedup_keepers,
     # oracle-checked since round 5 (fixed-iteration recursive CTE)
     "copurchase_pagerank": q_copurchase_pagerank,
+    "copurchase_triangles": q_copurchase_triangles,
+    "corpus_bigram_pmi": q_corpus_bigram_pmi,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -3620,4 +3827,6 @@ ORACLE_QUERIES: dict[str, str] = {
     "dominant_part_suppliers": ORACLE_DOMINANT_PART_SUPPLIERS,
     "doc_exact_substring_spans": ORACLE_EXACT_SUBSTRING_SPANS,
     "copurchase_pagerank": ORACLE_COPURCHASE_PAGERANK,
+    "copurchase_triangles": ORACLE_COPURCHASE_TRIANGLES,
+    "corpus_bigram_pmi": ORACLE_CORPUS_BIGRAM_PMI,
 }

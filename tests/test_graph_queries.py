@@ -195,3 +195,54 @@ def test_components_oracle_multi_component_fixture(spark, tmp_path):
     expect = {"n_components": 4, "n_nodes": 13, "largest_component": 5}
     assert {k: int(v) for k, v in got_s.items()} == expect
     assert {k: int(v) for k, v in got_d.items()} == expect
+
+
+def test_copurchase_triangles_match_bruteforce(spark):
+    """Independent check: rebuild the capped projection in pure Python
+    (sorted-custkey cap per supplier, itertools pairs) and enumerate
+    triangles by ordered adjacency intersection — a different algorithm
+    from the query's wedge-check joins."""
+    import collections
+    import itertools
+
+    from hinbox_spark.plans.queries import (
+        _purchase_edges, q_copurchase_triangles,
+    )
+
+    by_supp = collections.defaultdict(list)
+    for r in _purchase_edges(spark, SF).collect():
+        by_supp[r["suppkey"]].append(r["custkey"])
+    edges = set()
+    for custs in by_supp.values():
+        edges.update(itertools.combinations(sorted(custs)[:8], 2))
+    adj = collections.defaultdict(set)
+    for x, y in edges:
+        adj[x].add(y)
+        adj[y].add(x)
+    counts = collections.Counter()
+    for x, y in edges:  # x < y by construction
+        for z in adj[x] & adj[y]:
+            if z > y:  # each triangle once, as x < y < z
+                counts[x] += 1
+                counts[y] += 1
+                counts[z] += 1
+    expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    got = [
+        (r["custkey"], r["n_triangles"])
+        for r in q_copurchase_triangles(spark, SF).collect()
+    ]
+    assert len(got) == 10 and got == expect
+    assert got[0][1] > 0  # fixture actually has triangles
+
+
+def test_copurchase_triangles_plan_has_no_cartesian(spark):
+    from hinbox_spark.plans.queries import q_copurchase_triangles
+
+    plan = (
+        q_copurchase_triangles(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan

@@ -600,3 +600,52 @@ def test_doc_exact_substring_spans_semantics_and_plan(spark):
     # the gaps-and-islands row_number partitions by doc_id — per-doc
     # bounded work, never a global single-partition sort
     assert "partitionBy=[doc_id]" in plan.replace(" ", "") or "doc_id" in plan
+
+
+def test_corpus_bigram_pmi_matches_pure_python(spark):
+    """Independent check of the collocation query: recompute unigram /
+    adjacent-bigram counts and the lift ratio in pure Python over the
+    same parquet, then compare the full top-10 including values."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from hinbox_spark.plans.queries import q_corpus_bigram_pmi
+
+    texts = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+    )["text"].to_pylist()
+    uni, bi = collections.Counter(), collections.Counter()
+    for t in texts:
+        ws = [w for w in t.lower().split(" ") if w != ""]
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    n_uni = sum(uni.values())
+    n_bi = sum(bi.values())
+    scored = [
+        (
+            w1,
+            w2,
+            c12,
+            round((c12 * float(n_uni) * n_uni) / (uni[w1] * uni[w2] * float(n_bi)), 4),
+        )
+        for (w1, w2), c12 in bi.items()
+        if c12 >= 5
+    ]
+    expect = sorted(scored, key=lambda r: (-r[3], r[0], r[1]))[:10]
+
+    got = [
+        (r["w1"], r["w2"], r["c12"], r["lift"])
+        for r in q_corpus_bigram_pmi(spark, "/root/testdata/sf0.001").collect()
+    ]
+    assert got == expect
+    # plan shape: bigram zip is linear (no per-doc cartesian), counts are
+    # map-side combined before the shuffle, totals ride in as a broadcast
+    plan = (
+        q_corpus_bigram_pmi(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
