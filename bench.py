@@ -106,6 +106,7 @@ HEADLINE = [
     "doc_exact_substring_spans",
     "copurchase_triangles",
     "corpus_bigram_pmi",
+    "doc_pii_redaction",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "20000"))

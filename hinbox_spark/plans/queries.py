@@ -3656,6 +3656,95 @@ ORDER BY doc_id, span_start
 """
 
 
+def q_doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass (functions/pii.py): detect + redact emails, NANP
+    phones, and IPv4s per document. The synthetic corpus carries no
+    natural PII, so the query deterministically plants it from doc_id
+    (identically in the oracle SQL) — every doc gets an email, every
+    3rd a phone, every 5th an IP — making the per-doc counts AND the
+    md5 of the redacted text a real engine-vs-engine check of the
+    regex + replacement semantics. Zero UDFs, zero shuffles before the
+    final sort: the scrub is one codegen'd projection, which is what a
+    100-TB pass must be."""
+    from hinbox_spark.functions.pii import pii_count, redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        did.cast("string"),
+        F.lit("@mail"),
+        (did % 7).cast("string"),
+        F.lit(".example.com"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                ((did % 900) + 100).cast("string"),
+                F.lit("-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (did % 256).cast("string"),
+                F.lit(".0."),
+                ((did * 7) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    aug = d.select("doc_id", planted.alias("aug"))
+    return aug.select(
+        "doc_id",
+        pii_count(F.col("aug"), "email").alias("n_email"),
+        pii_count(F.col("aug"), "phone").alias("n_phone"),
+        pii_count(F.col("aug"), "ipv4").alias("n_ipv4"),
+        F.length(redact_pii(F.col("aug"))).alias("redacted_len"),
+        F.md5(redact_pii(F.col("aug"))).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+# NOTE: pattern strings below are the same RE2-safe literals as
+# functions/pii.py PII_PATTERNS — keep in lock-step.
+ORACLE_DOC_PII = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' call 555-' || CAST((doc_id % 900) + 100 AS VARCHAR)
+                           || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      ELSE '' END
+              || CASE WHEN doc_id % 5 = 0
+                      THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                           || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                      ELSE '' END AS aug
+  FROM documents
+),
+red AS (
+  SELECT doc_id, aug,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(aug,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS redacted
+  FROM aug
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0)) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(aug, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', 0)) AS INT)                    AS n_phone,
+       CAST(len(regexp_extract_all(aug, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', 0)) AS INT)         AS n_ipv4,
+       CAST(length(redacted) AS INT)                                                                  AS redacted_len,
+       md5(redacted)                                                                                  AS redacted_md5
+FROM red
+ORDER BY doc_id
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -3734,6 +3823,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "min_cost_supplier": q_min_cost_supplier,
     "dominant_part_suppliers": q_dominant_part_suppliers,
     "doc_exact_substring_spans": q_doc_exact_substring_spans,
+    "doc_pii_redaction": q_doc_pii_redaction,
     "copurchase_components": q_copurchase_components,
     # non-SQL-expressible (rows-only driver check; correctness pinned by
     # tests/test_dedup.py and tests/test_ann.py)
@@ -3826,6 +3916,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "min_cost_supplier": ORACLE_MIN_COST_SUPPLIER,
     "dominant_part_suppliers": ORACLE_DOMINANT_PART_SUPPLIERS,
     "doc_exact_substring_spans": ORACLE_EXACT_SUBSTRING_SPANS,
+    "doc_pii_redaction": ORACLE_DOC_PII,
     "copurchase_pagerank": ORACLE_COPURCHASE_PAGERANK,
     "copurchase_triangles": ORACLE_COPURCHASE_TRIANGLES,
     "corpus_bigram_pmi": ORACLE_CORPUS_BIGRAM_PMI,

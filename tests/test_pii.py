@@ -1,0 +1,66 @@
+"""PII detection/redaction column expressions (functions/pii.py).
+
+Hand-written positives AND near-miss negatives per kind, plus a Python
+`re` cross-check on every fixture string — the module's oracle contract
+depends on the patterns matching identically under Java regex (Spark),
+RE2 (DuckDB), and `re` (here), so any engine divergence on these shapes
+must fail loudly.
+"""
+
+import re
+
+import pyspark.sql.functions as F
+
+from hinbox_spark.functions.pii import PII_PATTERNS, pii_count, redact_pii
+
+CASES = [
+    # (text, n_email, n_phone, n_ipv4)
+    ("mail me at alice.smith+news@sub.example.co.uk today", 1, 0, 0),
+    ("two: a@b.io and c_d%e@f-g.org", 2, 0, 0),
+    ("call 555-867-5309 or 212.555.0142", 0, 2, 0),
+    ("server at 192.168.0.1 and 10.0.0.255", 0, 0, 2),
+    ("mixed bob@x.net 555-123-4567 172.16.5.9", 1, 1, 1),
+    # near-misses that must NOT match
+    ("not an email: alice@localhost, price@2pm", 0, 0, 0),
+    ("card 4111-1111-1111-1111 is not a phone", 0, 0, 0),
+    ("version 1.2.3 and 1.2.3.4.5 tail", 0, 0, 1),  # first 4 octets match
+    ("", 0, 0, 0),
+]
+
+
+def test_counts_and_python_re_agree(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, *_) in enumerate(CASES)], "id long, text string"
+    )
+    got = (
+        df.select(
+            "id",
+            pii_count(F.col("text"), "email").alias("e"),
+            pii_count(F.col("text"), "phone").alias("p"),
+            pii_count(F.col("text"), "ipv4").alias("i"),
+        )
+        .orderBy("id")
+        .collect()
+    )
+    for row, (text, ne, np_, ni) in zip(got, CASES):
+        assert (row.e, row.p, row.i) == (ne, np_, ni), text
+        # engine-parity leg: Python `re` over the same literal pattern
+        for kind, want in (("email", ne), ("phone", np_), ("ipv4", ni)):
+            pat = PII_PATTERNS[kind][0]
+            assert len(re.findall(pat, text)) == want, (kind, text)
+
+
+def test_redaction_replaces_all_and_only_pii(spark):
+    df = spark.createDataFrame(
+        [(0, "bob@x.net then 555-123-4567 at 172.16.5.9 ok bob@x.net")],
+        "id long, text string",
+    )
+    out = df.select(redact_pii(F.col("text")).alias("r")).first().r
+    assert out == "<EMAIL> then <PHONE> at <IPV4> ok <EMAIL>"
+
+
+def test_redaction_order_email_first(spark):
+    # the email's host digits must not be pre-chewed by the IP pattern
+    df = spark.createDataFrame([(0, "x@10.1.2.3mail.com end")], "id long, text string")
+    out = df.select(redact_pii(F.col("text")).alias("r")).first().r
+    assert out == "<EMAIL> end"
