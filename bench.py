@@ -107,6 +107,7 @@ HEADLINE = [
     "copurchase_triangles",
     "corpus_bigram_pmi",
     "doc_pii_redaction",
+    "doc_unigram_rarity",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "20000"))

@@ -3745,6 +3745,54 @@ ORDER BY doc_id
 """
 
 
+def q_doc_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM document scoring: fit the LM (global token counts)
+    over the corpus, score every doc by its tokens' corpus frequencies
+    — the classic quality/rarity gate a training pipeline runs before
+    perplexity filtering. Two map-side-combinable aggregations plus one
+    vocab join; the vocab is zipf-bounded (≪ corpus size) so at 100 TB
+    it broadcast-joins, and the token explode never leaves its scan
+    stage. Scores are integer-exact (counts + floor-scaled mean — the
+    min_cost_supplier convention) so the cross-engine hash can't flake
+    on transcendental rounding."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    vocab = toks.groupBy("w").agg(F.count("*").alias("cnt"))
+    return (
+        toks.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("cnt").alias("freq_mass"),
+            F.min("cnt").alias("rarest_count"),
+            F.floor(F.lit(10000) * F.sum("cnt") / F.count("*")).alias(
+                "avg_tok_freq_e4"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DOC_UNIGRAM_RARITY = """
+WITH toks AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+),
+vocab AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w)
+SELECT doc_id,
+       count(*)                                         AS n_tokens,
+       CAST(sum(cnt) AS BIGINT)                         AS freq_mass,
+       min(cnt)                                         AS rarest_count,
+       CAST(floor(10000 * sum(cnt) / count(*)) AS BIGINT) AS avg_tok_freq_e4
+FROM toks JOIN vocab USING (w)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -3824,6 +3872,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dominant_part_suppliers": q_dominant_part_suppliers,
     "doc_exact_substring_spans": q_doc_exact_substring_spans,
     "doc_pii_redaction": q_doc_pii_redaction,
+    "doc_unigram_rarity": q_doc_unigram_rarity,
     "copurchase_components": q_copurchase_components,
     # non-SQL-expressible (rows-only driver check; correctness pinned by
     # tests/test_dedup.py and tests/test_ann.py)
@@ -3917,6 +3966,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "dominant_part_suppliers": ORACLE_DOMINANT_PART_SUPPLIERS,
     "doc_exact_substring_spans": ORACLE_EXACT_SUBSTRING_SPANS,
     "doc_pii_redaction": ORACLE_DOC_PII,
+    "doc_unigram_rarity": ORACLE_DOC_UNIGRAM_RARITY,
     "copurchase_pagerank": ORACLE_COPURCHASE_PAGERANK,
     "copurchase_triangles": ORACLE_COPURCHASE_TRIANGLES,
     "corpus_bigram_pmi": ORACLE_CORPUS_BIGRAM_PMI,
