@@ -108,6 +108,7 @@ HEADLINE = [
     "corpus_bigram_pmi",
     "doc_pii_redaction",
     "doc_unigram_rarity",
+    "emb_hard_negatives",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "20000"))

@@ -3793,6 +3793,100 @@ ORDER BY doc_id
 """
 
 
+def q_emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training pair mining: for each query vector, the
+    best same-label neighbor (the positive) and the best cross-label
+    neighbor (the hard negative), plus their cosine margin — the
+    (anchor, positive, hard-negative) triple an embedding-training
+    pipeline materializes per batch. Same plan family as knn_top5:
+    queries broadcast against the candidate scan, JVM-side dot
+    products, one window per (query, same_label) side, no Python. At
+    100 TB the brute-force candidate scan swaps for the LSH/IVF/PQ
+    prefilters in operators/ann.py — this query IS the exact re-rank
+    those paths share."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qvec"),
+    )
+    cand = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("clabel"),
+        "embedding",
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qvec, embedding, (a, b) ->"
+        " CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+    )
+    nq = F.expr(
+        "sqrt(aggregate(qvec, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))"
+    )
+    nc = F.expr(
+        "sqrt(aggregate(embedding, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))"
+    )
+    same = (F.col("qlabel") == F.col("clabel")).alias("same_label")
+    w = Window.partitionBy("query_id", "same_label").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    best = (
+        F.broadcast(q.filter(nq > 0))
+        .crossJoin(cand.filter(nc > 0))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", dot / (nq * nc))
+        .withColumn("same_label", same)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    pick = lambda flag, col: F.max(  # noqa: E731 — one winner per side
+        F.when(F.col("same_label") == flag, F.col(col))
+    )
+    return (
+        best.groupBy("query_id")
+        .agg(
+            pick(True, "neighbor_id").alias("pos_id"),
+            F.round(pick(True, "cos"), 6).alias("pos_cos"),
+            pick(False, "neighbor_id").alias("neg_id"),
+            F.round(pick(False, "cos"), 6).alias("neg_cos"),
+            F.round(pick(True, "cos") - pick(False, "cos"), 6).alias("margin"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ORACLE_EMB_HARD_NEGATIVES = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         (q.label = c.label) AS same_label,
+         list_cosine_similarity(
+             list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+             list_transform(c.embedding, x -> CAST(x AS DOUBLE))) AS cos,
+         row_number() OVER (
+             PARTITION BY q.vec_id, (q.label = c.label)
+             ORDER BY list_cosine_similarity(
+                 list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                 list_transform(c.embedding, x -> CAST(x AS DOUBLE))) DESC,
+             c.vec_id ASC) AS rn
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 20
+    AND sqrt(list_sum(list_transform(q.embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
+    AND sqrt(list_sum(list_transform(c.embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
+)
+SELECT query_id,
+       max(CASE WHEN same_label THEN neighbor_id END)            AS pos_id,
+       round(max(CASE WHEN same_label THEN cos END), 6)          AS pos_cos,
+       max(CASE WHEN NOT same_label THEN neighbor_id END)        AS neg_id,
+       round(max(CASE WHEN NOT same_label THEN cos END), 6)      AS neg_cos,
+       round(max(CASE WHEN same_label THEN cos END)
+             - max(CASE WHEN NOT same_label THEN cos END), 6)    AS margin
+FROM scored WHERE rn = 1
+GROUP BY query_id
+ORDER BY query_id
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -3873,6 +3967,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_exact_substring_spans": q_doc_exact_substring_spans,
     "doc_pii_redaction": q_doc_pii_redaction,
     "doc_unigram_rarity": q_doc_unigram_rarity,
+    "emb_hard_negatives": q_emb_hard_negatives,
     "copurchase_components": q_copurchase_components,
     # non-SQL-expressible (rows-only driver check; correctness pinned by
     # tests/test_dedup.py and tests/test_ann.py)
@@ -3967,6 +4062,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "doc_exact_substring_spans": ORACLE_EXACT_SUBSTRING_SPANS,
     "doc_pii_redaction": ORACLE_DOC_PII,
     "doc_unigram_rarity": ORACLE_DOC_UNIGRAM_RARITY,
+    "emb_hard_negatives": ORACLE_EMB_HARD_NEGATIVES,
     "copurchase_pagerank": ORACLE_COPURCHASE_PAGERANK,
     "copurchase_triangles": ORACLE_COPURCHASE_TRIANGLES,
     "corpus_bigram_pmi": ORACLE_CORPUS_BIGRAM_PMI,
