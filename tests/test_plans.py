@@ -649,3 +649,31 @@ def test_corpus_bigram_pmi_matches_pure_python(spark):
     )
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan
+
+
+def test_round5_training_ops_have_scale_shaped_plans(spark):
+    """Round-5 additions: the PII scrub must be a pure codegen'd map
+    (no Python eval, no shuffle before the display sort), the unigram
+    LM must broadcast its zipf-bounded vocab, and hard-negative mining
+    must broadcast the query side of the candidate scan."""
+    from hinbox_spark.plans.queries import (
+        q_doc_pii_redaction,
+        q_doc_unigram_rarity,
+        q_emb_hard_negatives,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    pii = _plan(q_doc_pii_redaction(spark, sf))
+    assert "BatchEvalPython" not in pii and "ArrowEvalPython" not in pii
+    # the scrub itself is one projection over the scan: the only
+    # exchange is the rangepartitioning for the final orderBy
+    assert pii.count("Exchange") == 1 and "rangepartitioning" in pii
+
+    rarity = _plan(q_doc_unigram_rarity(spark, sf))
+    assert "BroadcastHashJoin" in rarity and "SortMergeJoin" not in rarity
+    assert "partial_count" in rarity  # map-side combine on the LM fit
+
+    hard = _plan(q_emb_hard_negatives(spark, sf))
+    assert "BroadcastNestedLoopJoin" in hard and "CartesianProduct" not in hard
+    assert "BatchEvalPython" not in hard and "ArrowEvalPython" not in hard
