@@ -160,6 +160,12 @@ class DomainConfig:
     relevance_keywords: tuple[str, ...] = field(
         default_factory=lambda: tuple(_default_relevance_keywords())
     )
+    # When true, article text is PII-scrubbed (functions/pii.py: emails,
+    # NANP phones, IPv4s → typed tokens) before anything persists or
+    # hashes — the standard web-corpus scrub pass. Default OFF: the
+    # byte-identical-extraction invariant vs the reference holds only on
+    # unscrubbed text (YAML: processing.scrub_pii).
+    scrub_pii: bool = False
     # When set, each pipeline run also publishes its entities into a
     # snapshot-versioned store (hinbox_spark.tables.SnapshotTable — the
     # Iceberg-shaped entity store: atomic optimistic commits, time travel,

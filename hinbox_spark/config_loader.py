@@ -230,6 +230,7 @@ def load_domain_config(configs_dir: str, domain: str) -> DomainConfig:
         evidence_window_chars=int(merge_evidence["window_chars"]),
         evidence_max_windows=int(merge_evidence["max_windows"]),
         extraction_cache_path=extraction_cache_path,
+        scrub_pii=bool((raw.get("processing", {}) or {}).get("scrub_pii", False)),
         relevance_keywords=_relevance_keywords(raw, orgs, locs, people, groups),
         gazetteer_orgs=tuple(sorted(orgs.items())),
         gazetteer_locs=tuple(sorted(locs.items())),

@@ -198,7 +198,18 @@ def run_pipeline(
             # flowing through the stage — downstream consumers filter on
             # the persisted boolean (parquet predicate pushdown) instead
             # of re-scanning text
-            articles = extract_articles(pages).withColumn(
+            articles = extract_articles(pages)
+            if cfg.scrub_pii:
+                # PII scrub BEFORE anything persists or hashes: the
+                # published text is the scrubbed text, and content_hash
+                # (the dedup/cache identity) hashes what is published.
+                # One extra codegen'd projection — free at scan speed.
+                from hinbox_spark.functions.pii import redact_pii
+
+                articles = articles.withColumn(
+                    "text", redact_pii(F.col("text"))
+                ).withColumn("content_hash", F.sha2(F.col("text"), 256))
+            articles = articles.withColumn(
                 "is_relevant", relevance_predicate(cfg.relevance_keywords)
             )
             if stage2_needed:

@@ -64,3 +64,49 @@ def test_redaction_order_email_first(spark):
     df = spark.createDataFrame([(0, "x@10.1.2.3mail.com end")], "id long, text string")
     out = df.select(redact_pii(F.col("text")).alias("r")).first().r
     assert out == "<EMAIL> end"
+
+
+def test_pipeline_scrub_pii_flag(spark, tmp_path):
+    """cfg.scrub_pii=True scrubs article text before anything persists;
+    content_hash hashes the PUBLISHED (scrubbed) text; default stays
+    off so the byte-identical extraction invariant holds."""
+    import datetime
+    import hashlib
+
+    from pyspark.sql.types import (
+        BinaryType, StringType, StructField, StructType, TimestampType,
+    )
+
+    from hinbox_spark.config import DomainConfig
+    from hinbox_spark.pipeline import run_pipeline
+
+    html = (
+        "<html><head><title>Leak</title></head><body><h1>Leak</h1>"
+        "<article><p>The committee chair Adam Vance wrote from"
+        " bob@example.com or 555-123-4567 at 10.1.2.3 about Geneva."
+        "</p></article></body></html>"
+    ).encode()
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ])
+    ts = datetime.datetime(2024, 1, 1)
+    pages = spark.createDataFrame(
+        [("https://x.test/a.html", ts, html, "", "en")], schema
+    )
+
+    on = run_pipeline(
+        spark, pages, str(tmp_path / "on"),
+        cfg=DomainConfig(scrub_pii=True), resume=False,
+    )
+    row = on["articles"].first()
+    assert "bob@example.com" not in row.text and "<EMAIL>" in row.text
+    assert "555-123-4567" not in row.text and "<PHONE>" in row.text
+    assert "10.1.2.3" not in row.text and "<IPV4>" in row.text
+    assert row.content_hash == hashlib.sha256(row.text.encode()).hexdigest()
+
+    off = run_pipeline(spark, pages, str(tmp_path / "off"), resume=False)
+    assert "bob@example.com" in off["articles"].first().text
