@@ -110,3 +110,32 @@ def test_pipeline_scrub_pii_flag(spark, tmp_path):
 
     off = run_pipeline(spark, pages, str(tmp_path / "off"), resume=False)
     assert "bob@example.com" in off["articles"].first().text
+
+
+def test_random_text_engine_parity(spark):
+    """Seeded fuzz leg: 300 random strings over a PII-shaped alphabet,
+    Spark's match counts vs Python re's, one batched DataFrame."""
+    import random
+
+    rng = random.Random(17)
+    alphabet = list("ab1@._- ") + ["555-", ".com", "@x.io", "10.0."]
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 40)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, text string")
+    got = (
+        df.select(
+            "id",
+            *[
+                pii_count(F.col("text"), k).alias(k)
+                for k in PII_PATTERNS
+            ],
+        )
+        .orderBy("id")
+        .collect()
+    )
+    for row, text in zip(got, texts):
+        for kind in PII_PATTERNS:
+            want = len(re.findall(PII_PATTERNS[kind][0], text))
+            assert row[kind] == want, (kind, text)
