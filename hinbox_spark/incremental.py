@@ -68,7 +68,7 @@ from hinbox_spark.operators.canonicalize import (
 from hinbox_spark.operators.clustering import connected_components
 from hinbox_spark.operators.extraction import (
     extract_articles, extract_mentions_cached, extract_mentions_with_flags,
-    relevance_predicate,
+    relevance_predicate, scrub_articles,
 )
 from hinbox_spark.operators.linking import (
     arbitrate_review, candidate_pairs, mention_nodes, name_lsh_band_entries,
@@ -324,7 +324,7 @@ def run_incremental(
     _recover_stale_runs(spark, store)
 
     # ── cross-run F2: content-hash skip against the processed-pages log ──
-    articles = extract_articles(pages).withColumn(
+    articles = scrub_articles(extract_articles(pages), cfg).withColumn(
         "is_relevant", relevance_predicate(cfg.relevance_keywords)
     )
     st_pages = _st(spark, store, PAGES_LOG)

@@ -103,6 +103,24 @@ def extract_articles(pages: DataFrame, lang: str = "en") -> DataFrame:
     )
 
 
+def scrub_articles(articles: DataFrame, cfg) -> DataFrame:
+    """Opt-in PII scrub (cfg.scrub_pii): redact article text BEFORE
+    anything persists or hashes, and rehash content_hash so the
+    dedup/cache/skip identity is the hash of the PUBLISHED text.
+    Identity when the flag is off (the default) — the byte-identical
+    extraction invariant vs the reference holds only on unscrubbed
+    text. Shared by the batch pipeline, incremental mode, and (via
+    run_incremental) streaming KG ingest, so a scrub-enabled domain
+    scrubs identically in every mode. One codegen'd projection."""
+    if not getattr(cfg, "scrub_pii", False):
+        return articles
+    from hinbox_spark.functions.pii import redact_pii
+
+    return articles.withColumn("text", redact_pii(F.col("text"))).withColumn(
+        "content_hash", F.sha2(F.col("text"), 256)
+    )
+
+
 def relevance_predicate(keywords: tuple[str, ...] | list[str]) -> F.Column:
     """F4: explicit domain-relevance predicate — true iff the article text
     contains any domain surface form on WORD BOUNDARIES (a bare substring

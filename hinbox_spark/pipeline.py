@@ -31,7 +31,7 @@ from hinbox_spark.operators.canonicalize import (
 from hinbox_spark.operators.clustering import connected_components
 from hinbox_spark.operators.extraction import (
     extract_articles, extract_mentions_cached, extract_mentions_with_flags,
-    relevance_predicate, skip_reason_summary,
+    relevance_predicate, scrub_articles, skip_reason_summary,
 )
 from hinbox_spark.operators.linking import (
     arbitrate_review, candidate_pairs, mention_nodes, name_lsh_band_entries,
@@ -198,18 +198,7 @@ def run_pipeline(
             # flowing through the stage — downstream consumers filter on
             # the persisted boolean (parquet predicate pushdown) instead
             # of re-scanning text
-            articles = extract_articles(pages)
-            if cfg.scrub_pii:
-                # PII scrub BEFORE anything persists or hashes: the
-                # published text is the scrubbed text, and content_hash
-                # (the dedup/cache identity) hashes what is published.
-                # One extra codegen'd projection — free at scan speed.
-                from hinbox_spark.functions.pii import redact_pii
-
-                articles = articles.withColumn(
-                    "text", redact_pii(F.col("text"))
-                ).withColumn("content_hash", F.sha2(F.col("text"), 256))
-            articles = articles.withColumn(
+            articles = scrub_articles(extract_articles(pages), cfg).withColumn(
                 "is_relevant", relevance_predicate(cfg.relevance_keywords)
             )
             if stage2_needed:

@@ -139,3 +139,44 @@ def test_random_text_engine_parity(spark):
         for kind in PII_PATTERNS:
             want = len(re.findall(PII_PATTERNS[kind][0], text))
             assert row[kind] == want, (kind, text)
+
+
+def test_incremental_mode_scrubs_too(spark, tmp_path):
+    """A scrub-enabled domain scrubs identically in incremental mode
+    (and therefore in streaming KG ingest, which delegates to it)."""
+    import dataclasses
+    import datetime
+
+    from pyspark.sql.types import (
+        BinaryType, StringType, StructField, StructType, TimestampType,
+    )
+
+    from hinbox_spark.config import get_default_config
+    from hinbox_spark.incremental import run_incremental
+
+    html = (
+        "<html><head><title>Leak</title></head><body><h1>Leak</h1>"
+        "<article><p>The committee chair Adam Vance wrote from"
+        " bob@example.com about Geneva.</p></article></body></html>"
+    ).encode()
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ])
+    pages = spark.createDataFrame(
+        [("https://x.test/a.html", datetime.datetime(2024, 1, 1), html, "", "en")],
+        schema,
+    )
+    cfg = dataclasses.replace(
+        get_default_config(),
+        scrub_pii=True,
+        snapshot_store_path=str(tmp_path / "store"),
+    )
+    out = run_incremental(
+        spark, pages, str(tmp_path / "run"), cfg=cfg, run_id="r1"
+    )
+    text = out["articles"].first().text
+    assert "bob@example.com" not in text and "<EMAIL>" in text
