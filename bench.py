@@ -109,6 +109,10 @@ HEADLINE = [
     "doc_pii_redaction",
     "doc_unigram_rarity",
     "emb_hard_negatives",
+    "copurchase_link_prediction",
+    "emb_dedup_keepers",
+    "doc_quality_classifier",
+    "doc_length_buckets",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "20000"))

@@ -3887,6 +3887,247 @@ ORDER BY query_id
 """
 
 
+def q_copurchase_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG link prediction over the bipartite purchase graph: rank customer
+    pairs by the Jaccard similarity of their supplier neighborhoods —
+    the common-neighbors score a KG-completion pass uses to propose
+    missing same-as / related-to edges between entity nodes. Candidate
+    generation is BLOCKING BY SHARED SUPPLIER (pairs come from the
+    per-supplier self-join, never the |V|² cross product), the same
+    shape as the pipeline's J5 lexical blocking; degrees ride a tiny
+    broadcast. At web scale the per-supplier bucket gets the dedup
+    family's cap (`capped_bucket_entries`) and the neighbor sets become
+    MinHash signatures — this exact-Jaccard query is the oracle-scoped
+    re-rank those share. The Jaccard is a ratio of the SAME integers in
+    both engines, so IEEE division makes the ordering bit-identical."""
+    e = _purchase_edges(spark, sf_dir)
+    deg = e.groupBy("custkey").agg(F.count("*").alias("deg"))
+    a = e.select(F.col("custkey").alias("cust_a"), "suppkey")
+    b = e.select(F.col("custkey").alias("cust_b"), "suppkey")
+    shared = (
+        a.join(b, "suppkey")
+        .filter(F.col("cust_a") < F.col("cust_b"))
+        .groupBy("cust_a", "cust_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    da = F.broadcast(deg.select(F.col("custkey").alias("cust_a"),
+                                F.col("deg").alias("deg_a")))
+    db = F.broadcast(deg.select(F.col("custkey").alias("cust_b"),
+                                F.col("deg").alias("deg_b")))
+    jac = F.col("n_shared") / (
+        F.col("deg_a") + F.col("deg_b") - F.col("n_shared")
+    ).cast("double")
+    return (
+        shared.join(da, "cust_a").join(db, "cust_b")
+        .withColumn("jaccard", jac)
+        .orderBy(F.desc("jaccard"), F.asc("cust_a"), F.asc("cust_b"))
+        .select("cust_a", "cust_b", "n_shared", "deg_a", "deg_b",
+                F.round("jaccard", 6).alias("jaccard"))
+        .limit(15)
+    )
+
+
+ORACLE_LINK_PREDICTION = """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS custkey, l_suppkey AS suppkey
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), deg AS (
+  SELECT custkey, count(*) AS deg FROM e GROUP BY 1
+), shared AS (
+  SELECT a.custkey AS cust_a, b.custkey AS cust_b, count(*) AS n_shared
+  FROM e a JOIN e b ON a.suppkey = b.suppkey AND a.custkey < b.custkey
+  GROUP BY 1, 2
+)
+SELECT cust_a, cust_b, n_shared, da.deg AS deg_a, db.deg AS deg_b,
+       round(n_shared / CAST(da.deg + db.deg - n_shared AS DOUBLE), 6)
+           AS jaccard
+FROM shared
+JOIN deg da ON da.custkey = cust_a
+JOIN deg db ON db.custkey = cust_b
+ORDER BY n_shared / CAST(da.deg + db.deg - n_shared AS DOUBLE) DESC,
+         cust_a ASC, cust_b ASC
+LIMIT 15
+"""
+
+
+def q_emb_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup RESOLUTION over embeddings: cosine
+    near-dup pairs (≥ 0.45, the emb_near_dup_pairs criterion) → connected
+    components (the pipeline's J11 operator) → min-vec_id keeper per
+    cluster. Completes the dedup-resolution family: doc_dedup_keepers
+    resolves MinHash-LSH text pairs, this resolves embedding-space pairs
+    — together they are the RefinedWeb / SemDeDup two-track keeper
+    pipeline. At 100 TB the pair stage swaps brute cosine for the LSH /
+    IVF / PQ prefilters in operators/ann.py; the CC + keeper stages are
+    unchanged. Oracle: independent DuckDB recursive-CTE closure over the
+    same pair graph (singleton clusters excluded on both sides)."""
+    from hinbox_spark.operators.clustering import connected_components
+    from hinbox_spark.operators.dedup import embedding_cosine_near_duplicates
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_cosine_near_duplicates(emb, threshold=0.45)
+    edges = pairs.select(
+        F.col("vec_a").cast("string").alias("src"),
+        F.col("vec_b").cast("string").alias("dst"),
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node_id"))
+        .unionByName(edges.select(F.col("dst").alias("node_id")))
+        .distinct()
+    )
+    labels = connected_components(nodes, edges).select(
+        F.col("node_id").cast("long").alias("vec_id"),
+        F.col("cluster_id").cast("long").alias("cluster"),
+    )
+    return (
+        labels.groupBy("cluster")
+        .agg(
+            F.min("vec_id").alias("keeper_id"),
+            F.count("*").alias("n_members"),
+            (F.count("*") - F.lit(1)).alias("n_dropped"),
+        )
+        .filter(F.col("n_members") > 1)
+        .select("keeper_id", "n_members", "n_dropped")
+    )
+
+
+ORACLE_EMB_DEDUP_KEEPERS = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(
+          list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+          list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.45
+), edges AS (
+  SELECT va AS a, vb AS b FROM pairs UNION SELECT vb, va FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS node FROM edges
+), reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT edges.b, reach.label FROM reach JOIN edges ON edges.a = reach.node
+), lab AS (
+  SELECT node, min(label) AS cluster FROM reach GROUP BY node
+)
+SELECT CAST(min(node) AS BIGINT) AS keeper_id,
+       count(*) AS n_members,
+       count(*) - 1 AS n_dropped
+FROM lab GROUP BY cluster HAVING count(*) > 1
+"""
+
+
+def q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality-classifier pass: a linear log-odds score over
+    cheap lexical features (stopword ratio, punctuation density, length,
+    chars-per-token) — the shape of a fastText/logistic quality filter
+    with the learned weights frozen, scoring the whole corpus in pure
+    JVM column arithmetic (no model server, no Python). Every feature is
+    a RATIO OF INTEGERS and the score is +/× of those ratios — no
+    transcendentals — so Spark and DuckDB produce bit-identical doubles.
+    Emits the per-source keep/drop funnel a corpus-curation run reports.
+    Scale: one scan, map-side partial agg; the keep decision would push
+    into the training_corpus_filter gate chain as one more conjunct."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " ")).cast("double")
+    stop = F.expr(
+        "size(filter(split(text, ' '), x -> x IN ('the', 'a')))"
+    ).cast("double") / toks
+    punct = (
+        F.length("text")
+        - F.length(F.translate(F.col("text"), ".,!?;", ""))
+    ).cast("double") / F.col("n_chars").cast("double")
+    length_feat = F.least(toks, F.lit(500.0)) / F.lit(500.0)
+    cpt = F.col("n_chars").cast("double") / toks
+    z = (
+        F.lit(2.5) * stop - F.lit(8.0) * punct + length_feat
+        - cpt / F.lit(20.0)
+    )
+    return (
+        d.withColumn("z", z)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("z") > 0, 1)).alias("n_keep"),
+            F.round(F.avg("z"), 4).alias("avg_score"),
+            F.round(F.min("z"), 6).alias("min_score"),
+            F.round(F.max("z"), 6).alias("max_score"),
+        )
+    )
+
+
+ORACLE_DOC_QUALITY_CLASSIFIER = """
+WITH scored AS (
+  SELECT source,
+         2.5 * (len(list_filter(string_split(text, ' '),
+                                x -> x IN ('the', 'a')))
+                / CAST(len(string_split(text, ' ')) AS DOUBLE))
+         - 8.0 * ((length(text)
+                   - length(replace(replace(replace(replace(replace(
+                       text, '.', ''), ',', ''), '!', ''), '?', ''),
+                       ';', '')))
+                  / CAST(n_chars AS DOUBLE))
+         + least(CAST(len(string_split(text, ' ')) AS DOUBLE), 500.0) / 500.0
+         - (n_chars / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 20.0
+         AS z
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       count(CASE WHEN z > 0 THEN 1 END) AS n_keep,
+       round(avg(z), 4) AS avg_score,
+       round(min(z), 6) AS min_score,
+       round(max(z), 6) AS max_score
+FROM scored GROUP BY source
+"""
+
+
+def q_doc_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching stats: bucket documents by token count
+    into width-64 buckets and report, per bucket, the doc count, the
+    real token mass, the padded token mass (every doc padded to the
+    bucket ceiling — how a fixed-shape training batch allocates), and
+    the waste — the padding-efficiency table a pretraining dataloader
+    is tuned against. All-integer arithmetic end to end (bucket id,
+    sums, waste), so the oracle comparison is exact. Scale: one scan +
+    one tiny groupBy on the bucket id; no joins, no windows."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " ")).cast("long")
+    bucket = (F.floor(toks / F.lit(64)) * 64).cast("long")
+    ceiling = bucket + F.lit(64)
+    return (
+        d.select(
+            bucket.alias("bucket_start"),
+            toks.alias("toks"),
+            (ceiling - toks).alias("waste"),
+            ceiling.alias("cap"),
+        )
+        .groupBy("bucket_start")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("toks").alias("total_tokens"),
+            F.sum("cap").alias("padded_tokens"),
+            F.sum("waste").alias("padding_waste"),
+        )
+    )
+
+
+ORACLE_DOC_LENGTH_BUCKETS = """
+WITH t AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM documents
+), b AS (
+  SELECT (toks // 64) * 64 AS bucket_start, toks,
+         (toks // 64) * 64 + 64 AS cap
+  FROM t
+)
+SELECT bucket_start,
+       count(*) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS total_tokens,
+       CAST(sum(cap) AS BIGINT) AS padded_tokens,
+       CAST(sum(cap - toks) AS BIGINT) AS padding_waste
+FROM b GROUP BY bucket_start
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -3968,6 +4209,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_pii_redaction": q_doc_pii_redaction,
     "doc_unigram_rarity": q_doc_unigram_rarity,
     "emb_hard_negatives": q_emb_hard_negatives,
+    "copurchase_link_prediction": q_copurchase_link_prediction,
+    "emb_dedup_keepers": q_emb_dedup_keepers,
+    "doc_quality_classifier": q_doc_quality_classifier,
+    "doc_length_buckets": q_doc_length_buckets,
     "copurchase_components": q_copurchase_components,
     # non-SQL-expressible (rows-only driver check; correctness pinned by
     # tests/test_dedup.py and tests/test_ann.py)
@@ -4066,4 +4311,8 @@ ORACLE_QUERIES: dict[str, str] = {
     "copurchase_pagerank": ORACLE_COPURCHASE_PAGERANK,
     "copurchase_triangles": ORACLE_COPURCHASE_TRIANGLES,
     "corpus_bigram_pmi": ORACLE_CORPUS_BIGRAM_PMI,
+    "copurchase_link_prediction": ORACLE_LINK_PREDICTION,
+    "emb_dedup_keepers": ORACLE_EMB_DEDUP_KEEPERS,
+    "doc_quality_classifier": ORACLE_DOC_QUALITY_CLASSIFIER,
+    "doc_length_buckets": ORACLE_DOC_LENGTH_BUCKETS,
 }

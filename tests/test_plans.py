@@ -677,3 +677,51 @@ def test_round5_training_ops_have_scale_shaped_plans(spark):
     hard = _plan(q_emb_hard_negatives(spark, sf))
     assert "BroadcastNestedLoopJoin" in hard and "CartesianProduct" not in hard
     assert "BatchEvalPython" not in hard and "ArrowEvalPython" not in hard
+
+
+def test_round5b_training_queries_match_duckdb_and_plan_shapes(spark):
+    """Final round-5 additions: neighbor-Jaccard link prediction blocks by
+    shared supplier and broadcasts the degree table; the SemDeDup keeper
+    resolution agrees with an independent recursive-CTE closure; the
+    quality classifier and the length-bucket stats are single-scan pure
+    column arithmetic (no Python eval, no joins). Values pinned vs the
+    DuckDB oracle at sf0.001 (the driver re-checks at sf0.01)."""
+    import duckdb
+
+    from hinbox_spark.plans.queries import (
+        ORACLE_QUERIES, SPARK_QUERIES, q_copurchase_link_prediction,
+        q_doc_length_buckets, q_doc_quality_classifier,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    lp = _plan(q_copurchase_link_prediction(spark, sf))
+    # degrees ride broadcasts; the only shuffle joins are the per-supplier
+    # candidate self-join's inputs — never a |V|² cross product
+    assert "BroadcastHashJoin" in lp and "CartesianProduct" not in lp
+
+    qc = _plan(q_doc_quality_classifier(spark, sf))
+    assert "BatchEvalPython" not in qc and "ArrowEvalPython" not in qc
+    assert "Join" not in qc
+
+    lb = _plan(q_doc_length_buckets(spark, sf))
+    assert "BatchEvalPython" not in lb and "ArrowEvalPython" not in lb
+    assert "Join" not in lb and "partial_" in lb  # map-side combine
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "documents", "embeddings"):
+        con.execute(
+            f"create view {t} as select * from read_parquet('{sf}/{t}.parquet')"
+        )
+    for name in (
+        "copurchase_link_prediction", "emb_dedup_keepers",
+        "doc_quality_classifier", "doc_length_buckets",
+    ):
+        sdf = SPARK_QUERIES[name](spark, sf).toPandas()
+        ddf = con.execute(ORACLE_QUERIES[name]).df()
+        cols = sorted(sdf.columns)
+        assert cols == sorted(ddf.columns), name
+        got = sorted(map(tuple, sdf[cols].itertuples(index=False)))
+        want = sorted(map(tuple, ddf[cols].itertuples(index=False)))
+        assert got == want, f"{name}: spark != duckdb"
+        assert len(got) > 0, name
