@@ -110,6 +110,7 @@ HEADLINE = [
     "doc_unigram_rarity",
     "emb_hard_negatives",
     "copurchase_link_prediction",
+    "copurchase_link_prediction_minhash",
     "emb_dedup_keepers",
     "doc_quality_classifier",
     "doc_length_buckets",

@@ -326,3 +326,64 @@ def embedding_cosine_near_duplicates(
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", F.round("cos", 6).alias("cos_sim"))
     )
+
+
+def neighbor_minhash_candidates(
+    edges: DataFrame,
+    key_col: str,
+    item_col: str,
+    n_hashes: int = 32,
+    bands: int = 16,
+    cap: int = BUCKET_CAP,
+    stats_out: dict | None = None,
+    reuse: bool = True,
+) -> DataFrame:
+    """Set-MinHash + LSH banding over NEIGHBOR SETS: candidate (key_a,
+    key_b) pairs whose item sets are likely similar, without the
+    per-item self-join's Σ deg² blowup. Unlike the text MinHash above
+    (shingling needs Python), a set signature is pure JVM arithmetic:
+    h_i(key) = min over the key's items of xxhash64(item, i), which is a
+    map-side-combinable groupBy min — the signature job shuffles one
+    n_hashes-long row per key, never the edge list. Banding, bucket
+    capping (broadcast anti-join, logged truncation) and the id-only
+    pair self-join are the same scale shapes as minhash_near_duplicates.
+    With 32 hashes / 16 bands (2 rows per band) the S-curve catches
+    J≥0.5 pairs with ~99% probability. Callers re-rank candidates with
+    exact Jaccard — candidates are a tiny fraction of all pairs."""
+    rows_per_band = n_hashes // bands
+    mins = [
+        F.min(F.xxhash64(F.col(item_col), F.lit(i))).alias(f"_h{i}")
+        for i in range(n_hashes)
+    ]
+    sigs = (
+        edges.groupBy(key_col)
+        .agg(*mins)
+        .select(
+            F.col(key_col).alias("key"),
+            F.array(*[f"_h{i}" for i in range(n_hashes)]).alias("sig"),
+        )
+    )
+    band_entries = sigs.select(
+        "key",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"struct(b AS band, hash(slice(sig, b * {rows_per_band} + 1,"
+                f" {rows_per_band})) AS bh))"
+            )
+        ).alias("e"),
+    ).select("key", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+    kept = capped_bucket_entries(
+        band_entries, ["band", "bh"], cap, stats_out=stats_out, reuse=reuse
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.key") < F.col("b.key")),
+        )
+        .select(F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b"))
+        .dropDuplicates(["key_a", "key_b"])
+    )
