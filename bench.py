@@ -114,6 +114,7 @@ HEADLINE = [
     "emb_dedup_keepers",
     "doc_quality_classifier",
     "doc_length_buckets",
+    "corpus_cms_heavy_hitters",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "20000"))

@@ -4128,6 +4128,39 @@ FROM b GROUP BY bucket_start
 """
 
 
+def q_corpus_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a count-min sketch (operators/sketches.py): one
+    scan builds a 4×2048 cell table whose shuffle volume is O(tasks ×
+    depth × width) — independent of token count — then the exact top-15
+    vocabulary terms are point-estimated against the broadcast sketch.
+    Output carries BOTH the true and the sketch count, so the contract
+    row set also witnesses the CMS guarantee (est ≥ true; overcount ≤ εN,
+    pinned in tests/test_sketches.py along with exact shard-merge).
+    Rows-only in the driver contract: the cell hashing is Spark's seeded
+    xxhash64, which DuckDB cannot reproduce. At 10¹² tokens the exact
+    top-k side comes from skew.bounded_topk's tournament (as in
+    corpus_vocab_topk); the sketch side is unchanged."""
+    from hinbox_spark.operators.sketches import cms_estimate, count_min_sketch
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    sketch = count_min_sketch(toks, "token", depth=4, width=2048)
+    top = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("token"))
+        .limit(15)
+    )
+    est = cms_estimate(sketch, top, "token", depth=4, width=2048)
+    return (
+        est.select(
+            "token", "true_cnt", "est_cnt",
+            (F.col("est_cnt") - F.col("true_cnt")).alias("overcount"),
+        )
+        .orderBy(F.desc("true_cnt"), F.asc("token"))
+    )
+
+
 def q_copurchase_link_prediction_minhash(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4265,6 +4298,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_dedup_keepers": q_emb_dedup_keepers,
     "doc_quality_classifier": q_doc_quality_classifier,
     "doc_length_buckets": q_doc_length_buckets,
+    "corpus_cms_heavy_hitters": q_corpus_cms_heavy_hitters,
     "copurchase_components": q_copurchase_components,
     # non-SQL-expressible (rows-only driver check; correctness pinned by
     # tests/test_dedup.py and tests/test_ann.py)
