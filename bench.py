@@ -115,6 +115,11 @@ HEADLINE = [
     "doc_quality_classifier",
     "doc_length_buckets",
     "corpus_cms_heavy_hitters",
+    "doc_inverted_index",
+    "doc_target_affinity",
+    "corpus_bpe_merges",
+    "copurchase_kcore",
+    "events_type_bigrams",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "20000"))

@@ -4212,6 +4212,258 @@ def q_copurchase_link_prediction_minhash(
     )
 
 
+def q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the bidirected bipartite purchase graph (k=8) — the
+    dense-region primitive (spam-farm / community seeding) run on the
+    materialized KG edges. Iterative peeling in operators/graph.kcore:
+    per round one map-side-combinable degree shuffle + two semi-join
+    filters, edge set only shrinks, driver sees one scalar per round
+    (the fixpoint count). Deterministic (pure set fixpoint, no RNG, no
+    floats). Rows-only in the driver contract (the peeling fixpoint
+    isn't one SQL statement); pinned in tests/test_graph_queries.py
+    against an independent pure-Python peeling on the same edges, plus
+    invariance and core-property assertions. Returns the core nodes with
+    their in-core degree, largest first (node ASC tie-break)."""
+    from hinbox_spark.operators.graph import kcore
+
+    e = _purchase_edges(spark, sf_dir)
+    bip = e.select(
+        F.concat(F.lit("c:"), F.col("custkey")).alias("src"),
+        F.concat(F.lit("s:"), F.col("suppkey")).alias("dst"),
+    )
+    return kcore(bip, k=8).orderBy(F.desc("core_deg"), F.asc("node")).limit(50)
+
+
+def q_events_type_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition counts (behavioral bigrams) — the
+    sequence-mining pass behind funnel discovery: order each user's
+    events by time, pair each with its successor, count transitions
+    corpus-wide. Scale shape: the ONLY shuffle is the per-user window
+    (partitionBy user_id — user event counts are bounded, no mega-key),
+    then the transition groupBy shrinks map-side; top-20 via the
+    TakeOrderedAndProject tournament. Deterministic: (ts, event_id)
+    ordering breaks timestamp ties."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    return (
+        pairs.groupBy("from_type", "to_type")
+        .agg(
+            F.count("*").alias("n_transitions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_transitions"), F.asc("from_type"), F.asc("to_type"))
+        .limit(20)
+    )
+
+
+ORACLE_EVENTS_TYPE_BIGRAMS = """
+WITH pairs AS (
+    SELECT user_id, event_type AS from_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS to_type
+    FROM events
+)
+SELECT from_type, to_type,
+       count(*) AS n_transitions,
+       count(DISTINCT user_id) AS n_users
+FROM pairs
+WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type
+ORDER BY n_transitions DESC, from_type ASC, to_type ASC
+LIMIT 20
+"""
+
+
+def q_corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training over the corpus (Sennrich et al. 2016) —
+    learn the first 20 merge rules from the documents table. The corpus
+    is scanned ONCE (word counts, map-side combine); every merge round
+    then runs over the bounded vocabulary table with a 1-row global
+    argmax tournament, so the driver sees exactly one pair per round —
+    the merge decision itself (see operators/bpe.py for the 10¹²-doc
+    scale argument). Deterministic: tie-breaks (cnt DESC, left ASC,
+    right ASC) make the merge table a pure function of the corpus.
+    Rows-only in the driver contract (iterative argmax isn't one SQL
+    statement); pinned in tests/test_bpe.py against an independent
+    pure-Python Sennrich implementation and across repartitionings."""
+    from hinbox_spark.operators.bpe import (
+        merges_dataframe,
+        train_bpe,
+        word_counts,
+    )
+
+    wc = word_counts(_t(spark, sf_dir, "documents"))
+    return merges_dataframe(spark, train_bpe(wc, num_merges=20, min_count=2))
+
+
+def q_doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction stats — the search/IR pass a web-scale
+    corpus runs after dedup: term → (document frequency, total term
+    frequency, hottest posting). Emits the top-100 terms by df with each
+    term's best document (max tf, ties → min doc_id, deterministic).
+
+    Scale shape: (term, doc) term frequencies shrink via map-side partial
+    aggregation before the ONE corpus-wide shuffle on term; the per-term
+    fold is a bounded aggregate (count/sum/max_by), never a posting-list
+    collect — a hot term ("the") folds to 4 scalars, not a giant array.
+    The deterministic argmax rides a struct ordering (tf DESC via struct
+    max, doc_id ASC via negation) so no window sort materializes a
+    mega-term's postings in one task. Final top-100 is Spark's
+    TakeOrderedAndProject tournament."""
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), " ")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        tf.groupBy("word")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("tf").alias("tf_total"),
+            F.expr("max_by(doc_id, struct(tf, -doc_id))").alias("top_doc_id"),
+            F.max("tf").alias("top_tf"),
+        )
+        .filter(F.col("df") >= 5)
+        .orderBy(F.desc("df"), F.asc("word"))
+        .limit(100)
+    )
+
+
+ORACLE_DOC_INVERTED_INDEX = """
+WITH tf AS (
+    SELECT word, doc_id, count(*) AS tf
+    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+          FROM documents)
+    WHERE word <> ''
+    GROUP BY word, doc_id
+),
+ranked AS (
+    SELECT word, doc_id, tf,
+           row_number() OVER (PARTITION BY word
+                              ORDER BY tf DESC, doc_id ASC) AS rn
+    FROM tf
+),
+agg AS (
+    SELECT word, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total,
+           CAST(max(tf) AS BIGINT) AS top_tf
+    FROM tf GROUP BY word
+)
+SELECT a.word, a.df, a.tf_total, r.doc_id AS top_doc_id, a.top_tf
+FROM agg a JOIN ranked r ON a.word = r.word AND r.rn = 1
+WHERE a.df >= 5
+ORDER BY a.df DESC, a.word ASC
+LIMIT 100
+"""
+
+
+def q_doc_target_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    candidate document by how much its hashed-n-gram feature mass sits in
+    buckets OVER-represented in a target domain vs the raw pool, then
+    keep the top-k. Here the target is the English slice, candidates are
+    the non-English docs, and features are hashed unigram buckets
+    (md5-prefix → 256 buckets, identical in both engines). Real DSIR
+    weights each bucket by log(p_target/p_raw); this query uses the SIGN
+    of the same ratio (+1 over-represented / −1 under, decided by the
+    exact integer cross-product ct·R > cr·T) so the cross-engine value
+    hash can't flake on transcendental rounding — the integer-exact
+    discipline of the TF-IDF and PMI queries.
+
+    Scale shape: the bucket table is ≤256 rows however large the corpus —
+    computed with map-side partial aggregation, then BROADCAST to score
+    docs; the only corpus-wide shuffle is the per-doc score fold
+    (groupBy doc_id with partial aggregation). Final top-20 is the
+    TakeOrderedAndProject tournament. At 10¹² docs nothing here grows
+    except the two linear token scans."""
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower("text"), " ")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .withColumn("bucket", F.substring(F.md5("word"), 1, 2))
+    )
+    raw = toks.groupBy("bucket").agg(F.count("*").alias("cr"))
+    tgt = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("ct"))
+    )
+    stats = (
+        raw.join(tgt, "bucket", "left")
+        .fillna(0, subset=["ct"])
+        .crossJoin(
+            F.broadcast(
+                raw.agg(F.sum("cr").alias("r_total")).crossJoin(
+                    tgt.agg(F.sum("ct").alias("t_total"))
+                )
+            )
+        )
+        .select(
+            "bucket",
+            F.when(
+                F.col("ct") * F.col("r_total") > F.col("cr") * F.col("t_total"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .alias("sign"),
+        )
+    )
+    return (
+        toks.filter(F.col("lang") != "en")
+        .join(F.broadcast(stats), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("sign").alias("affinity"), F.count("*").alias("n_toks"))
+        .orderBy(F.desc("affinity"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+ORACLE_DOC_TARGET_AFFINITY = """
+WITH toks AS (
+    SELECT doc_id, lang, substr(md5(word), 1, 2) AS bucket
+    FROM (SELECT doc_id, lang,
+                 unnest(string_split(lower(text), ' ')) AS word
+          FROM documents)
+    WHERE word <> ''
+),
+raw AS (SELECT bucket, count(*) AS cr FROM toks GROUP BY bucket),
+tgt AS (SELECT bucket, count(*) AS ct FROM toks WHERE lang = 'en'
+        GROUP BY bucket),
+stats AS (
+    SELECT raw.bucket,
+           CASE WHEN coalesce(tgt.ct, 0) * (SELECT sum(cr) FROM raw)
+                     > raw.cr * (SELECT sum(ct) FROM tgt)
+                THEN 1 ELSE -1 END AS sign
+    FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket
+)
+SELECT t.doc_id, t.lang,
+       CAST(sum(s.sign) AS BIGINT) AS affinity,
+       count(*) AS n_toks
+FROM toks t JOIN stats s ON t.bucket = s.bucket
+WHERE t.lang <> 'en'
+GROUP BY t.doc_id, t.lang
+ORDER BY affinity DESC, t.doc_id ASC
+LIMIT 20
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -4299,6 +4551,11 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality_classifier": q_doc_quality_classifier,
     "doc_length_buckets": q_doc_length_buckets,
     "corpus_cms_heavy_hitters": q_corpus_cms_heavy_hitters,
+    "doc_inverted_index": q_doc_inverted_index,
+    "doc_target_affinity": q_doc_target_affinity,
+    "corpus_bpe_merges": q_corpus_bpe_merges,
+    "copurchase_kcore": q_copurchase_kcore,
+    "events_type_bigrams": q_events_type_bigrams,
     "copurchase_components": q_copurchase_components,
     # non-SQL-expressible (rows-only driver check; correctness pinned by
     # tests/test_dedup.py and tests/test_ann.py)
@@ -4401,4 +4658,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "emb_dedup_keepers": ORACLE_EMB_DEDUP_KEEPERS,
     "doc_quality_classifier": ORACLE_DOC_QUALITY_CLASSIFIER,
     "doc_length_buckets": ORACLE_DOC_LENGTH_BUCKETS,
+    "doc_inverted_index": ORACLE_DOC_INVERTED_INDEX,
+    "doc_target_affinity": ORACLE_DOC_TARGET_AFFINITY,
+    "events_type_bigrams": ORACLE_EVENTS_TYPE_BIGRAMS,
 }

@@ -246,3 +246,80 @@ def test_copurchase_triangles_plan_has_no_cartesian(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def _reference_kcore(edges: list[tuple], k: int) -> dict:
+    """Independent driver-side peeling: adjacency sets, repeatedly delete
+    degree<k nodes until fixpoint → {node: in-core degree}."""
+    adj: dict = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < k]:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+            changed = True
+    return {n: len(nb) for n, nb in adj.items()}
+
+
+def test_kcore_matches_reference_peeling_with_deep_cascade(spark):
+    """A 6-node path peels one node per round from each end under k=2
+    (max cascade depth), plus a 4-clique that must survive intact, plus
+    a pendant hanging off the clique — the distributed peel must agree
+    node-for-node and degree-for-degree with independent peeling."""
+    from hinbox_spark.operators.graph import kcore
+
+    path = [(f"p{i}", f"p{i+1}") for i in range(6)]
+    clique = [(f"c{i}", f"c{j}") for i in range(4) for j in range(i + 1, 4)]
+    pendant = [("c0", "x"), ("x", "x")]  # + a self-loop that must be ignored
+    edges = path + clique + pendant
+    df = spark.createDataFrame(edges, "src string, dst string")
+
+    got = {r["node"]: r["core_deg"] for r in kcore(df, k=2).collect()}
+    want = _reference_kcore(edges, 2)
+    assert got == want
+    assert set(got) == {"c0", "c1", "c2", "c3"}  # path + pendant fully peel
+    assert got["c1"] == 3  # clique-internal degree, not the raw degree
+
+    # k=4: even the 4-clique dies (internal degree 3) → empty core
+    assert kcore(df, k=4).count() == 0
+
+
+def test_kcore_partitioning_invariant_and_duplicate_edge_safe(spark):
+    from hinbox_spark.operators.graph import kcore
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "b"), ("b", "a"),
+             ("c", "d")]
+    df1 = spark.createDataFrame(edges, "src string, dst string").repartition(1)
+    df7 = spark.createDataFrame(edges, "src string, dst string").repartition(7)
+    r1 = sorted(map(tuple, kcore(df1, k=2).collect()))
+    r7 = sorted(map(tuple, kcore(df7, k=2).collect()))
+    assert r1 == r7 == [("a", 2), ("b", 2), ("c", 2)]  # dup a-b counts once
+
+
+def test_copurchase_kcore_query_matches_reference(spark):
+    """The registered query must agree with independent peeling on the
+    real sf0.001 purchase graph (k=8 peels the degree-3 tail there)."""
+    from hinbox_spark.plans.queries import (
+        _purchase_edges,
+        q_copurchase_kcore,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    edges = [
+        (f"c:{r['custkey']}", f"s:{r['suppkey']}")
+        for r in _purchase_edges(spark, sf).collect()
+    ]
+    want = _reference_kcore(edges, 8)
+    got = {r["node"]: r["core_deg"]
+           for r in q_copurchase_kcore(spark, sf).collect()}
+    # query returns top-50 by (core_deg desc, node asc) — check that slice
+    want_top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    assert sorted(got.items(), key=lambda kv: (-kv[1], kv[0])) == want_top
+    assert 0 < len(want) < len({n for e in edges for n in e})  # non-trivial

@@ -764,3 +764,79 @@ def test_link_prediction_minhash_scale_path_recall_and_plan(spark):
     aj = {(r.cust_a, r.cust_b): r.jaccard for r in approx.itertuples()}
     for k in want & got:
         assert ej[k] == aj[k]
+
+
+def test_round5c_index_and_dsir_queries_match_duckdb_and_plan_shapes(spark):
+    """Inverted-index stats and DSIR-style target affinity: both must stay
+    pure-JVM (no Python eval), the index fold must be partial-aggregated
+    (map-side combine before the one term shuffle) with no window sort of
+    posting lists, and the affinity scorer must BROADCAST its ≤256-row
+    bucket table rather than shuffle the corpus against it. Values pinned
+    vs the DuckDB oracle at sf0.001 (driver re-checks at sf0.01)."""
+    import duckdb
+
+    from hinbox_spark.plans.queries import (
+        ORACLE_QUERIES,
+        SPARK_QUERIES,
+        q_doc_inverted_index,
+        q_doc_target_affinity,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    idx = _plan(q_doc_inverted_index(spark, sf))
+    assert "BatchEvalPython" not in idx and "ArrowEvalPython" not in idx
+    assert "partial_count" in idx  # map-side combine on (term, doc) tf
+    assert "Window" not in idx  # argmax is max_by, not a posting-list sort
+    assert "TakeOrderedAndProject" in idx  # top-100 tournament
+
+    aff = _plan(q_doc_target_affinity(spark, sf))
+    assert "BatchEvalPython" not in aff and "ArrowEvalPython" not in aff
+    assert "BroadcastHashJoin" in aff  # bucket stats ride a broadcast
+    assert "SortMergeJoin" not in aff
+    assert "TakeOrderedAndProject" in aff  # top-20 tournament
+
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{sf}/documents.parquet')"
+    )
+    for name in ("doc_inverted_index", "doc_target_affinity"):
+        sdf = SPARK_QUERIES[name](spark, sf).toPandas()
+        ddf = con.execute(ORACLE_QUERIES[name]).df()
+        cols = sorted(sdf.columns)
+        assert cols == sorted(ddf.columns), name
+        got = sorted(map(tuple, sdf[cols].itertuples(index=False)))
+        want = sorted(map(tuple, ddf[cols].itertuples(index=False)))
+        assert got == want, f"{name}: spark != duckdb"
+        assert len(got) > 0, name
+
+
+def test_events_type_bigrams_plan_and_kcore_rounds_bounded(spark):
+    """Transition mining: the only wide ops are the per-user window and
+    the map-side-combined transition groupBy — no Python, no global sort
+    (top-20 is the tournament). And the k-core peel must run a BOUNDED
+    number of rounds on the real graph (fixpoint reached, not max_rounds
+    exhausted) — asserted by the query simply completing with the same
+    survivors under a tiny max_rounds budget."""
+    from hinbox_spark.operators.graph import kcore
+    from hinbox_spark.plans.queries import (
+        _purchase_edges,
+        q_events_type_bigrams,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    big = _plan(q_events_type_bigrams(spark, sf))
+    assert "BatchEvalPython" not in big and "ArrowEvalPython" not in big
+    assert "TakeOrderedAndProject" in big
+    assert "partial_count" in big  # map-side combine on transitions
+
+    import pyspark.sql.functions as F
+
+    e = _purchase_edges(spark, sf)
+    bip = e.select(
+        F.concat(F.lit("c:"), F.col("custkey")).alias("src"),
+        F.concat(F.lit("s:"), F.col("suppkey")).alias("dst"),
+    )
+    full = sorted(map(tuple, kcore(bip, k=8).collect()))
+    capped = sorted(map(tuple, kcore(bip, k=8, max_rounds=5).collect()))
+    assert full == capped  # the dense graph peels to fixpoint in ≤5 rounds
