@@ -122,6 +122,26 @@ def publish_without_overwrite(spark: SparkSession, src: str, dst: str) -> bool:
     return bool(fs.rename(s, d))
 
 
+def publish_dir_without_overwrite(
+    spark: SparkSession, src: str, dst: str
+) -> bool:
+    """Directory variant of publish_without_overwrite: move a fully-written
+    staging DIRECTORY to its final name, returning False when dst already
+    exists. POSIX forbids hard links to directories, so the file-side
+    os.link trick is unavailable — this is exists-precheck + rename, atomic
+    on HDFS (rename-without-overwrite) and best-effort on file:/S3A. Fine
+    for single-writer commit protocols (a foreachBatch sink runs its
+    epochs serially); multi-writer protocols must commit through a FILE
+    marker (publish_without_overwrite) and treat the directory as payload.
+    The staging dir is left in place when dst wins the race (caller
+    deletes it)."""
+    fs, s = _fs_and_path(spark, src)
+    _, d = _fs_and_path(spark, dst)
+    if fs.exists(d):
+        return False
+    return bool(fs.rename(s, d))
+
+
 def mtime(spark: SparkSession, path: str) -> int:
     """Modification time of `path` in epoch millis (Hadoop FS)."""
     fs, p = _fs_and_path(spark, path)
