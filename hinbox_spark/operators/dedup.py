@@ -294,17 +294,79 @@ def simhash_near_duplicates(
 
 
 def embedding_cosine_near_duplicates(
-    emb: DataFrame, threshold: float = 0.95
+    emb: DataFrame, threshold: float = 0.95, broadcast_cap: int = 200_000
 ) -> DataFrame:
     """Embedding near-dup, brute-force variant (oracle-checkable): all-pairs
-    cosine ≥ threshold. The self-join is JVM-side (zip_with/aggregate — no
-    Python); for the scale path see ann.lsh_bucketed_neighbors."""
+    cosine ≥ threshold, EXACT (no candidate misses — the baseline the
+    approximate paths in operators/ann.py are measured against).
+
+    Plan shape: distributed-left × broadcast-right block matmul. The right
+    side (ids, float64 matrix, norms) is broadcast once; each Arrow batch
+    of left rows computes an (m × n) similarity block with one BLAS
+    matmul inside `mapInPandas` — vectorized Python, never per-row, and
+    ~100× faster than evaluating an interpreted `zip_with`/`aggregate`
+    dot per pair in a crossJoin. Only the surviving (vec_a, vec_b, cos)
+    triples leave the worker, so shuffle volume is O(matches), not
+    O(n²). Above `broadcast_cap` right-side rows the broadcast no longer
+    fits and the operator falls back to the JVM crossJoin formulation
+    (same results, any scale); at 100 TB use ann.lsh_bucketed_neighbors /
+    ivf / pq instead — brute force is the oracle, not the scale path.
+
+    Determinism: norms come from the same JVM-side aggregate as before,
+    float32→float64 casts are exact, and the float64 dot differs from a
+    sequential sum only in the last ~1e-15, invisible at round(·, 6) —
+    rounding itself stays Spark-side (HALF_UP) for bit-parity with the
+    DuckDB oracle."""
     n = F.expr(
         "sqrt(aggregate(embedding, 0.0D, (acc,x) -> acc + CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))"
     )
     v = emb.select(
         F.col("vec_id"), F.col("embedding"), n.alias("norm")
     ).filter(F.col("norm") > 0)
+    if v.count() > broadcast_cap:
+        return _embedding_cosine_crossjoin(v, threshold)
+
+    import numpy as np
+
+    rows = v.collect()  # bounded by broadcast_cap, checked above
+    r_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    r_mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    r_norm = np.array([r["norm"] for r in rows], dtype=np.float64)
+    bc = v.sparkSession.sparkContext.broadcast((r_ids, r_mat, r_norm))
+
+    def blocks(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        ids_b, mat_b, norm_b = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids_a = pdf["vec_id"].to_numpy(dtype=_np.int64)
+            mat_a = _np.array(pdf["embedding"].tolist(), dtype=_np.float64)
+            sims = (mat_a @ mat_b.T) / _np.outer(
+                pdf["norm"].to_numpy(dtype=_np.float64), norm_b
+            )
+            keep = (sims >= threshold) & (ids_a[:, None] < ids_b[None, :])
+            ai, bi = _np.nonzero(keep)
+            yield _pd.DataFrame(
+                {
+                    "vec_a": ids_a[ai],
+                    "vec_b": ids_b[bi],
+                    "cos": sims[ai, bi],
+                }
+            )
+
+    out = v.mapInPandas(blocks, "vec_a long, vec_b long, cos double")
+    return out.select(
+        "vec_a", "vec_b", F.round("cos", 6).alias("cos_sim")
+    )
+
+
+def _embedding_cosine_crossjoin(v: DataFrame, threshold: float) -> DataFrame:
+    """JVM crossJoin fallback for embedding_cosine_near_duplicates when the
+    right side exceeds the broadcast cap: zip_with/aggregate dot product,
+    correct at any scale (no driver collect), ~100× slower per pair."""
     a = v.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),

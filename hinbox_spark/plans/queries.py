@@ -3891,39 +3891,28 @@ def q_copurchase_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KG link prediction over the bipartite purchase graph: rank customer
     pairs by the Jaccard similarity of their supplier neighborhoods —
     the common-neighbors score a KG-completion pass uses to propose
-    missing same-as / related-to edges between entity nodes. Candidate
-    generation is BLOCKING BY SHARED SUPPLIER (pairs come from the
-    per-supplier self-join, never the |V|² cross product), the same
-    shape as the pipeline's J5 lexical blocking; degrees ride a tiny
-    broadcast. At web scale the per-supplier bucket gets the dedup
-    family's cap (`capped_bucket_entries`) and the neighbor sets become
-    MinHash signatures — this exact-Jaccard query is the oracle-scoped
-    re-rank those share. The Jaccard is a ratio of the SAME integers in
-    both engines, so IEEE division makes the ordering bit-identical."""
-    e = _purchase_edges(spark, sf_dir)
-    deg = e.groupBy("custkey").agg(F.count("*").alias("deg"))
-    a = e.select(F.col("custkey").alias("cust_a"), "suppkey")
-    b = e.select(F.col("custkey").alias("cust_b"), "suppkey")
-    shared = (
-        a.join(b, "suppkey")
-        .filter(F.col("cust_a") < F.col("cust_b"))
-        .groupBy("cust_a", "cust_b")
-        .agg(F.count("*").alias("n_shared"))
+    missing same-as / related-to edges between entity nodes. Runs on
+    operators/graph.neighbor_jaccard_topk: n_shared is the Gram matrix
+    A·Aᵀ of the customer × supplier incidence matrix, computed as a
+    broadcast-block float32 GEMM with per-block local top-k — no Σ deg²
+    pair shuffle (172M rows at sf0.1 under the naive per-supplier
+    self-join). Past the dense cap the operator falls back to the
+    packed-pair-key counting join; at web scale the MinHash variant
+    below is the candidate generator and this exact form the bounded
+    re-rank. The Jaccard is a ratio of the SAME integers in both
+    engines, so IEEE division makes the ordering bit-identical."""
+    from hinbox_spark.operators.graph import neighbor_jaccard_topk
+
+    top = neighbor_jaccard_topk(
+        _purchase_edges(spark, sf_dir), "custkey", "suppkey", k=15
     )
-    da = F.broadcast(deg.select(F.col("custkey").alias("cust_a"),
-                                F.col("deg").alias("deg_a")))
-    db = F.broadcast(deg.select(F.col("custkey").alias("cust_b"),
-                                F.col("deg").alias("deg_b")))
-    jac = F.col("n_shared") / (
-        F.col("deg_a") + F.col("deg_b") - F.col("n_shared")
-    ).cast("double")
-    return (
-        shared.join(da, "cust_a").join(db, "cust_b")
-        .withColumn("jaccard", jac)
-        .orderBy(F.desc("jaccard"), F.asc("cust_a"), F.asc("cust_b"))
-        .select("cust_a", "cust_b", "n_shared", "deg_a", "deg_b",
-                F.round("jaccard", 6).alias("jaccard"))
-        .limit(15)
+    return top.select(
+        F.col("key_a").alias("cust_a"),
+        F.col("key_b").alias("cust_b"),
+        "n_shared",
+        "deg_a",
+        "deg_b",
+        F.round("jaccard", 6).alias("jaccard"),
     )
 
 

@@ -323,3 +323,38 @@ def test_copurchase_kcore_query_matches_reference(spark):
     want_top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
     assert sorted(got.items(), key=lambda kv: (-kv[1], kv[0])) == want_top
     assert 0 < len(want) < len({n for e in edges for n in e})  # non-trivial
+
+
+def test_neighbor_jaccard_topk_dense_and_fallback_agree(spark):
+    """The broadcast-GEMM dense path and the packed-pair-key counting-join
+    fallback are the SAME operator contract: forcing the fallback with a
+    tiny dense cap (and separately a tiny edge cap, the driver-collect
+    bound) must reproduce the dense path's rows bit-for-bit, including
+    the (jaccard desc, key_a, key_b) order and the IEEE-exact jaccard."""
+    from hinbox_spark.operators.graph import neighbor_jaccard_topk
+
+    edges = [
+        (c, s)
+        for c in range(1, 13)
+        for s in range(1, 9)
+        if (c * 7 + s * 13) % 3 != 0 or c == s
+    ]
+    df = spark.createDataFrame(edges, "custkey long, suppkey long")
+    dense = neighbor_jaccard_topk(df, "custkey", "suppkey", k=10).collect()
+    by_cells = neighbor_jaccard_topk(
+        df, "custkey", "suppkey", k=10, dense_cap_cells=4
+    ).collect()
+    by_edges = neighbor_jaccard_topk(
+        df, "custkey", "suppkey", k=10, edge_cap=4
+    ).collect()
+    assert [tuple(r) for r in dense] == [tuple(r) for r in by_cells]
+    assert [tuple(r) for r in dense] == [tuple(r) for r in by_edges]
+    assert len(dense) == 10
+    # jaccard really is |shared| / |union| of the two neighbor sets
+    nbrs = {}
+    for c, s in edges:
+        nbrs.setdefault(c, set()).add(s)
+    for r in dense:
+        a, b = nbrs[r["key_a"]], nbrs[r["key_b"]]
+        assert r["n_shared"] == len(a & b) > 0
+        assert r["jaccard"] == len(a & b) / len(a | b)

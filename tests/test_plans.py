@@ -696,9 +696,13 @@ def test_round5b_training_queries_match_duckdb_and_plan_shapes(spark):
     sf = "/root/testdata/sf0.001"
 
     lp = _plan(q_copurchase_link_prediction(spark, sf))
-    # degrees ride broadcasts; the only shuffle joins are the per-supplier
-    # candidate self-join's inputs — never a |V|² cross product
-    assert "BroadcastHashJoin" in lp and "CartesianProduct" not in lp
+    # dense GEMM path: the incidence matrix rides a broadcast variable and
+    # the Gram blocks run inside mapInPandas — NO pair shuffle, no join of
+    # any kind, and certainly no |V|² cross product; the only exchange is
+    # |blocks|·k candidate rows into the global top-k
+    assert "CartesianProduct" not in lp
+    assert "SortMergeJoin" not in lp and "BroadcastHashJoin" not in lp
+    assert "MapInPandas" in lp and "TakeOrderedAndProject" in lp
 
     qc = _plan(q_doc_quality_classifier(spark, sf))
     assert "BatchEvalPython" not in qc and "ArrowEvalPython" not in qc
