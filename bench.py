@@ -120,6 +120,9 @@ HEADLINE = [
     "corpus_bpe_merges",
     "copurchase_kcore",
     "events_type_bigrams",
+    "ann_ivfpq_topk",
+    "er_cluster_quality",
+    "copurchase_communities",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "20000"))

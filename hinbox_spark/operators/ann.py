@@ -374,6 +374,7 @@ def pq_fit_codebooks(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    coarse: np.ndarray | None = None,
 ) -> np.ndarray:
     """Deterministic product-quantization codebooks: split the vector into
     `m` subspaces of dim/m floats, k-means each subspace with `ksub`
@@ -390,6 +391,12 @@ def pq_fit_codebooks(
     scheduling. Init = the `ksub` vectors with the smallest
     xxhash64(id) (TakeOrdered k-heap — no global sort), each split into
     its m subvectors. Returns array shape (m, ksub, dim//m), float32.
+
+    With `coarse` (an IVF centroid table, shape (n_centroids, dim)) the
+    codebooks are fit on RESIDUALS — each vector minus its nearest coarse
+    centroid — which is the FAISS IVFADC composition `ivfpq_topk` uses:
+    residuals have far less variance than raw vectors, so the same m-byte
+    budget quantizes them much more accurately.
     """
     dsub = dim // m
     assert m * dsub == dim, "dim must divide evenly into m subspaces"
@@ -400,6 +407,13 @@ def pq_fit_codebooks(
         .collect()
     )
     seeds = np.array([r[vec_col] for r in seed_rows], dtype=np.float32)
+    if coarse is not None:
+        d2 = (
+            (seeds * seeds).sum(1)[:, None]
+            - 2.0 * (seeds @ coarse.T)
+            + (coarse * coarse).sum(1)[None, :]
+        )
+        seeds = seeds - coarse[d2.argmin(axis=1)]
     books = np.stack(
         [seeds[:, j * dsub:(j + 1) * dsub] for j in range(m)]
     )  # (m, ksub, dsub)
@@ -413,6 +427,13 @@ def pq_fit_codebooks(
         def _partials(batches):
             for pdf in batches:
                 mat = np.array(pdf["__v"].tolist(), dtype=np.float32)
+                if coarse is not None:
+                    cd2 = (
+                        (mat * mat).sum(1)[:, None]
+                        - 2.0 * (mat @ coarse.T)
+                        + (coarse * coarse).sum(1)[None, :]
+                    )
+                    mat = mat - coarse[cd2.argmin(axis=1)]
                 # stable batch key: smallest id in the batch (ids are
                 # unique, so keys are distinct and scheduling-independent)
                 key = str(pdf["__id"].min())
@@ -546,6 +567,151 @@ def pq_topk(
     # survivors is O(queries × k·refine) — BROADCAST it so the exact
     # re-rank is a map-side hash join probing the (huge) corpus scan,
     # never a shuffle of the corpus on neighbor_id
+    rer = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+        .join(F.broadcast(survivors), "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qvec, embedding, (a, b) ->"
+        " CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+    )
+    nq = F.expr(
+        "sqrt(aggregate(qvec, 0.0D, (acc,x) -> acc + CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))"
+    )
+    nc = F.expr(
+        "sqrt(aggregate(embedding, 0.0D, (acc,x) -> acc + CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        rer.filter((nq > 0) & (nc > 0))
+        .withColumn("cos", dot / (nq * nc))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos_sim"))
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    m: int = 8,
+    ksub: int = 32,
+    iters: int = 3,
+    dim: int = 64,
+    refine: int = 16,
+) -> DataFrame:
+    """IVF-PQ (FAISS IVFADC) ANN top-k — the composition of the two scale
+    levers that actually ships at 10¹² vectors: an IVF coarse quantizer
+    restricts each query's scan to n_probe/n_centroids of the corpus, and
+    product-quantized RESIDUAL codes (vector − its cell centroid) make
+    that scan read m bytes per vector instead of 4·dim. Candidates are
+    scored by asymmetric distance computed entirely from lookup tables:
+
+        dot(q, v) ≈ dot(q, c_cell) + Σⱼ dot(qⱼ, bookⱼ[codeⱼ])
+        ‖v‖²      ≈ ‖c_cell‖² + 2 Σⱼ dot(c_cellⱼ, bookⱼ[codeⱼ])
+                    + Σⱼ ‖bookⱼ[codeⱼ]‖²
+
+    so the per-row work is m table lookups — no float vector is touched
+    until the exact re-rank. All LUTs ((Q × n_centroids) query·centroid
+    dots, (Q × m × ksub) residual dots, (n_centroids × m × ksub)
+    centroid·book cross terms) are closure state of a single mapInPandas
+    corpus scan that emits only its per-batch top-(k·refine) per query —
+    the same partial-tournament shuffle bound as pq_topk — followed by
+    the broadcast-survivor exact cosine re-rank. Residual coding beats
+    raw-vector PQ at equal bytes because residual variance is a fraction
+    of vector variance (recall pinned vs brute force in tests).
+
+    Returns (query_id, rank, neighbor_id, cos_sim) — the shared ANN
+    contract, zero-norm vectors excluded. Deterministic: fixed seeds,
+    hash-ordered k-means init, scheduling-independent codebook folds."""
+    dsub = dim // m
+    centroids = ivf_fit_centroids(emb, n_centroids, iters, dim)
+    books = pq_fit_codebooks(emb, m, ksub, iters, dim, coarse=centroids)
+    qrows = queries.select("query_id", "qvec").collect()
+    qids = np.array([r["query_id"] for r in qrows])
+    qmat = np.array([r["qvec"] for r in qrows], dtype=np.float32)
+    qnorm = np.sqrt((qmat * qmat).sum(1))
+    # probe list per query: n_probe nearest centroids by L2
+    qd2 = (
+        (qmat * qmat).sum(1)[:, None]
+        - 2.0 * (qmat @ centroids.T)
+        + (centroids * centroids).sum(1)[None, :]
+    )
+    probes = np.argsort(qd2, axis=1)[:, :n_probe]  # (Q, n_probe)
+    qc = qmat @ centroids.T  # (Q, n_centroids): dot(q, c_cell)
+    lutr = np.stack(
+        [qmat[:, j * dsub:(j + 1) * dsub] @ books[j].T for j in range(m)],
+        axis=1,
+    )  # (Q, m, ksub): dot(q_j, book_j[c])
+    # centroid/code cross terms and code norms for the ‖v‖² estimate
+    csub = centroids.reshape(n_centroids, m, dsub)
+    cb = np.einsum("cjd,jkd->cjk", csub, books)  # (n_centroids, m, ksub)
+    rnorm2 = (books * books).sum(axis=2)  # (m, ksub)
+    cnorm2 = (centroids * centroids).sum(axis=1)  # (n_centroids,)
+    keep = k * refine
+    jj = np.arange(m)[None, :]
+
+    def _scan(batches):
+        for pdf in batches:
+            mat = np.array(pdf["__v"].tolist(), dtype=np.float32)
+            ids = pdf["__id"].to_numpy()
+            d2 = (
+                (mat * mat).sum(1)[:, None]
+                - 2.0 * (mat @ centroids.T)
+                + cnorm2[None, :]
+            )
+            cells = d2.argmin(axis=1)
+            res = mat - centroids[cells]
+            codes = np.empty((mat.shape[0], m), dtype=np.int64)
+            for j in range(m):
+                sub = res[:, j * dsub:(j + 1) * dsub]
+                sd2 = (
+                    (sub * sub).sum(1)[:, None]
+                    - 2.0 * (sub @ books[j].T)
+                    + rnorm2[j][None, :]
+                )
+                codes[:, j] = sd2.argmin(axis=1)
+            # ‖v‖² estimate from cell + codes only (lookup arithmetic)
+            approx_n2 = (
+                cnorm2[cells]
+                + 2.0 * cb[cells[:, None], jj, codes].sum(1)
+                + rnorm2[jj, codes].sum(1)
+            )
+            approx_n = np.sqrt(np.maximum(approx_n2, 0.0))
+            rows = []
+            for qi in range(len(qids)):
+                if qnorm[qi] == 0:
+                    continue
+                sel = np.isin(cells, probes[qi])  # IVF cell restriction
+                sel &= ids != qids[qi]
+                sel &= approx_n > 0
+                idx = np.nonzero(sel)[0]
+                if len(idx) == 0:
+                    continue
+                adc = qc[qi, cells[idx]] + lutr[qi][jj, codes[idx]].sum(1)
+                score = adc / (qnorm[qi] * approx_n[idx])
+                order = np.argsort(-score)[:keep]
+                for t, s in zip(idx[order], score[order]):
+                    rows.append((int(qids[qi]), int(ids[t]), float(s)))
+            yield pd.DataFrame(
+                rows, columns=["query_id", "neighbor_id", "adc"]
+            )
+
+    cand = (
+        emb.select(F.col("vec_id").alias("__id"), F.col("embedding").alias("__v"))
+        .mapInPandas(_scan, "query_id long, neighbor_id long, adc double")
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    survivors = (
+        cand.withColumn("r", F.row_number().over(wk))
+        .filter(F.col("r") <= keep)
+        .select("query_id", "neighbor_id")
+    )
+    qdf = queries.select("query_id", "qvec")
     rer = (
         emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
         .join(F.broadcast(survivors), "neighbor_id")

@@ -147,3 +147,105 @@ def _distributed_components(
         prev_sig = sig
 
     return labels.unionByName(isolated)
+
+
+def pairwise_cluster_quality(
+    assign: DataFrame, pred_col: str = "pred", gold_col: str = "gold"
+) -> DataFrame:
+    """Pairwise precision/recall/F1 of a predicted clustering against gold
+    labels — the standard entity-resolution / dedup evaluation, computed
+    at corpus scale from the contingency table (never by materializing
+    item pairs, which is Σ n² rows).
+
+    TP = Σ_ij C(n_ij, 2) over the (pred, gold) contingency cells;
+    predicted pairs = Σ_i C(n_i·, 2); gold pairs = Σ_j C(n_·j, 2).
+    precision = TP/pred_pairs, recall = TP/gold_pairs, and F1 simplifies
+    to 2·TP/(pred_pairs + gold_pairs) — each a SINGLE IEEE division of
+    two exact integers, so the result is bit-identical across engines
+    (the pair counts use integer `div`, exact up to 2⁶³ where a double
+    sum would lose precision past 2⁵³).
+
+    Scale shape: one groupBy(pred, gold) shuffle with map-side combine
+    (cells ≤ distinct pred × gold actually co-occurring), then three
+    single-row scalar aggregates over cell counts — no pair rows, no
+    collect. Returns one row:
+    (n_items, tp_pairs, pred_pairs, gold_pairs, precision, recall, f1).
+    """
+    cont = assign.groupBy(pred_col, gold_col).agg(F.count("*").alias("n"))
+    cells = cont.select(
+        F.col("n"),
+        F.expr("n * (n - 1) div 2").alias("tp_part"),
+    )
+    per_pred = (
+        cont.groupBy(pred_col)
+        .agg(F.sum("n").alias("np"))
+        .select(F.expr("np * (np - 1) div 2").alias("pp_part"))
+    )
+    per_gold = (
+        cont.groupBy(gold_col)
+        .agg(F.sum("n").alias("ng"))
+        .select(F.expr("ng * (ng - 1) div 2").alias("gp_part"))
+    )
+    scalars = (
+        cells.agg(
+            F.sum("n").alias("n_items"), F.sum("tp_part").alias("tp_pairs")
+        )
+        .crossJoin(per_pred.agg(F.sum("pp_part").alias("pred_pairs")))
+        .crossJoin(per_gold.agg(F.sum("gp_part").alias("gold_pairs")))
+    )
+    return scalars.select(
+        "n_items",
+        "tp_pairs",
+        "pred_pairs",
+        "gold_pairs",
+        (F.col("tp_pairs") / F.col("pred_pairs").cast("double")).alias(
+            "precision"
+        ),
+        (F.col("tp_pairs") / F.col("gold_pairs").cast("double")).alias(
+            "recall"
+        ),
+        (
+            (F.lit(2) * F.col("tp_pairs"))
+            / (F.col("pred_pairs") + F.col("gold_pairs")).cast("double")
+        ).alias("f1"),
+    )
+
+
+def b3_cluster_quality(
+    assign: DataFrame, pred_col: str = "pred", gold_col: str = "gold"
+) -> DataFrame:
+    """B-cubed precision/recall/F1 — the per-ITEM clustering metric (each
+    item scores |its pred cluster ∩ its gold class| over its cluster /
+    class size; the corpus score is the mean). Less pair-count-dominated
+    than pairwise P/R on skewed cluster sizes, which is why ER papers
+    report both.
+
+    Same contingency-table shape as pairwise_cluster_quality: B³
+    precision = (1/N) Σ_ij n_ij²/n_i·, recall = (1/N) Σ_ij n_ij²/n_·j —
+    one groupBy shuffle, two broadcast joins of per-cluster/per-class
+    sizes onto the cells, one scalar aggregate. Floating sums over cells
+    are order-dependent in the last ulp, so this is pytest-pinned vs an
+    independent reference rather than hash-oracled."""
+    cont = assign.groupBy(pred_col, gold_col).agg(F.count("*").alias("n"))
+    sizes_p = cont.groupBy(pred_col).agg(F.sum("n").alias("np"))
+    sizes_g = cont.groupBy(gold_col).agg(F.sum("n").alias("ng"))
+    cells = cont.join(F.broadcast(sizes_p), pred_col).join(
+        F.broadcast(sizes_g), gold_col
+    )
+    agg = cells.agg(
+        F.sum("n").alias("n_items"),
+        F.sum(
+            F.col("n") * F.col("n") / F.col("np").cast("double")
+        ).alias("p_sum"),
+        F.sum(
+            F.col("n") * F.col("n") / F.col("ng").cast("double")
+        ).alias("r_sum"),
+    )
+    p = F.col("p_sum") / F.col("n_items")
+    r = F.col("r_sum") / F.col("n_items")
+    return agg.select(
+        "n_items",
+        p.alias("b3_precision"),
+        r.alias("b3_recall"),
+        (2 * p * r / (p + r)).alias("b3_f1"),
+    )

@@ -268,3 +268,46 @@ def _neighbor_jaccard_topk_join(
         .select("key_a", "key_b", "n_shared", "deg_a", "deg_b", "jaccard")
         .limit(k)
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Deterministic synchronous label propagation (community detection):
+    label₀(v) = v; labelₜ₊₁(v) = the label most frequent among v's
+    neighbors at step t, ties broken by MIN label. Fixed `iters` rounds —
+    the run is a pure function of the edge set (no RNG, no scheduling
+    dependence), so the unrolled computation is SQL-expressible and the
+    registered query is hash-checked against a DuckDB oracle.
+
+    Scale shape per round: one join of the (node, label) table onto the
+    directed-both-ways edge list (shuffle on node id), one
+    groupBy(node, label) count with map-side combine, one min_by argmax —
+    all JVM column ops; the label table is localCheckpoint'd each round
+    so the plan stays O(1) in `iters` (the PageRank pattern). Returns
+    (node, label) for every endpoint of `edges`. Isolated nodes don't
+    exist by construction (every node has ≥1 edge)."""
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = und.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(iters):
+        nbr = und.join(
+            labels.withColumnRenamed("node", "b"), "b"
+        ).select(F.col("a").alias("node"), "label")
+        counts = nbr.groupBy("node", "label").agg(F.count("*").alias("c"))
+        # argmax by (count desc, label asc): min_by over (-c, label)
+        labels = counts.groupBy("node").agg(
+            F.expr("min_by(label, struct(-c, label))").alias("label")
+        ).localCheckpoint(eager=False)
+    return labels

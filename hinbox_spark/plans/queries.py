@@ -1012,6 +1012,25 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(e, q, k=5, m=8, ksub=32, iters=2, refine=16)
 
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (FAISS IVFADC) ANN top-5 — the composed scale path: coarse
+    cells restrict each query's scan to n_probe/n_centroids of the corpus
+    AND residual PQ codes make that scan read m bytes per vector, scored
+    purely from lookup tables. Non-SQL-expressible (two learned
+    quantizers + ADC); rows-only driver check; recall ≥0.8 vs brute force
+    pinned in tests/test_ann.py."""
+    from hinbox_spark.operators.ann import ivfpq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ivfpq_topk(
+        e, q, k=5, n_centroids=32, n_probe=8, m=8, ksub=32, iters=2,
+        refine=16,
+    )
+
+
 def q_emb_near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed embedding near-dup threshold pairs — the scale path of
     emb_near_dup_pairs (which stays the brute-force oracle). Non-SQL-
@@ -4453,6 +4472,116 @@ LIMIT 20
 """
 
 
+def q_er_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution evaluation: pairwise precision/recall/F1 of a
+    predicted clustering against gold labels, computed from the
+    (pred, gold) contingency table — never from materialized item pairs
+    (Σ n² rows; the contingency form is one map-side-combinable groupBy).
+    The demo assignment buckets embeddings by the sign pattern of their
+    first three components (SQL-expressible, so the METRIC itself is
+    hash-oracled end to end); the pipeline applies the same operator to
+    its linking clusters vs pages_gen gold in tests. All pair counts are
+    exact integers (`div` 2, not float), and each emitted ratio is ONE
+    IEEE division of two integers — bit-identical across engines."""
+    from hinbox_spark.operators.clustering import pairwise_cluster_quality
+
+    e = _t(spark, sf_dir, "embeddings")
+    assign = e.select(
+        (
+            (F.col("embedding")[0] > 0).cast("int") * 4
+            + (F.col("embedding")[1] > 0).cast("int") * 2
+            + (F.col("embedding")[2] > 0).cast("int")
+        ).alias("pred"),
+        F.col("label").alias("gold"),
+    )
+    return pairwise_cluster_quality(assign)
+
+
+ORACLE_ER_CLUSTER_QUALITY = """
+WITH a AS (
+  SELECT CAST(embedding[1] > 0 AS INT) * 4
+       + CAST(embedding[2] > 0 AS INT) * 2
+       + CAST(embedding[3] > 0 AS INT) AS pred,
+         label AS gold
+  FROM embeddings
+),
+c AS (SELECT pred, gold, count(*) AS n FROM a GROUP BY pred, gold),
+tp AS (SELECT CAST(sum(n) AS BIGINT) AS n_items,
+              CAST(sum(n * (n - 1) // 2) AS BIGINT) AS tp_pairs FROM c),
+pp AS (SELECT CAST(sum(np * (np - 1) // 2) AS BIGINT) AS pred_pairs
+       FROM (SELECT sum(n) AS np FROM c GROUP BY pred)),
+gp AS (SELECT CAST(sum(ng * (ng - 1) // 2) AS BIGINT) AS gold_pairs
+       FROM (SELECT sum(n) AS ng FROM c GROUP BY gold))
+SELECT n_items, tp_pairs, pred_pairs, gold_pairs,
+       tp_pairs / CAST(pred_pairs AS DOUBLE) AS "precision",
+       tp_pairs / CAST(gold_pairs AS DOUBLE) AS recall,
+       2 * tp_pairs / CAST(pred_pairs + gold_pairs AS DOUBLE) AS f1
+FROM tp, pp, gp
+"""
+
+
+def q_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the purchase graph: 3 rounds of
+    DETERMINISTIC synchronous label propagation (most-frequent neighbor
+    label, ties to MIN label), then the 20 largest communities. Because
+    the operator is a pure function of the edge set — no RNG, no
+    scheduling dependence — the unrolled iteration is SQL-expressible
+    and this query is hash-checked against a DuckDB oracle (the only
+    other distributed-community op in the suite, connected components,
+    finds 1 giant component here; LPA recovers finer structure).
+    Per-round cost: one node-keyed join + one counting groupBy, plan
+    kept O(1) in rounds via localCheckpoint (the PageRank discipline)."""
+    from hinbox_spark.operators.graph import label_propagation
+
+    e = _purchase_edges(spark, sf_dir).select(
+        F.concat(F.lit("c:"), F.col("custkey")).alias("src"),
+        F.concat(F.lit("s:"), F.col("suppkey")).alias("dst"),
+    )
+    labels = label_propagation(e, iters=3)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count("*").alias("n_nodes"))
+        .orderBy(F.desc("n_nodes"), F.asc("community"))
+        .limit(20)
+    )
+
+
+ORACLE_COPURCHASE_COMMUNITIES = """
+WITH e0 AS (
+  SELECT DISTINCT 'c:' || o_custkey AS a, 's:' || l_suppkey AS b
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+und AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+l0 AS (SELECT DISTINCT a AS node, a AS label FROM und),
+c1 AS (SELECT u.a AS node, l.label, count(*) AS c
+       FROM und u JOIN l0 l ON u.b = l.node GROUP BY u.a, l.label),
+l1 AS (SELECT node, label FROM (
+         SELECT node, label,
+                row_number() OVER (PARTITION BY node
+                                   ORDER BY c DESC, label ASC) AS rn
+         FROM c1) WHERE rn = 1),
+c2 AS (SELECT u.a AS node, l.label, count(*) AS c
+       FROM und u JOIN l1 l ON u.b = l.node GROUP BY u.a, l.label),
+l2 AS (SELECT node, label FROM (
+         SELECT node, label,
+                row_number() OVER (PARTITION BY node
+                                   ORDER BY c DESC, label ASC) AS rn
+         FROM c2) WHERE rn = 1),
+c3 AS (SELECT u.a AS node, l.label, count(*) AS c
+       FROM und u JOIN l2 l ON u.b = l.node GROUP BY u.a, l.label),
+l3 AS (SELECT node, label FROM (
+         SELECT node, label,
+                row_number() OVER (PARTITION BY node
+                                   ORDER BY c DESC, label ASC) AS rn
+         FROM c3) WHERE rn = 1)
+SELECT label AS community, count(*) AS n_nodes
+FROM l3
+GROUP BY label
+ORDER BY n_nodes DESC, community ASC
+LIMIT 20
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -4491,6 +4620,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "large_order_customers": q_large_order_customers,
     "idle_rich_customers": q_idle_rich_customers,
     "purchase_graph_degrees": q_purchase_graph_degrees,
+    "er_cluster_quality": q_er_cluster_quality,
+    "copurchase_communities": q_copurchase_communities,
     "customers_sharing_suppliers": q_customers_sharing_suppliers,
     # round-4 additions
     "click_asof_purchase": q_click_asof_purchase,
@@ -4551,6 +4682,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_minhash_near_dups": q_doc_minhash_near_dups,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "emb_near_dup_pairs_lsh": q_emb_near_dup_pairs_lsh,
     "doc_simhash_near_dups": q_doc_simhash_near_dups,
     "copurchase_reach_hll": q_copurchase_reach_hll,
@@ -4599,6 +4731,8 @@ ORACLE_QUERIES: dict[str, str] = {
     "large_order_customers": ORACLE_LARGE_ORDERS,
     "idle_rich_customers": ORACLE_IDLE_RICH,
     "purchase_graph_degrees": ORACLE_GRAPH_DEGREES,
+    "er_cluster_quality": ORACLE_ER_CLUSTER_QUALITY,
+    "copurchase_communities": ORACLE_COPURCHASE_COMMUNITIES,
     "customers_sharing_suppliers": ORACLE_SHARED_SUPPLIERS,
     "click_asof_purchase": ORACLE_CLICK_ASOF,
     "nation_trade_volume": ORACLE_NATION_TRADE,

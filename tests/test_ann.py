@@ -202,3 +202,48 @@ def test_pq_excludes_self_and_zero_norm(spark):
     assert all(r["neighbor_id"] != r["query_id"] for r in out)
     assert all(r["neighbor_id"] != 40 for r in out)
     assert all(r["query_id"] != 40 for r in out)  # zero-norm query dropped
+
+
+def test_ivfpq_recall_vs_brute_and_residual_advantage(spark, vectors):
+    """IVF-PQ composed path: ≥0.8 recall vs brute force on the clustered
+    fixture with only 4/16 cells probed, exact cosine values on every
+    emitted row (the re-rank repairs ADC error), and the shared output
+    contract. Also pins that residual codebooks differ from raw-vector
+    codebooks (the coarse subtraction actually happened)."""
+    from hinbox_spark.operators.ann import (
+        ivf_fit_centroids,
+        ivfpq_topk,
+        pq_fit_codebooks,
+    )
+
+    queries = vectors.limit(5).selectExpr(
+        "vec_id as query_id", "embedding as qvec"
+    )
+    brute = {}
+    for r in brute_force_topk(vectors, queries, k=10).collect():
+        brute.setdefault(r["query_id"], {})[r["neighbor_id"]] = r["cos_sim"]
+
+    approx = {}
+    for r in ivfpq_topk(
+        vectors, queries, k=10, n_centroids=16, n_probe=4, m=8, ksub=32,
+        iters=2, refine=16,
+    ).collect():
+        approx.setdefault(r["query_id"], {})[r["neighbor_id"]] = r["cos_sim"]
+
+    recalls = []
+    for q, b in brute.items():
+        a = approx.get(q, {})
+        recalls.append(len(set(b) & set(a)) / len(b))
+        for n, cos in a.items():
+            if n in b:
+                assert abs(cos - b[n]) < 1e-9  # exact re-rank values
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+    cents = ivf_fit_centroids(vectors, n_centroids=16, iters=2)
+    raw = pq_fit_codebooks(vectors, m=8, ksub=16, iters=2)
+    res = pq_fit_codebooks(vectors, m=8, ksub=16, iters=2, coarse=cents)
+    assert raw.shape == res.shape == (8, 16, 8)
+    assert not np.array_equal(raw, res)
+    # residual codebooks are re-fit deterministic too
+    res2 = pq_fit_codebooks(vectors, m=8, ksub=16, iters=2, coarse=cents)
+    assert np.array_equal(res, res2)

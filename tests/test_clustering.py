@@ -55,3 +55,56 @@ def test_long_chain_converges(spark):
     assert set(dist.values()) == {"n00"}
     driver = _labels(_driver_union_find(nodes, edges.collect()))
     assert driver == dist
+
+
+def test_pairwise_cluster_quality_vs_independent_reference(spark):
+    """Pairwise P/R/F1 from the contingency table must equal the direct
+    pair-enumeration definition computed independently in Python."""
+    from itertools import combinations
+
+    from hinbox_spark.operators.clustering import pairwise_cluster_quality
+
+    rows = [
+        (i, f"p{i % 4}", f"g{(i * 7) % 3}") for i in range(60)
+    ] + [(100 + i, "p_big", "g_big") for i in range(25)]
+    df = spark.createDataFrame(rows, "id long, pred string, gold string")
+
+    got = pairwise_cluster_quality(df).collect()[0]
+
+    items = [(r[1], r[2]) for r in rows]
+    tp = pp = gp = 0
+    for (pa, ga), (pb, gb) in combinations(items, 2):
+        same_p, same_g = pa == pb, ga == gb
+        pp += same_p
+        gp += same_g
+        tp += same_p and same_g
+    assert got["n_items"] == len(items)
+    assert got["tp_pairs"] == tp
+    assert got["pred_pairs"] == pp
+    assert got["gold_pairs"] == gp
+    assert got["precision"] == tp / pp
+    assert got["recall"] == tp / gp
+    assert got["f1"] == 2 * tp / (pp + gp)
+
+
+def test_b3_cluster_quality_vs_independent_reference(spark):
+    """B³ P/R/F1 must match the per-item definition (each item's precision
+    = |cluster ∩ class| / |cluster|) computed independently."""
+    from hinbox_spark.operators.clustering import b3_cluster_quality
+
+    rows = [(i, f"p{i % 3}", f"g{(i * 5) % 4}") for i in range(80)]
+    df = spark.createDataFrame(rows, "id long, pred string, gold string")
+    got = b3_cluster_quality(df).collect()[0]
+
+    from collections import Counter
+
+    cl = Counter(r[1] for r in rows)
+    gl = Counter(r[2] for r in rows)
+    cell = Counter((r[1], r[2]) for r in rows)
+    n = len(rows)
+    p = sum(cell[(pc, gc)] / cl[pc] for (_, pc, gc) in rows) / n
+    r_ = sum(cell[(pc, gc)] / gl[gc] for (_, pc, gc) in rows) / n
+    assert abs(got["b3_precision"] - p) < 1e-12
+    assert abs(got["b3_recall"] - r_) < 1e-12
+    assert abs(got["b3_f1"] - 2 * p * r_ / (p + r_)) < 1e-12
+    assert got["n_items"] == n

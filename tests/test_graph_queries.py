@@ -358,3 +358,28 @@ def test_neighbor_jaccard_topk_dense_and_fallback_agree(spark):
         a, b = nbrs[r["key_a"]], nbrs[r["key_b"]]
         assert r["n_shared"] == len(a & b) > 0
         assert r["jaccard"] == len(a & b) / len(a | b)
+
+
+def test_label_propagation_recovers_planted_communities(spark):
+    """Two dense blobs joined by a single bridge edge: 3 rounds of
+    deterministic sync LPA must give every node of a blob one label, the
+    two blobs different labels, regardless of input partitioning.
+    (The registered copurchase_communities query is hash-oracled against
+    an unrolled-SQL DuckDB reference; this pins the operator's actual
+    community behavior on a graph that HAS communities — the TPC-H
+    purchase graph is too dense to.)"""
+    from hinbox_spark.operators.graph import label_propagation
+
+    blob_a = [(f"a{i}", f"a{j}") for i in range(6) for j in range(i + 1, 6)]
+    blob_b = [(f"b{i}", f"b{j}") for i in range(6) for j in range(i + 1, 6)]
+    edges = blob_a + blob_b + [("a0", "b0")]
+    for parts in (1, 7):
+        df = spark.createDataFrame(
+            edges, "src string, dst string"
+        ).repartition(parts)
+        lab = {r["node"]: r["label"]
+               for r in label_propagation(df, iters=3).collect()}
+        a_labels = {lab[f"a{i}"] for i in range(6)}
+        b_labels = {lab[f"b{i}"] for i in range(6)}
+        assert len(a_labels) == 1 and len(b_labels) == 1
+        assert a_labels != b_labels
