@@ -123,6 +123,11 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "er_cluster_quality",
     "copurchase_communities",
+    # round-5 materialized-KG consumer family
+    "kg_star_join",
+    "kg_ntriples_export",
+    "kg_functional_violations",
+    "part_name_edit_pairs",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "20000"))

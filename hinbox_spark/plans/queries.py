@@ -4582,6 +4582,239 @@ LIMIT 20
 """
 
 
+# ── Materialized-KG query family (round 5: the shapes a consumer runs
+# over the pipeline's (subj, pred, obj) output — SURVEY §2 "graph
+# materialize" downstream surface) ──
+
+
+def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived (subj, pred, obj) triple view over the relational tables —
+    the exact narrow shape `pipeline.run_pipeline` materializes as its
+    triples table (reference parity: the entities/relations the frontend
+    reads). Four predicate branches unioned; each branch is a columnar
+    scan (dimension joins broadcast), the union itself is narrow (no
+    shuffle). `placed_priority` is intentionally NOT deduplicated — one
+    triple per order — so multiplicity-sensitive consumers (functional-
+    property QC below) see real-world duplication."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    cust = F.concat(F.lit("customer/"), F.col("c_custkey"))
+    cust_nation = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(cust.alias("subj"), F.lit("in_nation").alias("pred"),
+                F.col("n_name").alias("obj"))
+    )
+    cust_seg = c.select(
+        cust.alias("subj"), F.lit("in_segment").alias("pred"),
+        F.col("c_mktsegment").alias("obj"))
+    supp_nation = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(F.concat(F.lit("supplier/"), F.col("s_suppkey")).alias("subj"),
+                F.lit("in_nation").alias("pred"),
+                F.col("n_name").alias("obj"))
+    )
+    cust_priority = o.select(
+        F.concat(F.lit("customer/"), F.col("o_custkey")).alias("subj"),
+        F.lit("placed_priority").alias("pred"),
+        F.col("o_orderpriority").alias("obj"))
+    return cust_nation.unionByName(cust_seg).unionByName(
+        supp_nation).unionByName(cust_priority)
+
+
+_ORACLE_KG_TRIPLES_CTE = """
+t AS (
+  SELECT 'customer/' || c_custkey AS subj, 'in_nation' AS pred,
+         n_name AS obj
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  UNION ALL
+  SELECT 'customer/' || c_custkey, 'in_segment', c_mktsegment
+  FROM customer
+  UNION ALL
+  SELECT 'supplier/' || s_suppkey, 'in_nation', n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  UNION ALL
+  SELECT 'customer/' || o_custkey, 'placed_priority', o_orderpriority
+  FROM orders
+)
+"""
+
+
+def q_kg_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL basic-graph-pattern star join — the canonical query over a
+    materialized KG: ?s where (?s in_nation NATION_7) AND (?s in_segment
+    BUILDING) AND (?s placed_priority 1-URGENT).
+
+    Scale plan: each pattern filters (pred, obj) literals against the
+    union view — Catalyst constant-folds the literal pred per branch, so
+    non-matching branches collapse to empty scans (pattern 1 never touches
+    orders; asserted in tests/test_plans.py). Patterns 2..k attach as
+    LEFT SEMI joins (set semantics survive triple multiplicity — an
+    URGENT repeat buyer appears once), and the pattern side is explicitly
+    broadcast: a selective pattern is dimension-sized however large the
+    triple store grows."""
+    t = _kg_triples(spark, sf_dir)
+
+    def pat(pred: str, obj: str) -> DataFrame:
+        return t.filter(
+            (F.col("pred") == pred) & (F.col("obj") == obj)).select("subj")
+
+    base = pat("in_nation", "NATION_7")
+    for pred, obj in [("in_segment", "BUILDING"),
+                      ("placed_priority", "1-URGENT")]:
+        base = base.join(F.broadcast(pat(pred, obj)), "subj", "left_semi")
+    return base.select("subj")
+
+
+ORACLE_KG_STAR_JOIN = f"""
+WITH {_ORACLE_KG_TRIPLES_CTE.strip()}
+SELECT subj FROM t WHERE pred = 'in_nation' AND obj = 'NATION_7'
+INTERSECT
+SELECT subj FROM t WHERE pred = 'in_segment' AND obj = 'BUILDING'
+INTERSECT
+SELECT subj FROM t WHERE pred = 'placed_priority' AND obj = '1-URGENT'
+"""
+
+
+def q_kg_ntriples_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical N-Triples serialization of the KG — the RDF export sink
+    (W3C N-Triples: IRI subject/predicate, escaped string-literal object,
+    ' .' terminator). Pure JVM string exprs over a distinct triple scan;
+    the bounded preview is a TakeOrderedAndProject top-k (no global
+    sort), so the driver never sees more than the cap. The full-export
+    path is the same projection written straight to text files —
+    embarrassingly parallel, zero shuffles past the distinct.
+
+    Escaping (backslash first, then quote) is the load-bearing part:
+    tests/test_plans.py pins crafted literals containing both."""
+    t = _kg_triples(spark, sf_dir).distinct()
+    return (
+        t.select(ntriples_line("subj", "pred", "obj").alias("line"))
+        .orderBy("line")
+        .limit(100)
+    )
+
+
+def ntriples_line(subj: str, pred: str, obj: str) -> F.Column:
+    """W3C N-Triples line from (subj, pred, obj) string columns. Object
+    literals escape backslash FIRST, then double-quote (the order is what
+    keeps `a\\"b` unambiguous on re-parse). Pure JVM exprs — usable
+    directly as the projection of a full text-file export."""
+    esc = F.replace(
+        F.replace(F.col(obj), F.lit("\\"), F.lit("\\\\")),
+        F.lit('"'), F.lit('\\"'))
+    return F.concat(
+        F.lit("<http://kg.local/"), F.col(subj),
+        F.lit("> <http://kg.local/pred/"), F.col(pred),
+        F.lit('> "'), esc, F.lit('" .'))
+
+
+ORACLE_KG_NTRIPLES = f"""
+WITH {_ORACLE_KG_TRIPLES_CTE.strip()}
+SELECT '<http://kg.local/' || subj || '> <http://kg.local/pred/' || pred
+       || '> "' || replace(replace(obj, '\\', '\\\\'), '"', '\\"')
+       || '" .' AS line
+FROM (SELECT DISTINCT subj, pred, obj FROM t)
+ORDER BY line
+LIMIT 100
+"""
+
+
+def q_kg_functional_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG quality control: per-predicate cardinality profile + OWL
+    FunctionalProperty check (subjects asserting >1 distinct object for
+    the same predicate — `placed_priority` violates by construction,
+    `in_nation`/`in_segment` must not).
+
+    Two aggregation trees, both map-side combinable: (pred, subj) →
+    distinct-object counts feeds the violation fold; a direct pred-level
+    profile carries triple/subject/object counts. Both land on a handful
+    of pred rows, so the final join is broadcast by size."""
+    t = _kg_triples(spark, sf_dir)
+    per_subj = t.groupBy("pred", "subj").agg(
+        F.count_distinct("obj").alias("n_obj"))
+    viol = per_subj.groupBy("pred").agg(
+        F.count(F.when(F.col("n_obj") > 1, F.lit(1))).alias(
+            "n_violating_subjects"),
+        F.min(F.when(F.col("n_obj") > 1, F.col("subj"))).alias(
+            "first_violator"),
+    )
+    stats = t.groupBy("pred").agg(
+        F.count("*").alias("n_triples"),
+        F.count_distinct("subj").alias("n_subjects"),
+        F.count_distinct("obj").alias("n_objects"),
+    )
+    return stats.join(viol, "pred").select(
+        "pred", "n_triples", "n_subjects", "n_objects",
+        "n_violating_subjects", "first_violator")
+
+
+ORACLE_KG_FUNCTIONAL = f"""
+WITH {_ORACLE_KG_TRIPLES_CTE.strip()},
+per_subj AS (
+  SELECT pred, subj, count(DISTINCT obj) AS n_obj
+  FROM t GROUP BY pred, subj
+),
+viol AS (
+  SELECT pred,
+         count(CASE WHEN n_obj > 1 THEN 1 END) AS n_violating_subjects,
+         min(CASE WHEN n_obj > 1 THEN subj END) AS first_violator
+  FROM per_subj GROUP BY pred
+),
+stats AS (
+  SELECT pred, count(*) AS n_triples,
+         count(DISTINCT subj) AS n_subjects,
+         count(DISTINCT obj) AS n_objects
+  FROM t GROUP BY pred
+)
+SELECT s.pred AS pred, n_triples, n_subjects, n_objects,
+       n_violating_subjects, first_violator
+FROM stats s JOIN viol v ON s.pred = v.pred
+"""
+
+
+def q_part_name_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-duplicate detection (ER blocking refinement):
+    part names within the same (brand, size) block at Levenshtein ≤ 2.
+
+    Scale discipline: the JVM `levenshtein(..., threshold=2)` variant is
+    banded — O(threshold·min_len) per pair with early exit, returning -1
+    above the band, vs O(len²) for the unbounded form. Blocking bounds
+    the pair stream to Σ block², the same contract as the MinHash/LSH
+    paths (`dedup.minhash_near_duplicates` is the scale path when no
+    natural block key exists or blocks skew — the groupBy-count +
+    broadcast-anti-join bucket cap pattern applies verbatim here)."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    a, b = p.alias("a"), p.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    )
+    d = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 2)
+    return (
+        pairs.select(
+            F.col("a.p_partkey").alias("a_partkey"),
+            F.col("b.p_partkey").alias("b_partkey"),
+            F.col("a.p_name").alias("a_name"),
+            F.col("b.p_name").alias("b_name"),
+            d.alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") >= 0)
+    )
+
+
+ORACLE_PART_NAME_EDIT_PAIRS = """
+SELECT a.p_partkey AS a_partkey, b.p_partkey AS b_partkey,
+       a.p_name AS a_name, b.p_name AS b_name,
+       levenshtein(a.p_name, b.p_name) AS edit_distance
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -4691,6 +4924,11 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "copurchase_pagerank": q_copurchase_pagerank,
     "copurchase_triangles": q_copurchase_triangles,
     "corpus_bigram_pmi": q_corpus_bigram_pmi,
+    # materialized-KG query family (round 5)
+    "kg_star_join": q_kg_star_join,
+    "kg_ntriples_export": q_kg_ntriples_export,
+    "kg_functional_violations": q_kg_functional_violations,
+    "part_name_edit_pairs": q_part_name_edit_pairs,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -4784,4 +5022,8 @@ ORACLE_QUERIES: dict[str, str] = {
     "doc_inverted_index": ORACLE_DOC_INVERTED_INDEX,
     "doc_target_affinity": ORACLE_DOC_TARGET_AFFINITY,
     "events_type_bigrams": ORACLE_EVENTS_TYPE_BIGRAMS,
+    "kg_star_join": ORACLE_KG_STAR_JOIN,
+    "kg_ntriples_export": ORACLE_KG_NTRIPLES,
+    "kg_functional_violations": ORACLE_KG_FUNCTIONAL,
+    "part_name_edit_pairs": ORACLE_PART_NAME_EDIT_PAIRS,
 }

@@ -844,3 +844,97 @@ def test_events_type_bigrams_plan_and_kcore_rounds_bounded(spark):
     full = sorted(map(tuple, kcore(bip, k=8).collect()))
     capped = sorted(map(tuple, kcore(bip, k=8, max_rounds=5).collect()))
     assert full == capped  # the dense graph peels to fixpoint in ≤5 rounds
+
+
+def test_kg_query_family_matches_duckdb_and_plan_shapes(spark):
+    """Materialized-KG consumer queries: the star join attaches patterns as
+    broadcast LEFT SEMI joins and Catalyst constant-folds the literal-pred
+    union so every pattern reads only its own branch (no Union node
+    survives, orders/lineitem never scanned by nation/segment patterns);
+    the N-Triples export is a top-k (TakeOrderedAndProject), its escaping
+    pinned on crafted literals; the functional-property QC aggregates with
+    map-side combine; the edit-distance pairs use the banded levenshtein
+    and stay Python-free. Values pinned vs DuckDB at sf0.001 (the driver
+    re-checks at sf0.01)."""
+    import duckdb
+
+    from hinbox_spark.plans.queries import (
+        ORACLE_QUERIES, SPARK_QUERIES, ntriples_line, q_kg_functional_violations,
+        q_kg_ntriples_export, q_kg_star_join, q_part_name_edit_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    sj = _plan(q_kg_star_join(spark, sf))
+    # the base pattern (in_nation) legitimately spans the customer AND
+    # supplier branches → ONE two-branch Union survives constant folding;
+    # the two attached patterns each fold to a single branch and their
+    # broadcast semi-joins distribute over the base union (2 patterns × 2
+    # branches). Tables no triple branch mentions are never scanned.
+    assert sj.count("Union") == 1
+    assert sj.count("LeftSemi") == 4 and "BroadcastHashJoin" in sj
+    assert "lineitem" not in sj and "part.parquet" not in sj
+    # the priority pattern's orders scan is pruned to its two columns
+    orders_read = [seg for seg in sj.split("ReadSchema: ")
+                   if seg.startswith("struct<o_")]
+    assert orders_read and all(
+        "o_totalprice" not in seg.split("\n")[0] for seg in orders_read)
+
+    nt = _plan(q_kg_ntriples_export(spark, sf))
+    assert "TakeOrderedAndProject" in nt  # bounded preview, no global sort
+    assert "BatchEvalPython" not in nt and "ArrowEvalPython" not in nt
+
+    fv = _plan(q_kg_functional_violations(spark, sf))
+    assert "partial_" in fv  # map-side combine on both aggregation trees
+
+    ed = _plan(q_part_name_edit_pairs(spark, sf))
+    assert "BatchEvalPython" not in ed and "ArrowEvalPython" not in ed
+    assert "CartesianProduct" not in ed  # blocked self-join, not all-pairs
+
+    # escaping: crafted literals with backslashes and quotes round-trip the
+    # documented backslash-then-quote order
+    crafted = spark.createDataFrame(
+        [("s1", "p", 'a"b'), ("s2", "p", "a\\b"), ("s3", "p", 'a\\"b')],
+        "subj string, pred string, obj string",
+    )
+    lines = {
+        r.subj: r.line
+        for r in crafted.select(
+            "subj", ntriples_line("subj", "pred", "obj").alias("line")
+        ).collect()
+    }
+    def ref_line(subj, obj):
+        esc = obj.replace("\\", "\\\\").replace('"', '\\"')
+        return (f"<http://kg.local/{subj}> <http://kg.local/pred/p> "
+                f'"{esc}" .')
+    assert lines["s1"] == ref_line("s1", 'a"b')
+    assert lines["s2"] == ref_line("s2", "a\\b")
+    assert lines["s3"] == ref_line("s3", 'a\\"b')
+
+    con = duckdb.connect()
+    for t in ("customer", "nation", "supplier", "orders", "part"):
+        con.execute(
+            f"create view {t} as select * from read_parquet('{sf}/{t}.parquet')"
+        )
+    for name in (
+        "kg_star_join", "kg_ntriples_export", "kg_functional_violations",
+        "part_name_edit_pairs",
+    ):
+        sdf = SPARK_QUERIES[name](spark, sf).toPandas()
+        ddf = con.execute(ORACLE_QUERIES[name]).df()
+        cols = sorted(sdf.columns)
+        assert cols == sorted(ddf.columns), name
+        # repr-stringify so NULLs (first_violator on clean preds) sort
+        def rows(df):
+            return sorted(
+                tuple(repr(v) for v in r)
+                for r in df[cols].itertuples(index=False, name=None)
+            )
+        got, want = rows(sdf), rows(ddf)
+        assert got == want, f"{name}: spark != duckdb"
+        assert len(got) > 0, name
+
+    # every surviving edit pair is inside the levenshtein band
+    dists = {r.edit_distance
+             for r in q_part_name_edit_pairs(spark, sf).collect()}
+    assert dists and dists <= {0, 1, 2}
