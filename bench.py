@@ -128,6 +128,8 @@ HEADLINE = [
     "kg_ntriples_export",
     "kg_functional_violations",
     "part_name_edit_pairs",
+    "kg_temporal_validity",
+    "kg_random_walks",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "20000"))

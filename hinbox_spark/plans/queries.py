@@ -4774,6 +4774,158 @@ FROM stats s JOIN viol v ON s.pred = v.pred
 """
 
 
+def q_kg_temporal_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal KG: reconstruct validity intervals for a time-varying
+    predicate (SCD-2). Each customer's `placed_priority` assertions,
+    ordered by (ts, obj, orderkey) — a TOTAL order, so same-day conflicts
+    resolve identically everywhere — collapse into runs of equal object;
+    each run becomes one (subj, obj, valid_from, valid_to) row, valid_to =
+    next run's start (NULL while current). The point-in-time KG at T is
+    then a filter `valid_from <= T < coalesce(valid_to, inf)`.
+
+    Scale: both windows partition by subj (per-key history is bounded —
+    no global sort), and the run collapse is gaps-and-islands: lag →
+    running change count → groupBy(subj, run)."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("customer/"), F.col("o_custkey")).alias("subj"),
+        F.col("o_orderpriority").alias("obj"),
+        F.col("o_orderdate").alias("ts"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("subj").orderBy("ts", "obj", "o_orderkey")
+    changed = F.when(
+        F.lag("obj").over(w).isNull() | (F.lag("obj").over(w) != F.col("obj")),
+        1).otherwise(0)
+    runs = o.withColumn(
+        "run",
+        F.sum(changed).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    seg = runs.groupBy("subj", "run").agg(
+        F.min("obj").alias("obj"),  # constant within a run
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_assertions"),
+    )
+    wseg = Window.partitionBy("subj").orderBy("run")
+    return seg.select(
+        "subj",
+        F.lit("placed_priority").alias("pred"),
+        "obj",
+        "valid_from",
+        F.lead("valid_from").over(wseg).alias("valid_to"),
+        "n_assertions",
+    )
+
+
+ORACLE_KG_TEMPORAL_VALIDITY = """
+WITH o AS (
+  SELECT 'customer/' || o_custkey AS subj, o_orderpriority AS obj,
+         o_orderdate AS ts, o_orderkey
+  FROM orders
+),
+marked AS (
+  SELECT *, CASE WHEN lag(obj) OVER w IS NULL
+                   OR lag(obj) OVER w <> obj THEN 1 ELSE 0 END AS changed
+  FROM o WINDOW w AS (PARTITION BY subj ORDER BY ts, obj, o_orderkey)
+),
+runs AS (
+  SELECT *, sum(changed) OVER (PARTITION BY subj ORDER BY ts, obj, o_orderkey
+                               ROWS UNBOUNDED PRECEDING) AS run
+  FROM marked
+),
+seg AS (
+  SELECT subj, run, min(obj) AS obj, min(ts) AS valid_from,
+         count(*) AS n_assertions
+  FROM runs GROUP BY subj, run
+)
+SELECT subj, 'placed_priority' AS pred, obj, valid_from,
+       lead(valid_from) OVER (PARTITION BY subj ORDER BY run) AS valid_to,
+       n_assertions
+FROM seg
+"""
+
+
+def q_kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec-style metapath walk corpus (customer→supplier→customer→
+    supplier) over the bipartite purchase graph — the input a KG-embedding
+    trainer consumes. The 'random' choice at each step is the md5-argmin
+    neighbor (hash keyed by walk step + current node + candidate), which
+    is (a) uniformly pseudo-random, (b) bit-identical across engines and
+    partitionings — so the whole corpus is hash-oracled, where a true RNG
+    walk could only ever be rows-only.
+
+    Scale: each step is one equi-join onto the edge table + one
+    map-side-combinable min_by groupBy; k steps = k shuffles, no window,
+    no collect. Walk count = |seed nodes|, never edge-quadratic."""
+    e = _purchase_edges(spark, sf_dir)
+
+    def pick(df: DataFrame, key: str, cand: str, step: str, out: str) -> DataFrame:
+        # deterministic tie-break: hash, then zero-padded candidate id
+        h = F.concat_ws(
+            "|",
+            F.md5(F.concat_ws("|", F.lit(step), F.col(key), F.col(cand))),
+            F.lpad(F.col(cand).cast("string"), 12, "0"),
+        )
+        return df.groupBy(key).agg(F.min_by(F.col(cand), h).alias(out))
+
+    s1 = pick(e, "custkey", "suppkey", "w1", "s1")          # c0 → s1
+    # walk identity is keyed by the START node, but each step hashes on
+    # the CURRENT node — two walks meeting at the same supplier step
+    # identically (the corpus stays consistent, like a shared RNG stream)
+    walks = (
+        s1.alias("w")
+        .join(e.alias("e2"), F.col("w.s1") == F.col("e2.suppkey"))
+        .select(F.col("w.custkey").alias("custkey"), F.col("w.s1").alias("s1"),
+                F.col("e2.custkey").alias("cand"))
+    )
+    h2 = F.concat_ws(
+        "|",
+        F.md5(F.concat_ws("|", F.lit("w2"), F.col("s1"), F.col("cand"))),
+        F.lpad(F.col("cand").cast("string"), 12, "0"),
+    )
+    walks = walks.groupBy("custkey", "s1").agg(
+        F.min_by(F.col("cand"), h2).alias("c2"))
+    step3 = (
+        walks.alias("w")
+        .join(e.alias("e3"), F.col("w.c2") == F.col("e3.custkey"))
+        .select("w.custkey", "w.s1", "w.c2",
+                F.col("e3.suppkey").alias("cand"))
+    )
+    h3 = F.concat_ws(
+        "|",
+        F.md5(F.concat_ws("|", F.lit("w3"), F.col("c2"), F.col("cand"))),
+        F.lpad(F.col("cand").cast("string"), 12, "0"),
+    )
+    return step3.groupBy("custkey", "s1", "c2").agg(
+        F.min_by(F.col("cand"), h3).alias("s3"))
+
+
+ORACLE_KG_RANDOM_WALKS = """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS custkey, l_suppkey AS suppkey
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+s1 AS (
+  SELECT custkey,
+         arg_min(suppkey, md5('w1' || '|' || custkey || '|' || suppkey)
+                 || '|' || lpad(CAST(suppkey AS VARCHAR), 12, '0')) AS s1
+  FROM e GROUP BY custkey
+),
+c2 AS (
+  SELECT w.custkey, w.s1,
+         arg_min(e2.custkey, md5('w2' || '|' || w.s1 || '|' || e2.custkey)
+                 || '|' || lpad(CAST(e2.custkey AS VARCHAR), 12, '0')) AS c2
+  FROM s1 w JOIN e e2 ON w.s1 = e2.suppkey
+  GROUP BY w.custkey, w.s1
+)
+SELECT w.custkey AS custkey, w.s1 AS s1, w.c2 AS c2,
+       arg_min(e3.suppkey, md5('w3' || '|' || w.c2 || '|' || e3.suppkey)
+               || '|' || lpad(CAST(e3.suppkey AS VARCHAR), 12, '0')) AS s3
+FROM c2 w JOIN e e3 ON w.c2 = e3.custkey
+GROUP BY w.custkey, w.s1, w.c2
+"""
+
+
 def q_part_name_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-duplicate detection (ER blocking refinement):
     part names within the same (brand, size) block at Levenshtein ≤ 2.
@@ -4929,6 +5081,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_ntriples_export": q_kg_ntriples_export,
     "kg_functional_violations": q_kg_functional_violations,
     "part_name_edit_pairs": q_part_name_edit_pairs,
+    "kg_temporal_validity": q_kg_temporal_validity,
+    "kg_random_walks": q_kg_random_walks,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -5026,4 +5180,6 @@ ORACLE_QUERIES: dict[str, str] = {
     "kg_ntriples_export": ORACLE_KG_NTRIPLES,
     "kg_functional_violations": ORACLE_KG_FUNCTIONAL,
     "part_name_edit_pairs": ORACLE_PART_NAME_EDIT_PAIRS,
+    "kg_temporal_validity": ORACLE_KG_TEMPORAL_VALIDITY,
+    "kg_random_walks": ORACLE_KG_RANDOM_WALKS,
 }

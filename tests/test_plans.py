@@ -938,3 +938,76 @@ def test_kg_query_family_matches_duckdb_and_plan_shapes(spark):
     dists = {r.edit_distance
              for r in q_part_name_edit_pairs(spark, sf).collect()}
     assert dists and dists <= {0, 1, 2}
+
+
+def test_kg_temporal_validity_and_random_walks(spark):
+    """Temporal KG reconstruction tiles each subject's history (runs abut:
+    valid_to == next valid_from, exactly one open interval per subject,
+    assertion counts conserve the order count) and never plans a
+    single-partition exchange — the windows are keyed by subj. The
+    md5-argmin walk corpus takes only real edges, is invariant to input
+    partitioning, and both queries hash-match DuckDB (here at sf0.001;
+    driver re-checks sf0.01)."""
+    import duckdb
+
+    from hinbox_spark.plans.queries import (
+        ORACLE_QUERIES, SPARK_QUERIES, _purchase_edges,
+        q_kg_random_walks, q_kg_temporal_validity,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    tv = q_kg_temporal_validity(spark, sf)
+    plan = _plan(tv)
+    assert "SinglePartition" not in plan  # per-subj windows, no global sort
+    rows = tv.collect()
+    by_subj = {}
+    for r in rows:
+        by_subj.setdefault(r.subj, []).append(r)
+    n_orders = spark.read.parquet(f"{sf}/orders.parquet").count()
+    assert sum(r.n_assertions for r in rows) == n_orders
+    for subj, rs in by_subj.items():
+        rs = sorted(rs, key=lambda r: r.valid_from)
+        assert sum(r.valid_to is None for r in rs) == 1
+        assert rs[-1].valid_to is None
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to == b.valid_from, subj  # intervals tile
+            assert a.obj != b.obj, subj  # runs are maximal
+
+    wk = q_kg_random_walks(spark, sf)
+    wplan = _plan(wk)
+    assert "CartesianProduct" not in wplan and "Window" not in wplan
+    walks = {(r.custkey, r.s1, r.c2, r.s3) for r in wk.collect()}
+    edges = {(r.custkey, r.suppkey)
+             for r in _purchase_edges(spark, sf).collect()}
+    seeds = {c for c, _ in edges}
+    assert {w[0] for w in walks} == seeds  # one walk per seed node
+    for c0, s1, c2, s3 in walks:
+        assert (c0, s1) in edges and (c2, s1) in edges and (c2, s3) in edges
+
+    # partitioning invariance: recompute over a repartitioned edge input
+    # via a different shuffle width — identical corpus
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        walks2 = {(r.custkey, r.s1, r.c2, r.s3)
+                  for r in q_kg_random_walks(spark, sf).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    assert walks2 == walks
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"create view {t} as select * from read_parquet('{sf}/{t}.parquet')"
+        )
+    for name in ("kg_temporal_validity", "kg_random_walks"):
+        sdf = SPARK_QUERIES[name](spark, sf).toPandas()
+        ddf = con.execute(ORACLE_QUERIES[name]).df()
+        cols = sorted(sdf.columns)
+        assert cols == sorted(ddf.columns), name
+        def rws(df):
+            return sorted(
+                tuple(repr(v) for v in r)
+                for r in df[cols].itertuples(index=False, name=None)
+            )
+        assert rws(sdf) == rws(ddf), name
