@@ -4854,50 +4854,36 @@ def q_kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitionings — so the whole corpus is hash-oracled, where a true RNG
     walk could only ever be rows-only.
 
-    Scale: each step is one equi-join onto the edge table + one
-    map-side-combinable min_by groupBy; k steps = k shuffles, no window,
-    no collect. Walk count = |seed nodes|, never edge-quadratic."""
+    Scale: each step's choice is a function of (step, current node)
+    alone — the shared-RNG-stream property — so the whole step is ONE
+    map-side-combinable min_by groupBy over the edge table producing a
+    node→next transition map (≤ |V| rows), which the walk frame then
+    consumes via a broadcast join. Never a walks×edges join (that is
+    Σ deg(current) ≈ |E|·|walks|/|V| rows — measured 12× slower here);
+    k steps = k edge scans + k broadcast joins, no window, no collect.
+    Walk count = |seed nodes|, never edge-quadratic."""
     e = _purchase_edges(spark, sf_dir)
 
-    def pick(df: DataFrame, key: str, cand: str, step: str, out: str) -> DataFrame:
+    def step_map(key: str, cand: str, step: str, out: str) -> DataFrame:
         # deterministic tie-break: hash, then zero-padded candidate id
         h = F.concat_ws(
             "|",
             F.md5(F.concat_ws("|", F.lit(step), F.col(key), F.col(cand))),
             F.lpad(F.col(cand).cast("string"), 12, "0"),
         )
-        return df.groupBy(key).agg(F.min_by(F.col(cand), h).alias(out))
+        return e.groupBy(key).agg(F.min_by(F.col(cand), h).alias(out))
 
-    s1 = pick(e, "custkey", "suppkey", "w1", "s1")          # c0 → s1
-    # walk identity is keyed by the START node, but each step hashes on
-    # the CURRENT node — two walks meeting at the same supplier step
-    # identically (the corpus stays consistent, like a shared RNG stream)
-    walks = (
-        s1.alias("w")
-        .join(e.alias("e2"), F.col("w.s1") == F.col("e2.suppkey"))
-        .select(F.col("w.custkey").alias("custkey"), F.col("w.s1").alias("s1"),
-                F.col("e2.custkey").alias("cand"))
+    # two walks meeting at the same node step identically, so the three
+    # transition maps fully determine every walk
+    m1 = step_map("custkey", "suppkey", "w1", "s1")   # c0 → s1
+    m2 = step_map("suppkey", "custkey", "w2", "c2")   # s1 → c2
+    m3 = step_map("custkey", "suppkey", "w3", "s3")   # c2 → s3
+    return (
+        m1.join(F.broadcast(m2), m1.s1 == m2.suppkey)
+        .select("custkey", "s1", "c2")
+        .join(F.broadcast(m3.withColumnRenamed("custkey", "c2")), "c2")
+        .select("custkey", "s1", "c2", "s3")
     )
-    h2 = F.concat_ws(
-        "|",
-        F.md5(F.concat_ws("|", F.lit("w2"), F.col("s1"), F.col("cand"))),
-        F.lpad(F.col("cand").cast("string"), 12, "0"),
-    )
-    walks = walks.groupBy("custkey", "s1").agg(
-        F.min_by(F.col("cand"), h2).alias("c2"))
-    step3 = (
-        walks.alias("w")
-        .join(e.alias("e3"), F.col("w.c2") == F.col("e3.custkey"))
-        .select("w.custkey", "w.s1", "w.c2",
-                F.col("e3.suppkey").alias("cand"))
-    )
-    h3 = F.concat_ws(
-        "|",
-        F.md5(F.concat_ws("|", F.lit("w3"), F.col("c2"), F.col("cand"))),
-        F.lpad(F.col("cand").cast("string"), 12, "0"),
-    )
-    return step3.groupBy("custkey", "s1", "c2").agg(
-        F.min_by(F.col("cand"), h3).alias("s3"))
 
 
 ORACLE_KG_RANDOM_WALKS = """
@@ -4930,27 +4916,38 @@ def q_part_name_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-duplicate detection (ER blocking refinement):
     part names within the same (brand, size) block at Levenshtein ≤ 2.
 
-    Scale discipline: the JVM `levenshtein(..., threshold=2)` variant is
-    banded — O(threshold·min_len) per pair with early exit, returning -1
-    above the band, vs O(len²) for the unbounded form. Blocking bounds
-    the pair stream to Σ block², the same contract as the MinHash/LSH
-    paths (`dedup.minhash_near_duplicates` is the scale path when no
-    natural block key exists or blocks skew — the groupBy-count +
+    Scale discipline, two layers: (1) levenshtein ≤ 2 implies
+    |len(a)−len(b)| ≤ 2, so the length bound rides IN the equi-join key —
+    one side replicates to its five candidate lengths (len−2…len+2) and
+    the join blocks on (brand, length); each real pair matches exactly
+    once (the emitted lengths are distinct) and out-of-band pairs never
+    materialize at all. (2) The JVM `levenshtein(..., threshold=2)`
+    variant is banded — O(threshold·min_len) per pair with early exit,
+    returning -1 above the band, vs O(len²) unbounded. Blocking bounds
+    the pair stream to Σ block² over the finer (brand, length) blocks,
+    the same contract as the MinHash/LSH paths
+    (`dedup.minhash_near_duplicates` is the scale path when no natural
+    block key exists or blocks skew — the groupBy-count +
     broadcast-anti-join bucket cap pattern applies verbatim here)."""
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
-    a, b = p.alias("a"), p.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.p_brand") == F.col("b.p_brand"))
-        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
-    )
-    d = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 2)
+    a = p.select(
+        F.col("p_partkey").alias("a_key"), F.col("p_name").alias("a_nm"),
+        "p_brand", F.length("p_name").alias("len_key"))
+    b = p.select(
+        F.col("p_partkey").alias("b_key"), F.col("p_name").alias("b_nm"),
+        "p_brand",
+        F.explode(
+            F.sequence(F.length("p_name") - 2, F.length("p_name") + 2)
+        ).alias("len_key"))
+    pairs = a.join(b, ["p_brand", "len_key"]).filter(
+        F.col("a_key") < F.col("b_key"))
+    d = F.levenshtein(F.col("a_nm"), F.col("b_nm"), 2)
     return (
         pairs.select(
-            F.col("a.p_partkey").alias("a_partkey"),
-            F.col("b.p_partkey").alias("b_partkey"),
-            F.col("a.p_name").alias("a_name"),
-            F.col("b.p_name").alias("b_name"),
+            F.col("a_key").alias("a_partkey"),
+            F.col("b_key").alias("b_partkey"),
+            F.col("a_nm").alias("a_name"),
+            F.col("b_nm").alias("b_name"),
             d.alias("edit_distance"),
         )
         .filter(F.col("edit_distance") >= 0)
