@@ -130,6 +130,7 @@ HEADLINE = [
     "part_name_edit_pairs",
     "kg_temporal_validity",
     "kg_random_walks",
+    "kg_snapshot_timeline",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "20000"))

@@ -4845,6 +4845,76 @@ FROM seg
 """
 
 
+def q_kg_snapshot_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time KG over the validity intervals: for a quarterly grid
+    of probe timestamps, how many subjects held each `placed_priority`
+    value at that instant — the time-travel query a temporal KG exists to
+    answer (`AS OF T` over the SCD-2 table).
+
+    Scale: the probe grid is a handful of literal rows, broadcast against
+    the interval table (nested-loop on the range predicate is CORRECT
+    here — |probes| is a constant, so the pass is O(intervals·probes)
+    with no shuffle of the big side); the count is a map-side-combinable
+    groupBy. Probing one key instead would use the (key, ts-range)
+    equi+residual join shape."""
+    iv = q_kg_temporal_validity(spark, sf_dir)
+    probes = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("timestamp"),
+                F.lit("2001-07-01").cast("timestamp"),
+                F.expr("INTERVAL 3 MONTHS"),
+            )
+        ).alias("probe_ts")
+    )
+    return (
+        iv.join(
+            F.broadcast(probes),
+            (F.col("valid_from") <= F.col("probe_ts"))
+            & (F.col("valid_to").isNull()
+               | (F.col("probe_ts") < F.col("valid_to"))),
+        )
+        .groupBy("probe_ts", F.col("obj").alias("priority"))
+        .agg(F.count("*").alias("n_subjects"))
+    )
+
+
+ORACLE_KG_SNAPSHOT_TIMELINE = """
+WITH o AS (
+  SELECT 'customer/' || o_custkey AS subj, o_orderpriority AS obj,
+         o_orderdate AS ts, o_orderkey
+  FROM orders
+),
+marked AS (
+  SELECT *, CASE WHEN lag(obj) OVER w IS NULL
+                   OR lag(obj) OVER w <> obj THEN 1 ELSE 0 END AS changed
+  FROM o WINDOW w AS (PARTITION BY subj ORDER BY ts, obj, o_orderkey)
+),
+runs AS (
+  SELECT *, sum(changed) OVER (PARTITION BY subj ORDER BY ts, obj, o_orderkey
+                               ROWS UNBOUNDED PRECEDING) AS run
+  FROM marked
+),
+seg AS (
+  SELECT subj, run, min(obj) AS obj, min(ts) AS valid_from
+  FROM runs GROUP BY subj, run
+),
+iv AS (
+  SELECT subj, obj, valid_from,
+         lead(valid_from) OVER (PARTITION BY subj ORDER BY run) AS valid_to
+  FROM seg
+),
+probes AS (
+  SELECT unnest(range(TIMESTAMP '1995-01-01', TIMESTAMP '2001-07-02',
+                      INTERVAL 3 MONTH)) AS probe_ts
+)
+SELECT probe_ts, obj AS priority, count(*) AS n_subjects
+FROM iv JOIN probes
+  ON valid_from <= probe_ts AND (valid_to IS NULL OR probe_ts < valid_to)
+GROUP BY probe_ts, obj
+"""
+
+
 def q_kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """node2vec-style metapath walk corpus (customer→supplier→customer→
     supplier) over the bipartite purchase graph — the input a KG-embedding
@@ -5080,6 +5150,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_name_edit_pairs": q_part_name_edit_pairs,
     "kg_temporal_validity": q_kg_temporal_validity,
     "kg_random_walks": q_kg_random_walks,
+    "kg_snapshot_timeline": q_kg_snapshot_timeline,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -5179,4 +5250,5 @@ ORACLE_QUERIES: dict[str, str] = {
     "part_name_edit_pairs": ORACLE_PART_NAME_EDIT_PAIRS,
     "kg_temporal_validity": ORACLE_KG_TEMPORAL_VALIDITY,
     "kg_random_walks": ORACLE_KG_RANDOM_WALKS,
+    "kg_snapshot_timeline": ORACLE_KG_SNAPSHOT_TIMELINE,
 }

@@ -200,6 +200,22 @@ class SCD2StreamSink(StreamingMergeSink):
         self._max_committed = batch_id
 
 
+def scd2_as_of(
+    table: SnapshotTable, key_col: str, ts
+) -> DataFrame:
+    """Point-in-time read: the (key, value) assertions valid at instant
+    `ts` — the library counterpart of the `kg_snapshot_timeline` contract
+    query. One resolved scan with a pushed-down residual filter; at most
+    one row per key EXCEPT when several zero-duration runs share the probe
+    instant exactly (same-ts conflicts), which mirrors the batch
+    reconstruction's semantics."""
+    iv = table.read_resolved([key_col, "valid_from", "value"])
+    return iv.filter(
+        (F.col("valid_from") <= F.lit(ts))
+        & (F.col("valid_to").isNull() | (F.lit(ts) < F.col("valid_to")))
+    ).select(key_col, "value", "valid_from", "valid_to")
+
+
 def scd2_stream(
     stream_df: DataFrame,
     table: SnapshotTable,

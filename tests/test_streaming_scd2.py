@@ -139,3 +139,26 @@ def test_scd2_within_batch_multi_change_and_same_ts_determinism(spark, tmp_path)
         ("e1", "a", 0, 1, 1), ("e1", "b", 1, 2, 1), ("e1", "a", 2, 3, 1),
         ("e1", "x", 3, 3, 1), ("e1", "y", 3, None, 1),
     }
+
+
+def test_scd2_as_of_point_in_time_read(spark, tmp_path):
+    """AS-OF reads over the maintained store return exactly the value in
+    force at the probe instant — before, between, at, and after changes."""
+    from hinbox_spark.streaming.scd2 import scd2_as_of
+
+    table = SnapshotTable(spark, str(tmp_path / "store"))
+    sink = SCD2StreamSink(table, "s", "entity_id", "status", "at")
+    sink(_rows(spark, [("e1", "a", _ts(2)), ("e2", "x", _ts(3))]), 0)
+    sink(_rows(spark, [("e1", "b", _ts(6))]), 1)
+
+    def at(minute):
+        return {
+            (r["entity_id"], r["value"])
+            for r in scd2_as_of(table, "entity_id", _ts(minute)).collect()
+        }
+
+    assert at(1) == set()                          # before history
+    assert at(2) == {("e1", "a")}                  # inclusive valid_from
+    assert at(4) == {("e1", "a"), ("e2", "x")}
+    assert at(6) == {("e1", "b"), ("e2", "x")}     # exclusive valid_to
+    assert at(9) == {("e1", "b"), ("e2", "x")}     # open intervals persist
