@@ -4698,12 +4698,15 @@ def q_kg_ntriples_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ntriples_line(subj: str, pred: str, obj: str) -> F.Column:
     """W3C N-Triples line from (subj, pred, obj) string columns. Object
-    literals escape backslash FIRST, then double-quote (the order is what
-    keeps `a\\"b` unambiguous on re-parse). Pure JVM exprs — usable
-    directly as the projection of a full text-file export."""
-    esc = F.replace(
-        F.replace(F.col(obj), F.lit("\\"), F.lit("\\\\")),
-        F.lit('"'), F.lit('\\"'))
+    literals escape backslash FIRST, then the remaining ECHARs — quote,
+    LF, CR, tab (the order is what keeps `a\\"b` unambiguous on
+    re-parse, and a raw newline would split one triple across two
+    physical lines). Pure JVM exprs — usable directly as the projection
+    of a full text-file export."""
+    esc = F.col(obj)
+    for lit, rep in (("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"),
+                     ("\r", "\\r"), ("\t", "\\t")):
+        esc = F.replace(esc, F.lit(lit), F.lit(rep))
     return F.concat(
         F.lit("<http://kg.local/"), F.col(subj),
         F.lit("> <http://kg.local/pred/"), F.col(pred),
@@ -4713,7 +4716,10 @@ def ntriples_line(subj: str, pred: str, obj: str) -> F.Column:
 ORACLE_KG_NTRIPLES = f"""
 WITH {_ORACLE_KG_TRIPLES_CTE.strip()}
 SELECT '<http://kg.local/' || subj || '> <http://kg.local/pred/' || pred
-       || '> "' || replace(replace(obj, '\\', '\\\\'), '"', '\\"')
+       || '> "'
+       || replace(replace(replace(replace(replace(
+            obj, '\\', '\\\\'), '"', '\\"'),
+            chr(10), '\\n'), chr(13), '\\r'), chr(9), '\\t')
        || '" .' AS line
 FROM (SELECT DISTINCT subj, pred, obj FROM t)
 ORDER BY line

@@ -48,7 +48,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from hinbox_spark.streaming.upsert import StreamingMergeSink
+from hinbox_spark.streaming.upsert import _OP_PREFIX, StreamingMergeSink
 from hinbox_spark.tables import SnapshotTable
 
 
@@ -73,15 +73,26 @@ class SCD2StreamSink(StreamingMergeSink):
         self.value_col = value_col
         self.ts_col = ts_col
         self.late_dropped_total = 0
+        self.null_dropped_total = 0
+        self._cached: list[DataFrame] = []
 
     # ── the per-batch fold ──
 
     def _segments(self, batch_df: DataFrame) -> DataFrame | None:
         k, v, ts = self.key_col, self.value_col, self.ts_col
-        b = batch_df.select(
+        raw = batch_df.select(
             F.col(k).alias("key"), F.col(v).alias("value"),
             F.col(ts).alias("ts"),
-        ).filter(F.col("key").isNotNull() & F.col("ts").isNotNull())
+        )
+        # a NULL in any of the three columns is not an assertion: NULL
+        # values would merge into adjacent runs (lag != NULL is NULL) and
+        # defeat the o_value null-check the boundary stitch keys on —
+        # dropped AND counted, like late data
+        b = raw.filter(
+            F.col("key").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+        )
 
         # 1. open intervals for the touched keys only (scoped point
         #    lookup); before the first commit there is nothing to read
@@ -113,11 +124,19 @@ class SCD2StreamSink(StreamingMergeSink):
         live = joined.filter(
             F.col("o_last_ts").isNull() | (F.col("ts") > F.col("o_last_ts"))
         )
-        n_total = b.count()
-        n_live = live.count()
-        self.late_dropped_total += n_total - n_live
-        if n_live == 0:
-            return None
+        # one action over the batch source for both drop counters
+        counted = raw.agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.count(
+                F.when(
+                    F.col("key").isNotNull()
+                    & F.col("ts").isNotNull()
+                    & F.col("value").isNotNull(),
+                    F.lit(1),
+                )
+            ).alias("n_valid"),
+        ).first()
+        self.null_dropped_total += counted["n_raw"] - counted["n_valid"]
 
         # 3. within-batch gaps-and-islands over the total order (ts, value)
         w = Window.partitionBy("key").orderBy("ts", "value")
@@ -145,6 +164,15 @@ class SCD2StreamSink(StreamingMergeSink):
                 F.min("o_n").alias("o_n"),
             )
         )
+        # cache the fold: the lineage contains the scoped STORE read and
+        # both windows — without this, the live-count action and the batch
+        # write would each re-execute the store lookup
+        runs = runs.persist()
+        self._cached.append(runs)
+        n_live = runs.agg(F.sum("n")).first()[0] or 0
+        self.late_dropped_total += counted["n_valid"] - n_live
+        if n_live == 0:
+            return None
 
         # 4. boundary stitch
         first = (F.col("run") == 1) & F.col("o_value").isNotNull()
@@ -171,7 +199,11 @@ class SCD2StreamSink(StreamingMergeSink):
             )
         )
         segments = segs_runs.unionByName(closed_open)
-        wseg = Window.partitionBy("key").orderBy("valid_from")
+        # value joins the ordering: two same-timestamp zero-duration runs
+        # share valid_from, and a bare-valid_from lead() would pick their
+        # successor by partition order instead of the (ts, value) total
+        # order the islands were built on
+        wseg = Window.partitionBy("key").orderBy("valid_from", "value")
         return segments.select(
             F.col("key").alias(self.key_col),
             "valid_from",
@@ -186,14 +218,20 @@ class SCD2StreamSink(StreamingMergeSink):
             self._max_committed = self._recover_max_committed()
         if batch_id <= self._max_committed:
             return  # re-delivered epoch: already folded
-        segments = self._segments(batch_df)
-        if segments is not None:
-            batch, _, cols = self.table._write_batch(segments)
-            self.table._commit(
-                lambda entries, seq: entries
-                + [{"batch": batch, "seq": seq, "columns": cols}],
-                f"streaming-merge:{self.sink_id}:{batch_id}",
-            )
+        try:
+            segments = self._segments(batch_df)
+            if segments is not None:
+                batch, _, cols = self.table._write_batch(segments)
+                self.table._commit(
+                    lambda entries, seq: entries
+                    + [{"batch": batch, "seq": seq, "columns": cols}],
+                    # the base sink's ledger prefix: recovery scans for
+                    # exactly this format, so it must have ONE owner
+                    f"{_OP_PREFIX}:{self.sink_id}:{batch_id}",
+                )
+        finally:
+            while self._cached:
+                self._cached.pop().unpersist()
         # an all-late/empty epoch still advances the ledger: the epoch was
         # consumed, and re-delivering it must not re-count late drops
         self._publish_marker(batch_id)

@@ -894,7 +894,8 @@ def test_kg_query_family_matches_duckdb_and_plan_shapes(spark):
     # escaping: crafted literals with backslashes and quotes round-trip the
     # documented backslash-then-quote order
     crafted = spark.createDataFrame(
-        [("s1", "p", 'a"b'), ("s2", "p", "a\\b"), ("s3", "p", 'a\\"b')],
+        [("s1", "p", 'a"b'), ("s2", "p", "a\\b"), ("s3", "p", 'a\\"b'),
+         ("s4", "p", "a\nb\rc\td")],
         "subj string, pred string, obj string",
     )
     lines = {
@@ -905,11 +906,15 @@ def test_kg_query_family_matches_duckdb_and_plan_shapes(spark):
     }
     def ref_line(subj, obj):
         esc = obj.replace("\\", "\\\\").replace('"', '\\"')
+        esc = esc.replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
         return (f"<http://kg.local/{subj}> <http://kg.local/pred/p> "
                 f'"{esc}" .')
     assert lines["s1"] == ref_line("s1", 'a"b')
     assert lines["s2"] == ref_line("s2", "a\\b")
     assert lines["s3"] == ref_line("s3", 'a\\"b')
+    # ECHAR control chars: a raw LF would split the triple across lines
+    assert lines["s4"] == ref_line("s4", "a\nb\rc\td")
+    assert "\n" not in lines["s4"] and "\r" not in lines["s4"]
 
     con = duckdb.connect()
     for t in ("customer", "nation", "supplier", "orders", "part"):

@@ -162,3 +162,25 @@ def test_scd2_as_of_point_in_time_read(spark, tmp_path):
     assert at(4) == {("e1", "a"), ("e2", "x")}
     assert at(6) == {("e1", "b"), ("e2", "x")}     # exclusive valid_to
     assert at(9) == {("e1", "b"), ("e2", "x")}     # open intervals persist
+
+
+def test_scd2_null_assertions_dropped_and_counted(spark, tmp_path):
+    """NULL in key, value, or ts is not an assertion: dropped (it would
+    merge into adjacent runs and defeat the open-row stitch) and counted
+    separately from late data."""
+    table = SnapshotTable(spark, str(tmp_path / "store"))
+    sink = SCD2StreamSink(table, "s", "entity_id", "status", "at")
+    sink(_rows(spark, [("e1", "a", _ts(0)), ("e1", None, _ts(1)),
+                       (None, "b", _ts(2)), ("e1", "b", None),
+                       ("e1", "b", _ts(3))]), 0)
+    assert sink.null_dropped_total == 3
+    assert sink.late_dropped_total == 0
+    assert _intervals(table) == {
+        ("e1", "a", 0, 3, 1), ("e1", "b", 3, None, 1),
+    }
+    # an open row survives a later all-null epoch untouched
+    sink(_rows(spark, [("e1", None, _ts(9))]), 1)
+    assert sink.null_dropped_total == 4
+    assert _intervals(table) == {
+        ("e1", "a", 0, 3, 1), ("e1", "b", 3, None, 1),
+    }
