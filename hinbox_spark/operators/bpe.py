@@ -69,6 +69,27 @@ def _merge_pattern(left: str, right: str) -> str:
     )
 
 
+def _rp_quote(sym: str) -> str:
+    """Java-regex REPLACEMENT quoting (Matcher.quoteReplacement): the
+    replacement side of regexp_replace interprets `$n` as group refs and
+    `\\` as escapes — a merged symbol like `$1` or a trailing backslash
+    would throw (or silently substitute) without this."""
+    return sym.replace("\\", "\\\\").replace("$", "\\$")
+
+
+def _sym_str(col) -> F.Column:
+    """Word column → space-joined symbol string (chars + end-of-word
+    marker). ONE owner: train and encode must symbolize identically or
+    the learned merge table stops applying."""
+    return F.concat_ws(
+        _SEP,
+        F.concat(
+            F.filter(F.split(col, ""), lambda c: c != ""),
+            F.array(F.lit(END_OF_WORD)),
+        ),
+    )
+
+
 def train_bpe(
     words: DataFrame,
     num_merges: int,
@@ -83,15 +104,8 @@ def train_bpe(
     list is tiny (== num_merges) — the one legitimately driver-sized
     artifact of tokenizer training.
     """
-    # word → space-joined symbol string: chars + end-of-word marker
     vocab = words.select(
-        F.concat_ws(
-            _SEP,
-            F.concat(
-                F.filter(F.split(F.col(word_col), ""), lambda c: c != ""),
-                F.array(F.lit(END_OF_WORD)),
-            ),
-        ).alias("sym_str"),
+        _sym_str(F.col(word_col)).alias("sym_str"),
         F.col(count_col).cast("long").alias("n"),
     ).localCheckpoint(eager=True)
 
@@ -135,7 +149,7 @@ def train_bpe(
         )
         vocab = vocab.select(
             F.regexp_replace(
-                "sym_str", _merge_pattern(left, right), left + right
+                "sym_str", _merge_pattern(left, right), _rp_quote(left + right)
             ).alias("sym_str"),
             "n",
         ).localCheckpoint(eager=True)  # plan stays O(1) in rounds
@@ -159,15 +173,10 @@ def encode_words(
     the space-joined symbol string — fine for the usual few-hundred-merge
     tables; a very large table (10k+) would fold the loop into one
     Arrow-batched pandas UDF instead to bound plan depth."""
-    sym_str = F.concat_ws(
-        _SEP,
-        F.concat(
-            F.filter(F.split(F.col(word_col), ""), lambda c: c != ""),
-            F.array(F.lit(END_OF_WORD)),
-        ),
-    )
+    sym_str = _sym_str(F.col(word_col))
     for m in merges:
         sym_str = F.regexp_replace(
-            sym_str, _merge_pattern(m["left"], m["right"]), m["merged"]
+            sym_str, _merge_pattern(m["left"], m["right"]),
+            _rp_quote(m["merged"]),
         )
     return df.withColumn("subwords", F.split(sym_str, _SEP))

@@ -1,19 +1,29 @@
-"""Distributed BFS — k-hop shortest-path distances from a source set.
+"""Distributed graph operators over the materialized entity/edge tables:
+BFS k-hop distances, k-core peeling, neighbor-Jaccard link prediction
+(dense GEMM path + packed-pair join fallback), and deterministic label
+propagation. (Degrees, 2-hop reach, connected components, and PageRank
+live in plans/queries.py + operators/clustering.py.)
 
-The graph-serving query family over the materialized entity/edge tables
-(degrees, 2-hop reach, connected components, PageRank live next to this in
-plans/queries.py + operators/clustering.py); BFS distance is the
-neighborhood primitive behind "everything within k hops of X" expansions.
+Shared scale discipline — every iterative operator here follows it:
+ONE equi shuffle per round on node/edge keys, map-side combinable
+aggregations around it, iteration state carrying only ids + a few
+scalars (no payload rides the loop), and per-round eager
+localCheckpoints so the lineage and physical plan stay O(1) in the
+round count (the same discipline as connected_components' pointer
+jumping). Per-operator notes:
 
-Scale shape per hop: ONE equi shuffle (frontier ⋈ edges on src) plus an
-anti-join against the visited set, both map-side combinable aggregations
-around them; the frontier and visited sets carry ONLY (node_id[, dist]) —
-no payload rides the iteration. Each round localCheckpoints its outputs so
-the lineage and physical plan stay O(1) in the hop count (the same
-discipline as connected_components' pointer jumping and PageRank's rank
-chain). The visited anti-join is the inherent cost of BFS on a shuffle
-engine — it is O(|reached|) per hop and partitions on node_id like every
-other stage, so no single task ever holds the whole reached set.
+* BFS: the visited anti-join is the inherent cost of BFS on a shuffle
+  engine — O(|reached|) per hop, partitioned on node_id, so no single
+  task ever holds the whole reached set.
+* k-core: the edge set only shrinks; driver traffic is one fixpoint
+  scalar per round.
+* neighbor-Jaccard: a distributed size probe runs BEFORE any collect;
+  under the caps the incidence matrix rides one broadcast and per-block
+  GEMMs emit |blocks|·k candidate rows; over the caps the packed-pair
+  counting join takes over (correct at any scale; prefer MinHash
+  candidates at web scale).
+* label propagation: one node-keyed join + one counting groupBy per
+  round, min-label ties for determinism.
 """
 
 from __future__ import annotations
@@ -174,6 +184,9 @@ def neighbor_jaccard_topk(
     ] = 1
     deg = A.sum(axis=1).astype(np.int64)
     bc = spark.sparkContext.broadcast((keys.astype(np.int64), A, deg))
+    import uuid as _uuid
+
+    cache_token = _uuid.uuid4().hex  # one per broadcast, rides the closure
     blocks = n_blocks or min(
         max(spark.sparkContext.defaultParallelism * 2, 1), max(n_keys, 1)
     )
@@ -183,7 +196,17 @@ def neighbor_jaccard_topk(
         import pandas as _pd
 
         ids, A8, dg = bc.value
-        Af = A8.astype(np.float32)
+        # float32 promotion (BLAS needs it) ONCE PER PYTHON WORKER, not
+        # per task: workers are reused across tasks, and a per-task
+        # astype would allocate a fresh 4× copy of the matrix every time
+        # a block is scheduled (measurable churn near the dense cap).
+        # The uint8 matrix stays the broadcast payload — shipping float32
+        # would cost 4× the transfer for the same per-worker footprint.
+        cache = globals().setdefault("_njt_f32_cache", {})
+        if cache_token not in cache:  # token is unique per broadcast
+            cache.clear()  # at most one matrix cached per worker
+            cache[cache_token] = A8.astype(np.float32)
+        Af = cache[cache_token]
         n = len(ids)
         for b in batches:
             for blk in b["id"].to_numpy():
@@ -230,27 +253,46 @@ def _neighbor_jaccard_topk_join(
     per-item self-join with packed 64-bit pair keys (one 8-byte key per
     pair through the counting shuffle), broadcast degrees, global top-k
     via TakeOrdered. Σ deg² shuffle — correct anywhere, but prefer the
-    MinHash candidate path at web scale."""
+    MinHash candidate path at web scale.
+
+    The 32|32 bit pack requires ids in [0, 2³²): verified by one O(|E|)
+    aggregate up front (trivial next to the Σ deg² join). Ids outside the
+    range — or IntegerType columns, whose shiftleft would silently mask
+    the shift amount to 5 bits — fall back to the two-column counting
+    key: same plan, 16-byte keys."""
     e = edges.select(
-        F.col(key_col).alias("key"), F.col(item_col).alias("item")
+        F.col(key_col).cast("long").alias("key"),
+        F.col(item_col).alias("item"),
+    )
+    rng = e.agg(F.min("key").alias("lo"), F.max("key").alias("hi")).first()
+    packable = (
+        rng["lo"] is not None
+        and rng["lo"] >= 0
+        and rng["hi"] < (1 << 32)
     )
     deg = e.groupBy("key").agg(F.count("*").alias("deg"))
     a = e.select(F.col("key").alias("key_a"), "item")
     b = e.select(F.col("key").alias("key_b"), "item")
-    shared = (
-        a.join(b, "item")
-        .filter(F.col("key_a") < F.col("key_b"))
-        .select(
-            (F.shiftleft(F.col("key_a"), 32) + F.col("key_b")).alias("pair")
+    pairs = a.join(b, "item").filter(F.col("key_a") < F.col("key_b"))
+    if packable:
+        shared = (
+            pairs.select(
+                (F.shiftleft(F.col("key_a"), 32) + F.col("key_b"))
+                .alias("pair")
+            )
+            .groupBy("pair")
+            .agg(F.count("*").alias("n_shared"))
+            .select(
+                F.shiftright("pair", 32).alias("key_a"),
+                F.col("pair").bitwiseAND(F.lit(0xFFFFFFFF)).alias("key_b"),
+                "n_shared",
+            )
         )
-        .groupBy("pair")
-        .agg(F.count("*").alias("n_shared"))
-        .select(
-            F.shiftright("pair", 32).alias("key_a"),
-            F.col("pair").bitwiseAND(F.lit(0xFFFFFFFF)).alias("key_b"),
-            "n_shared",
+    else:
+        shared = (
+            pairs.groupBy("key_a", "key_b")
+            .agg(F.count("*").alias("n_shared"))
         )
-    )
     da = F.broadcast(
         deg.select(F.col("key").alias("key_a"), F.col("deg").alias("deg_a"))
     )

@@ -142,3 +142,26 @@ def test_regex_quoting_handles_metacharacter_symbols(spark):
     freqs = {r["word"]: r["n"] for r in wc.collect()}
     want = _reference_bpe(freqs, num_merges=4, min_count=2)
     assert [(m["left"], m["right"], m["cnt"]) for m in merges] == want
+
+
+def test_replacement_quoting_handles_dollar_and_backslash(spark):
+    """The REPLACEMENT side of regexp_replace interprets $n as group refs
+    and backslash as an escape — merged symbols like '$1' or 'a\\' must be
+    quoted (Matcher.quoteReplacement semantics) or training crashes /
+    corrupts. Pinned merge-for-merge vs the pure-Python reference, and the
+    encode round-trip must reproduce the raw words."""
+    from hinbox_spark.operators.bpe import encode_words
+
+    docs = spark.createDataFrame(
+        [("win $100 now win $100 now a\\b a\\b $$$ $$$",)], "text string"
+    )
+    wc = word_counts(docs)
+    merges = train_bpe(wc, num_merges=6, min_count=2)
+    freqs = {r["word"]: r["n"] for r in wc.collect()}
+    want = _reference_bpe(freqs, num_merges=6, min_count=2)
+    assert [(m["left"], m["right"], m["cnt"]) for m in merges] == want
+
+    enc = encode_words(wc.select("word"), merges).collect()
+    for r in enc:
+        joined = "".join(r["subwords"]).removesuffix("</w>")
+        assert joined == r["word"]

@@ -383,3 +383,41 @@ def test_label_propagation_recovers_planted_communities(spark):
         b_labels = {lab[f"b{i}"] for i in range(6)}
         assert len(a_labels) == 1 and len(b_labels) == 1
         assert a_labels != b_labels
+
+
+def test_neighbor_jaccard_join_fallback_int_keys_and_unpackable_ids(spark):
+    """The packed-pair fallback must (a) give identical results for
+    IntegerType vs LongType key columns (an int shiftleft would mask the
+    shift amount to 5 bits and silently merge unrelated pairs) and
+    (b) route ids outside [0, 2^32) through the two-column counting key
+    instead of the 32|32 pack."""
+    from pyspark.sql import functions as F
+
+    from hinbox_spark.operators.graph import _neighbor_jaccard_topk_join
+
+    rows = [(1, 10), (1, 11), (2, 10), (2, 11), (3, 11), (4, 12), (3, 12)]
+    as_long = spark.createDataFrame(rows, "key bigint, item bigint")
+    as_int = spark.createDataFrame(rows, "key int, item int")
+
+    want = [
+        (r["key_a"], r["key_b"], r["n_shared"], r["jaccard"])
+        for r in _neighbor_jaccard_topk_join(as_long, "key", "item", 5).collect()
+    ]
+    got_int = [
+        (r["key_a"], r["key_b"], r["n_shared"], r["jaccard"])
+        for r in _neighbor_jaccard_topk_join(as_int, "key", "item", 5).collect()
+    ]
+    assert want and got_int == want
+    # sanity vs hand computation: (1,2) share both items, jaccard 1.0
+    assert want[0] == (1, 2, 2, 1.0)
+
+    # ids >= 2^32: the pack would bleed key_b into key_a's bits
+    big = spark.createDataFrame(
+        [(k + (1 << 33), i) for k, i in rows], "key bigint, item bigint"
+    )
+    got_big = [
+        (r["key_a"] - (1 << 33), r["key_b"] - (1 << 33),
+         r["n_shared"], r["jaccard"])
+        for r in _neighbor_jaccard_topk_join(big, "key", "item", 5).collect()
+    ]
+    assert got_big == want

@@ -76,3 +76,34 @@ def test_cms_plan_is_jvm_only_with_mapside_combine(spark):
     rows = hh.collect()
     assert len(rows) == 15
     assert all(r.overcount >= 0 for r in rows)
+
+
+def test_cms_estimate_rejects_shape_mismatch_and_survives_column_collisions(spark):
+    """Querying a sketch with the wrong (depth, width) would silently
+    return zeros through the missing-cell fill — it must raise instead;
+    and candidate frames carrying columns named r/b/cnt must not collide
+    with the join internals."""
+    import pytest as _pytest
+
+    from hinbox_spark.operators.sketches import cms_estimate, count_min_sketch
+
+    toks = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 7 + [("c",)] * 3, "token string"
+    )
+    sk = count_min_sketch(toks, "token", depth=4, width=64)
+
+    with _pytest.raises(ValueError, match="depth mismatch"):
+        cms_estimate(sk, toks.distinct(), "token", depth=8, width=64)
+    with _pytest.raises(ValueError, match="width mismatch"):
+        cms_estimate(sk, toks.distinct(), "token", depth=4, width=16)
+
+    # candidates with r/b/cnt columns of their own
+    cands = toks.distinct().select(
+        "token",
+        F.lit(1).alias("r"), F.lit(2).alias("b"), F.lit(3).alias("cnt"),
+    )
+    est = {
+        r["token"]: r["est_cnt"]
+        for r in cms_estimate(sk, cands, "token", depth=4, width=64).collect()
+    }
+    assert est["a"] >= 50 and est["b"] >= 7 and est["c"] >= 3
