@@ -33,6 +33,41 @@ def _hyperplanes(n_planes: int, dim: int) -> np.ndarray:
     return rng.standard_normal((n_planes, dim)).astype(np.float32)
 
 
+
+def _cosine_rerank(cand, k: int):
+    """Exact-cosine top-k tail shared by every ANN path. `cand` carries
+    (query_id, neighbor_id, qvec, embedding). Zero-norm vectors are
+    excluded — a zero vector's cosine is NaN, and Spark sorts NaN above
+    all doubles DESC, so it would rank as everyone's top-1 neighbor.
+    Ties break on neighbor_id; cos rounds to 6 so the value is
+    hash-stable across engines. ONE owner: the guard, precision, and
+    tie-break are the shared contract of brute/LSH/IVF/PQ/IVFPQ."""
+    dot = F.expr(
+        "aggregate(zip_with(qvec, embedding, (a, b) ->"
+        " CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+    )
+    nq = F.expr(
+        "sqrt(aggregate(qvec, 0.0D, (acc,x) -> acc + CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))"
+    )
+    nc = F.expr(
+        "sqrt(aggregate(embedding, 0.0D,"
+        " (acc,x) -> acc + CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        cand.filter((nq > 0) & (nc > 0))
+        .withColumn("cos", dot / (nq * nc))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "neighbor_id",
+            F.round("cos", 6).alias("cos_sim"),
+        )
+    )
+
+
 def brute_force_topk(
     emb: DataFrame, queries: DataFrame, k: int = 10
 ) -> DataFrame:
@@ -42,28 +77,19 @@ def brute_force_topk(
     queries: (query_id, qvec array<float>). Returns
     (query_id, rank, neighbor_id, cos_sim)."""
     cand = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
-    dot = F.expr(
-        "aggregate(zip_with(qvec, embedding, (a, b) ->"
-        " CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
-    )
     nq = F.expr(
         "sqrt(aggregate(qvec, 0.0D, (acc,x) -> acc + CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))"
     )
     nc = F.expr(
         "sqrt(aggregate(embedding, 0.0D, (acc,x) -> acc + CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))"
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    # zero-norm guard: embed_text returns a zero vector for empty text; its
-    # cosine is NaN and Spark sorts NaN above all doubles desc, so without
-    # the filter a zero vector would rank as everyone's top-1 neighbor
-    return (
+    # zero-norm prefilters shrink the cross join; _cosine_rerank re-checks
+    # them as part of the shared guard
+    return _cosine_rerank(
         F.broadcast(queries.filter(nq > 0))
         .crossJoin(cand.filter(nc > 0))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", dot / (nq * nc))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos_sim"))
+        .filter(F.col("query_id") != F.col("neighbor_id")),
+        k,
     )
 
 
@@ -191,10 +217,15 @@ def ivf_fit_centroids(
 
     Init = the n_centroids vectors with the smallest xxhash64(id)
     (orderBy+limit compiles to TakeOrdered — an O(N) scan with a k-heap,
-    no global sort). Each Lloyd round: assign via a numpy matmul inside a
-    pandas UDF (Arrow batches), recompute means with one applyInPandas
-    shuffle on the assignment, collect the (n_centroids × dim) table to the
-    driver. State moved per round is centroids only — never vectors.
+    no global sort). Each Lloyd round is ONE mapInPandas pass emitting
+    per-Arrow-batch sufficient statistics (per cell: float64 sum vector +
+    count); the driver collects ONLY those partials (rows ∝ #batches,
+    never vectors) and folds them in sorted (batch, cell) order — the
+    pq_fit_codebooks discipline, for the same two reasons: a skewed cell
+    never funnels its whole population into one task's pandas frame, and
+    the fixed fold order makes the float accumulation reproducible
+    regardless of task scheduling. State moved per round is centroids +
+    per-batch partials only.
     """
     seed_rows = (
         emb.select(id_col, vec_col)
@@ -203,34 +234,53 @@ def ivf_fit_centroids(
         .collect()
     )
     centroids = np.array([r[vec_col] for r in seed_rows], dtype=np.float32)
+    # a corpus smaller than n_centroids seeds fewer cells — size the fold
+    # arrays from the actual seed count, not the requested one
+    n_centroids = centroids.shape[0]
+    dim = centroids.shape[1]
 
+    out_schema = "batch_key string, cell int, s array<double>, n long"
     for _ in range(iters):
         cent = centroids  # closure snapshot for this round
 
-        @F.pandas_udf("int")
-        def _assign(vecs: pd.Series) -> pd.Series:
-            mat = np.array(vecs.tolist(), dtype=np.float32)
-            d2 = (
-                (mat * mat).sum(1)[:, None]
-                - 2.0 * (mat @ cent.T)
-                + (cent * cent).sum(1)[None, :]
+        def _partials(batches):
+            for pdf in batches:
+                mat = np.array(pdf["__v"].tolist(), dtype=np.float32)
+                d2 = (
+                    (mat * mat).sum(1)[:, None]
+                    - 2.0 * (mat @ cent.T)
+                    + (cent * cent).sum(1)[None, :]
+                )
+                cell = d2.argmin(axis=1)
+                # stable batch key: smallest id in the batch (ids are
+                # unique → keys distinct and scheduling-independent)
+                key = str(pdf["__id"].min())
+                rows = []
+                for c in np.unique(cell):
+                    sel = mat[cell == c].astype(np.float64)
+                    rows.append(
+                        (key, int(c), sel.sum(axis=0).tolist(),
+                         int(sel.shape[0]))
+                    )
+                yield pd.DataFrame(
+                    rows, columns=["batch_key", "cell", "s", "n"]
+                )
+
+        partials = (
+            emb.select(
+                F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
             )
-            return pd.Series(d2.argmin(axis=1).astype("int32"))
-
-        assigned = emb.select(vec_col).withColumn("cell", _assign(F.col(vec_col)))
-
-        def _mean(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            m = np.array(pdf[vec_col].tolist(), dtype=np.float64).mean(axis=0)
-            return pd.DataFrame({"cell": [key[0]], "c": [m.astype("float32").tolist()]})
-
-        rows = (
-            assigned.groupBy("cell")
-            .applyInPandas(_mean, "cell int, c array<float>")
+            .mapInPandas(_partials, out_schema)
             .collect()
         )
+        sums = np.zeros((n_centroids, dim), dtype=np.float64)
+        counts = np.zeros(n_centroids, dtype=np.int64)
+        for r in sorted(partials, key=lambda r: (r["batch_key"], r["cell"])):
+            sums[r["cell"]] += np.array(r["s"])
+            counts[r["cell"]] += r["n"]
         new = centroids.copy()  # empty cells keep their previous centroid
-        for r in rows:
-            new[r["cell"]] = np.array(r["c"], dtype=np.float32)
+        nz = counts > 0
+        new[nz] = (sums[nz] / counts[nz][:, None]).astype(np.float32)
         centroids = new
     return centroids
 
@@ -254,7 +304,6 @@ def ivf_topk(
     only broadcast state. Returns (query_id, rank, neighbor_id, cos_sim) —
     same contract as brute_force_topk/lsh_topk, zero-norm vectors excluded.
     """
-    spark = emb.sparkSession
     centroids = ivf_fit_centroids(emb, n_centroids, iters, dim)
 
     @F.pandas_udf("int")
@@ -289,24 +338,7 @@ def ivf_topk(
     joined = F.broadcast(probes).join(cand, "cell").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    dot = F.expr(
-        "aggregate(zip_with(qvec, embedding, (a, b) ->"
-        " CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
-    )
-    nq = F.expr(
-        "sqrt(aggregate(qvec, 0.0D, (acc,x) -> acc + CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))"
-    )
-    nc = F.expr(
-        "sqrt(aggregate(embedding, 0.0D, (acc,x) -> acc + CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))"
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        joined.filter((nq > 0) & (nc > 0))
-        .withColumn("cos", dot / (nq * nc))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos_sim"))
-    )
+    return _cosine_rerank(joined, k)
 
 
 def lsh_topk(
@@ -343,26 +375,24 @@ def lsh_topk(
     joined = probes.join(cand, "bucket").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    dot = F.expr(
-        "aggregate(zip_with(qvec, embedding, (a, b) ->"
-        " CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+    return _cosine_rerank(
+        joined.dropDuplicates(["query_id", "neighbor_id"]), k
     )
-    nq = F.expr(
-        "sqrt(aggregate(qvec, 0.0D, (acc,x) -> acc + CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))"
-    )
-    nc = F.expr(
-        "sqrt(aggregate(embedding, 0.0D, (acc,x) -> acc + CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))"
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    # zero-norm guard (see brute_force_topk): NaN cosine sorts above all
-    # doubles, so zero vectors must not enter the ranking
+
+
+
+def _py(x):
+    """numpy scalar → native Python (ids may be int64 OR str/object)."""
+    return x.item() if isinstance(x, np.generic) else x
+
+
+def _id_types(emb, queries):
+    """Spark DDL type names of (vec_id, query_id) so the PQ paths emit
+    whatever id type the caller uses — the brute/LSH/IVF paths are
+    id-type-generic and the PQ mapInPandas schemas must match."""
     return (
-        joined.dropDuplicates(["query_id", "neighbor_id"])
-        .filter((nq > 0) & (nc > 0))
-        .withColumn("cos", dot / (nq * nc))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos_sim"))
+        emb.schema["vec_id"].dataType.simpleString(),
+        queries.schema["query_id"].dataType.simpleString(),
     )
 
 
@@ -507,6 +537,7 @@ def pq_topk(
     excluded."""
     dsub = dim // m
     books = pq_fit_codebooks(emb, m, ksub, iters, dim)
+    id_t, qid_t = _id_types(emb, queries)
     qrows = queries.select("query_id", "qvec").collect()
     qids = np.array([r["query_id"] for r in qrows])
     qmat = np.array([r["qvec"] for r in qrows], dtype=np.float32)
@@ -548,14 +579,14 @@ def pq_topk(
                 top = np.argsort(-score)[:keep]
                 for t in top:
                     if score[t] > -2.0:
-                        rows.append((int(qids[qi]), int(ids[t]), float(score[t])))
+                        rows.append((_py(qids[qi]), _py(ids[t]), float(score[t])))
             yield pd.DataFrame(
                 rows, columns=["query_id", "neighbor_id", "adc"]
             )
 
     cand = (
         emb.select(F.col("vec_id").alias("__id"), F.col("embedding").alias("__v"))
-        .mapInPandas(_scan, "query_id long, neighbor_id long, adc double")
+        .mapInPandas(_scan, f"query_id {qid_t}, neighbor_id {id_t}, adc double")
     )
     wk = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
     survivors = (
@@ -572,24 +603,7 @@ def pq_topk(
         .join(F.broadcast(survivors), "neighbor_id")
         .join(F.broadcast(qdf), "query_id")
     )
-    dot = F.expr(
-        "aggregate(zip_with(qvec, embedding, (a, b) ->"
-        " CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
-    )
-    nq = F.expr(
-        "sqrt(aggregate(qvec, 0.0D, (acc,x) -> acc + CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))"
-    )
-    nc = F.expr(
-        "sqrt(aggregate(embedding, 0.0D, (acc,x) -> acc + CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))"
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        rer.filter((nq > 0) & (nc > 0))
-        .withColumn("cos", dot / (nq * nc))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos_sim"))
-    )
+    return _cosine_rerank(rer, k)
 
 
 def ivfpq_topk(
@@ -630,7 +644,11 @@ def ivfpq_topk(
     hash-ordered k-means init, scheduling-independent codebook folds."""
     dsub = dim // m
     centroids = ivf_fit_centroids(emb, n_centroids, iters, dim)
+    # a corpus smaller than n_centroids yields fewer cells
+    n_centroids = centroids.shape[0]
+    n_probe = min(n_probe, n_centroids)
     books = pq_fit_codebooks(emb, m, ksub, iters, dim, coarse=centroids)
+    id_t, qid_t = _id_types(emb, queries)
     qrows = queries.select("query_id", "qvec").collect()
     qids = np.array([r["query_id"] for r in qrows])
     qmat = np.array([r["qvec"] for r in qrows], dtype=np.float32)
@@ -696,14 +714,14 @@ def ivfpq_topk(
                 score = adc / (qnorm[qi] * approx_n[idx])
                 order = np.argsort(-score)[:keep]
                 for t, s in zip(idx[order], score[order]):
-                    rows.append((int(qids[qi]), int(ids[t]), float(s)))
+                    rows.append((_py(qids[qi]), _py(ids[t]), float(s)))
             yield pd.DataFrame(
                 rows, columns=["query_id", "neighbor_id", "adc"]
             )
 
     cand = (
         emb.select(F.col("vec_id").alias("__id"), F.col("embedding").alias("__v"))
-        .mapInPandas(_scan, "query_id long, neighbor_id long, adc double")
+        .mapInPandas(_scan, f"query_id {qid_t}, neighbor_id {id_t}, adc double")
     )
     wk = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
     survivors = (
@@ -717,21 +735,4 @@ def ivfpq_topk(
         .join(F.broadcast(survivors), "neighbor_id")
         .join(F.broadcast(qdf), "query_id")
     )
-    dot = F.expr(
-        "aggregate(zip_with(qvec, embedding, (a, b) ->"
-        " CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
-    )
-    nq = F.expr(
-        "sqrt(aggregate(qvec, 0.0D, (acc,x) -> acc + CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))"
-    )
-    nc = F.expr(
-        "sqrt(aggregate(embedding, 0.0D, (acc,x) -> acc + CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))"
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        rer.filter((nq > 0) & (nc > 0))
-        .withColumn("cos", dot / (nq * nc))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos_sim"))
-    )
+    return _cosine_rerank(rer, k)

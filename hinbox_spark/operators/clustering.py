@@ -57,7 +57,10 @@ def connected_components(
 
 def _driver_union_find(nodes: DataFrame, pair_rows) -> DataFrame:
     """Union-find over collected edges; only nodes in edges get a mapping
-    row — everything else keeps its own id via a broadcast left join."""
+    row — everything else keeps its own id via a broadcast left join.
+    Edge endpoints absent from `nodes` are still emitted (the distributed
+    path does the same via its isolated-node union), and the mapping
+    frame mirrors the caller's node_id type instead of assuming string."""
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -75,18 +78,38 @@ def _driver_union_find(nodes: DataFrame, pair_rows) -> DataFrame:
             lo, hi = (a, b) if a < b else (b, a)
             parent[hi] = lo
 
-    mapping = [(x, find(x)) for x in parent]
+    # every node union-find ever saw, not just dict keys (a root that was
+    # never a child has no parent entry but IS an edge endpoint)
+    seen = set(parent)
+    for r in pair_rows:
+        seen.add(r["src"])
+        seen.add(r["dst"])
+    mapping = [(x, find(x)) for x in seen]
     spark = nodes.sparkSession
     if not mapping:
         return nodes.select("node_id", F.col("node_id").alias("cluster_id"))
-    map_df = spark.createDataFrame(mapping, "node_id string, cluster_id string")
-    return (
-        nodes.join(F.broadcast(map_df), "node_id", "left")
-        .select(
-            "node_id",
-            F.coalesce("cluster_id", "node_id").alias("cluster_id"),
-        )
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = nodes.schema["node_id"].dataType
+    map_df = spark.createDataFrame(
+        mapping,
+        StructType(
+            [
+                StructField("node_id", id_type),
+                StructField("cluster_id", id_type),
+            ]
+        ),
     )
+    labeled = nodes.join(F.broadcast(map_df), "node_id", "left").select(
+        "node_id",
+        F.coalesce("cluster_id", "node_id").alias("cluster_id"),
+    )
+    # edge endpoints missing from `nodes` — same row set as the
+    # distributed path's labels ∪ isolated. (No broadcast hint: an anti
+    # join can only broadcast its right side, and `nodes` may be huge;
+    # the left side here is the bounded mapping frame.)
+    extra = map_df.join(nodes.select("node_id"), "node_id", "left_anti")
+    return labeled.unionByName(extra)
 
 
 def _distributed_components(
@@ -145,6 +168,15 @@ def _distributed_components(
         if sig == prev_sig:
             break
         prev_sig = sig
+    else:
+        # exhausting max_iters without hitting the checksum fixpoint means
+        # some component's labels are still inconsistent — silently
+        # returning them would split entities downstream with no signal
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds; "
+            "raise max_iters (min-label + pointer jumping needs "
+            "O(log diameter) rounds)"
+        )
 
     return labels.unionByName(isolated)
 
@@ -170,7 +202,13 @@ def pairwise_cluster_quality(
     single-row scalar aggregates over cell counts — no pair rows, no
     collect. Returns one row:
     (n_items, tp_pairs, pred_pairs, gold_pairs, precision, recall, f1).
-    """
+
+    Rows with a NULL pred or gold are UNASSIGNED and excluded — the same
+    population rule as b3_cluster_quality, so the two metrics always
+    describe the same item set."""
+    assign = assign.filter(
+        F.col(pred_col).isNotNull() & F.col(gold_col).isNotNull()
+    )
     cont = assign.groupBy(pred_col, gold_col).agg(F.count("*").alias("n"))
     cells = cont.select(
         F.col("n"),
@@ -225,7 +263,14 @@ def b3_cluster_quality(
     one groupBy shuffle, two broadcast joins of per-cluster/per-class
     sizes onto the cells, one scalar aggregate. Floating sums over cells
     are order-dependent in the last ulp, so this is pytest-pinned vs an
-    independent reference rather than hash-oracled."""
+    independent reference rather than hash-oracled.
+
+    Rows with a NULL pred or gold are UNASSIGNED and excluded (explicitly,
+    not as a side effect of the equi-joins) — the same population rule as
+    pairwise_cluster_quality."""
+    assign = assign.filter(
+        F.col(pred_col).isNotNull() & F.col(gold_col).isNotNull()
+    )
     cont = assign.groupBy(pred_col, gold_col).agg(F.count("*").alias("n"))
     sizes_p = cont.groupBy(pred_col).agg(F.sum("n").alias("np"))
     sizes_g = cont.groupBy(gold_col).agg(F.sum("n").alias("ng"))

@@ -45,7 +45,19 @@ def count_interval_overlaps(
     `key_cols` must uniquely identify rows (they are the probe tie-break
     and the output key). Input is traversed twice (pass A / pass B), so
     hand in a checkpointed frame if it is expensive to recompute.
+
+    Rows with a NULL start or end match the pair-join semantics this
+    operator replaces: they overlap nothing (count 0) and are invisible
+    to every other row. They must be SPLIT OUT before the sweep — a null
+    point would sort to one end of the global order and shift every
+    probe's running count by one, corrupting all counts, not just its
+    own row's.
     """
+    has_bounds = F.col(start_col).isNotNull() & F.col(end_col).isNotNull()
+    null_rows = intervals.filter(~has_bounds).select(
+        *key_cols, F.lit(0).cast("long").alias(out_col)
+    )
+    intervals = intervals.filter(has_bounds)
     probe_keys = [F.col(c) for c in key_cols]
     null_keys = [
         F.lit(None).cast(intervals.schema[c].dataType).alias(c)
@@ -87,7 +99,8 @@ def count_interval_overlaps(
     for c in key_cols:
         eq = a[c].eqNullSafe(b[f"_k_{c}"])
         cond = eq if cond is None else (cond & eq)
-    return a.join(b, cond).select(
+    swept = a.join(b, cond).select(
         *[a[c] for c in key_cols],
         (F.col("_a") - F.col("_b") - F.lit(1)).cast("long").alias(out_col),
     )
+    return swept.unionByName(null_rows)

@@ -243,10 +243,12 @@ def scd2_as_of(
 ) -> DataFrame:
     """Point-in-time read: the (key, value) assertions valid at instant
     `ts` — the library counterpart of the `kg_snapshot_timeline` contract
-    query. One resolved scan with a pushed-down residual filter; at most
-    one row per key EXCEPT when several zero-duration runs share the probe
-    instant exactly (same-ts conflicts), which mirrors the batch
-    reconstruction's semantics."""
+    query. One resolved scan with a pushed-down residual filter. At most
+    one row per key: intervals are [valid_from, valid_to), so a
+    zero-duration run ([t, t)) matches NO probe — probing at a same-ts
+    conflict instant returns only the run that survived it (the max value
+    in the (ts, value) total order), exactly like probing the batch
+    reconstruction with the same half-open rule."""
     iv = table.read_resolved([key_col, "valid_from", "value"])
     return iv.filter(
         (F.col("valid_from") <= F.lit(ts))

@@ -247,3 +247,27 @@ def test_ivfpq_recall_vs_brute_and_residual_advantage(spark, vectors):
     # residual codebooks are re-fit deterministic too
     res2 = pq_fit_codebooks(vectors, m=8, ksub=16, iters=2, coarse=cents)
     assert np.array_equal(res, res2)
+
+
+def test_pq_paths_accept_string_ids(spark):
+    """The PQ scan schemas derive from the caller's id types — string-id
+    corpora must work on pq_topk/ivfpq_topk exactly like they do on the
+    brute/LSH/IVF paths (the mapInPandas schema used to hard-code long)."""
+    import numpy as np
+
+    from hinbox_spark.operators.ann import ivfpq_topk, pq_topk
+
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((60, 16)).astype("float32")
+    rows = [(f"v{i}", vecs[i].tolist()) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(f"v{i}", vecs[i].tolist()) for i in range(3)],
+        "query_id string, qvec array<float>",
+    )
+    for fn in (pq_topk, ivfpq_topk):
+        out = fn(emb, queries, k=5, m=4, ksub=8, iters=2, dim=16).collect()
+        assert out, fn.__name__
+        ids = {r["neighbor_id"] for r in out}
+        assert all(isinstance(i, str) and i.startswith("v") for i in ids)
+        assert all(r["query_id"].startswith("v") for r in out)

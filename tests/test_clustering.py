@@ -108,3 +108,18 @@ def test_b3_cluster_quality_vs_independent_reference(spark):
     assert abs(got["b3_recall"] - r_) < 1e-12
     assert abs(got["b3_f1"] - 2 * p * r_ / (p + r_)) < 1e-12
     assert got["n_items"] == n
+
+
+def test_driver_path_nonstring_ids_and_edge_only_nodes(spark):
+    """The adaptive driver path must (a) accept whatever node_id type the
+    caller uses (the mapping schema mirrors it — it used to hard-code
+    string and crash on long ids) and (b) emit edge endpoints absent from
+    `nodes`, matching the distributed path's labels ∪ isolated row set."""
+    nodes = spark.createDataFrame([(1,), (2,), (5,)], "node_id long")
+    edges = spark.createDataFrame([(1, 2), (2, 9)], "src long, dst long")
+    got = {
+        r["node_id"]: r["cluster_id"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    # 9 is edge-only: still labeled, in the same component as 1/2
+    assert got == {1: 1, 2: 1, 9: 1, 5: 5}

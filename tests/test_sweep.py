@@ -141,3 +141,21 @@ def test_null_keys_are_kept(spark):
     out = count_interval_overlaps(df, ["sid"], "t0", "t1").collect()
     got = {r["sid"]: r["n_overlapping"] for r in out}
     assert got == {"s1": 1, "s2": 1, None: 0}
+
+
+def test_null_bounds_rows_count_zero_and_corrupt_nothing(spark):
+    """A NULL start or end must behave like the pair-join semantics: that
+    row overlaps nothing (count 0) and is INVISIBLE to every other row —
+    an unsplit null point would sort to one end of the global order and
+    shift every probe's running count."""
+    rows = [
+        (1, 0, 10), (2, 5, 15),          # overlap each other
+        (3, 50, None), (4, None, 60),    # null-bounded: count 0
+        (5, 100, 110),                   # overlaps nothing
+    ]
+    df = spark.createDataFrame(rows, "id long, s long, e long")
+    got = {
+        r["id"]: r["n_overlapping"]
+        for r in count_interval_overlaps(df, ["id"], "s", "e").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 0, 4: 0, 5: 0}
