@@ -5040,6 +5040,293 @@ WHERE levenshtein(a.p_name, b.p_name) <= 2
 """
 
 
+def q_kg_shacl_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL-style shape validation over the materialized KG — the graph
+    QC pass a production KG pipeline runs before publishing a snapshot
+    (reference parity: the reference's per-entity profile QC flags,
+    re-expressed as declarative node-shape constraints over triples).
+    Four constraints on the customer node shape:
+
+      * ``in_nation minCount 1``        — every customer node asserts a
+        nation (sh:minCount),
+      * ``in_segment maxCount 1``       — at most one market segment
+        (sh:maxCount),
+      * ``placed_priority maxCount 3``  — no more than three distinct
+        priorities per customer (violated by construction: repeat buyers
+        spread across the five priority literals),
+      * ``in_nation range closed``      — every in_nation object (any
+        subject type) is a member of the nation dimension (sh:in closed
+        value set).
+
+    Scale plan: ONE subj-keyed aggregation (map-side combinable
+    conditional count_distincts, one shuffle) feeds the three
+    cardinality constraints; the node universe left-joins on the same
+    key so nodes with zero triples still get evaluated for minCount.
+    The per-node frame folds to a single row of counters, unpivoted via
+    ``stack`` — driver never sees node rows. The closed-range check is a
+    broadcast LEFT ANTI join against the nation dimension (dimension-
+    sized however large the triple store grows). Zero violations is a
+    legitimate (and asserted) outcome for the constraints the generator
+    satisfies by construction."""
+    t = _kg_triples(spark, sf_dir)
+    tc = t.filter(F.col("subj").startswith("customer/"))
+    per = tc.groupBy("subj").agg(
+        F.count_distinct(
+            F.when(F.col("pred") == "in_nation", F.col("obj"))
+        ).alias("n_nation"),
+        F.count_distinct(
+            F.when(F.col("pred") == "in_segment", F.col("obj"))
+        ).alias("n_segment"),
+        F.count_distinct(
+            F.when(F.col("pred") == "placed_priority", F.col("obj"))
+        ).alias("n_priority"),
+    )
+    nodes = _t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("customer/"), F.col("c_custkey")).alias("subj"))
+    per = nodes.join(per, "subj", "left").na.fill(
+        0, ["n_nation", "n_segment", "n_priority"])
+    folded = per.agg(
+        F.count("*").alias("focus"),
+        F.count(F.when(F.col("n_nation") < 1, 1)).alias("v1"),
+        F.min(F.when(F.col("n_nation") < 1, F.col("subj"))).alias("f1"),
+        F.count(F.when(F.col("n_segment") > 1, 1)).alias("v2"),
+        F.min(F.when(F.col("n_segment") > 1, F.col("subj"))).alias("f2"),
+        F.count(F.when(F.col("n_priority") > 3, 1)).alias("v3"),
+        F.min(F.when(F.col("n_priority") > 3, F.col("subj"))).alias("f3"),
+    )
+    card = folded.selectExpr(
+        "stack(3, "
+        " 'customer/in_nation/minCount1',        focus, v1, f1,"
+        " 'customer/in_segment/maxCount1',       focus, v2, f2,"
+        " 'customer/placed_priority/maxCount3',  focus, v3, f3"
+        ") AS (constraint_id, n_focus, n_violations, first_violator)")
+    nat = _t(spark, sf_dir, "nation").select(F.col("n_name").alias("obj"))
+    rng = t.filter(F.col("pred") == "in_nation")
+    bad = rng.join(F.broadcast(nat), "obj", "left_anti")
+    range_row = rng.agg(F.count("*").alias("n_focus")).crossJoin(
+        bad.agg(
+            F.count("*").alias("n_violations"),
+            F.min("subj").alias("first_violator"),
+        )
+    ).select(
+        F.lit("any/in_nation/inClosedSet").alias("constraint_id"),
+        "n_focus", "n_violations", "first_violator")
+    return card.unionByName(range_row).orderBy("constraint_id")
+
+
+ORACLE_KG_SHACL = f"""
+WITH {_ORACLE_KG_TRIPLES_CTE.strip()},
+per AS (
+  SELECT c.subj,
+         coalesce(n_nation, 0) AS n_nation,
+         coalesce(n_segment, 0) AS n_segment,
+         coalesce(n_priority, 0) AS n_priority
+  FROM (SELECT 'customer/' || c_custkey AS subj FROM customer) c
+  LEFT JOIN (
+    SELECT subj,
+           count(DISTINCT CASE WHEN pred = 'in_nation' THEN obj END)
+             AS n_nation,
+           count(DISTINCT CASE WHEN pred = 'in_segment' THEN obj END)
+             AS n_segment,
+           count(DISTINCT CASE WHEN pred = 'placed_priority' THEN obj END)
+             AS n_priority
+    FROM t WHERE subj LIKE 'customer/%' GROUP BY subj
+  ) a ON c.subj = a.subj
+)
+SELECT 'customer/in_nation/minCount1' AS constraint_id,
+       count(*) AS n_focus,
+       count(CASE WHEN n_nation < 1 THEN 1 END) AS n_violations,
+       min(CASE WHEN n_nation < 1 THEN subj END) AS first_violator
+FROM per
+UNION ALL
+SELECT 'customer/in_segment/maxCount1', count(*),
+       count(CASE WHEN n_segment > 1 THEN 1 END),
+       min(CASE WHEN n_segment > 1 THEN subj END)
+FROM per
+UNION ALL
+SELECT 'customer/placed_priority/maxCount3', count(*),
+       count(CASE WHEN n_priority > 3 THEN 1 END),
+       min(CASE WHEN n_priority > 3 THEN subj END)
+FROM per
+UNION ALL
+SELECT 'any/in_nation/inClosedSet',
+       (SELECT count(*) FROM t WHERE pred = 'in_nation'),
+       count(*), min(subj)
+FROM (
+  SELECT subj FROM t
+  WHERE pred = 'in_nation'
+    AND obj NOT IN (SELECT n_name FROM nation)
+)
+ORDER BY constraint_id
+"""
+
+
+def q_kg_property_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL property-path query with an OPTIONAL pattern: for every
+    supplier, ``?s in_nation/^in_nation ?c`` (customers co-located via
+    the inverse path) plus OPTIONAL ``?c placed_priority '1-URGENT'`` —
+    per supplier, how many customers share its nation and how many of
+    those are urgent buyers.
+
+    Scale plan: the naive path plan materializes supplier×customer
+    pairs (Σ per-nation |S|·|C| rows — quadratic in the co-location
+    hubs). Because both endpoints only feed COUNT DISTINCT aggregates,
+    the aggregation is pushed BELOW the inverse step: customers fold to
+    one row per nation first (one subj-keyed left join against the
+    urgent subject set, then a nation-keyed fold — both map-side
+    combinable), and the supplier side broadcast-joins the resulting
+    dimension-sized per-nation table. No pair row ever materializes;
+    tests assert the plan has no supplier-customer join."""
+    t = _kg_triples(spark, sf_dir)
+    cust_nat = t.filter(
+        (F.col("pred") == "in_nation")
+        & F.col("subj").startswith("customer/"))
+    urgent = (
+        t.filter((F.col("pred") == "placed_priority")
+                 & (F.col("obj") == "1-URGENT"))
+        .select("subj").distinct().withColumn("is_urgent", F.lit(1))
+    )
+    per_nation = (
+        cust_nat.join(urgent, "subj", "left")
+        .groupBy("obj")
+        .agg(
+            F.count_distinct("subj").alias("n_colocated_customers"),
+            F.count_distinct(
+                F.when(F.col("is_urgent") == 1, F.col("subj"))
+            ).alias("n_urgent_colocated"),
+        )
+    )
+    supp = t.filter(
+        (F.col("pred") == "in_nation")
+        & F.col("subj").startswith("supplier/"))
+    return (
+        supp.join(F.broadcast(per_nation), "obj", "left")
+        .na.fill(0, ["n_colocated_customers", "n_urgent_colocated"])
+        .select(
+            F.col("subj").alias("supplier"),
+            F.col("obj").alias("nation"),
+            "n_colocated_customers", "n_urgent_colocated")
+    )
+
+
+ORACLE_KG_PROPERTY_PATH = f"""
+WITH {_ORACLE_KG_TRIPLES_CTE.strip()},
+urgent AS (
+  SELECT DISTINCT subj FROM t
+  WHERE pred = 'placed_priority' AND obj = '1-URGENT'
+),
+per_nation AS (
+  SELECT c.obj AS nation,
+         count(DISTINCT c.subj) AS n_colocated_customers,
+         count(DISTINCT CASE WHEN u.subj IS NOT NULL THEN c.subj END)
+           AS n_urgent_colocated
+  FROM t c LEFT JOIN urgent u ON c.subj = u.subj
+  WHERE c.pred = 'in_nation' AND c.subj LIKE 'customer/%'
+  GROUP BY c.obj
+)
+SELECT s.subj AS supplier, s.obj AS nation,
+       coalesce(n_colocated_customers, 0) AS n_colocated_customers,
+       coalesce(n_urgent_colocated, 0) AS n_urgent_colocated
+FROM t s LEFT JOIN per_nation p ON s.obj = p.nation
+WHERE s.pred = 'in_nation' AND s.subj LIKE 'supplier/%'
+"""
+
+
+def q_kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG-embedding training prep: TransE-style corrupted-tail negative
+    sampling over the ``placed_priority`` triples, in the *filtered*
+    protocol of Bordes et al. 2013 (negatives that happen to be true
+    triples are flagged so the loss/eval can drop them). RNG-free so
+    both engines and every rerun agree byte-for-byte: the corruption
+    index is md5(subj#obj) mod (V−1) over the ranked object vocabulary,
+    with the index-shift trick (idx ≥ rank(true) → idx+1) giving an
+    exactly uniform draw over the V−1 WRONG objects — no rejection
+    loop, no window.
+
+    Scale plan: the object vocabulary is ranked once (V rows — literal
+    vocabularies are dimension-sized) and broadcast twice: once to
+    resolve the true object's rank, once to resolve the sampled index
+    back to a literal. The filtered flag is a left join against the
+    distinct true-triple set on (subj, candidate) — same subj-keyed
+    partitioning as the input, one shuffle. Everything downstream of
+    the distincts is JVM expressions (md5/conv), no Python."""
+    t = _kg_triples(spark, sf_dir)
+    tp = (
+        t.filter(F.col("pred") == "placed_priority")
+        .select("subj", "obj").distinct()
+    )
+    vocab = tp.select("obj").distinct()
+    w = Window.orderBy("obj")
+    # V literals total: a global row_number over a dimension-sized frame
+    # (the SinglePartition sort is V rows, not corpus rows)
+    ranked = vocab.select(
+        "obj", (F.row_number().over(w) - F.lit(1)).alias("idx"))
+    n_row = ranked.agg(F.count("*").alias("n_obj"))
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("#", "subj", "obj")), 1, 8), 16, 10
+    ).cast("long")
+    base = (
+        tp.crossJoin(F.broadcast(n_row))
+        .join(
+            F.broadcast(ranked.withColumnRenamed("idx", "true_idx")), "obj")
+        .withColumn("r", h % (F.col("n_obj") - 1))
+        .withColumn(
+            "neg_idx",
+            F.when(F.col("r") < F.col("true_idx"), F.col("r"))
+            .otherwise(F.col("r") + 1))
+    )
+    neg = base.join(
+        F.broadcast(
+            ranked.select(
+                F.col("idx").alias("neg_idx"), F.col("obj").alias("neg_obj"))
+        ),
+        "neg_idx",
+    )
+    truth = tp.select(
+        "subj", F.col("obj").alias("neg_obj"), F.lit(1).alias("hit"))
+    return (
+        neg.join(truth, ["subj", "neg_obj"], "left")
+        .select(
+            "subj",
+            F.col("obj").alias("true_obj"),
+            "neg_obj",
+            F.when(F.col("hit").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0)).alias("is_filtered"),
+        )
+    )
+
+
+ORACLE_KG_NEGATIVE_SAMPLES = f"""
+WITH {_ORACLE_KG_TRIPLES_CTE.strip()},
+tp AS (
+  SELECT DISTINCT subj, obj FROM t WHERE pred = 'placed_priority'
+),
+ranked AS (
+  SELECT obj, row_number() OVER (ORDER BY obj) - 1 AS idx
+  FROM (SELECT DISTINCT obj FROM tp)
+),
+n AS (SELECT count(*) AS n_obj FROM ranked),
+base AS (
+  SELECT tp.subj, tp.obj, r.idx AS true_idx,
+         CAST(('0x' || substr(md5(tp.subj || '#' || tp.obj), 1, 8))
+              AS BIGINT) % (n.n_obj - 1) AS r
+  FROM tp
+  CROSS JOIN n
+  JOIN ranked r ON tp.obj = r.obj
+),
+neg AS (
+  SELECT b.subj, b.obj, r2.obj AS neg_obj
+  FROM base b
+  JOIN ranked r2
+    ON r2.idx = CASE WHEN b.r < b.true_idx THEN b.r ELSE b.r + 1 END
+)
+SELECT neg.subj AS subj, neg.obj AS true_obj, neg.neg_obj AS neg_obj,
+       CASE WHEN tp2.subj IS NOT NULL THEN 1 ELSE 0 END AS is_filtered
+FROM neg
+LEFT JOIN tp tp2 ON tp2.subj = neg.subj AND tp2.obj = neg.neg_obj
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -5157,6 +5444,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_temporal_validity": q_kg_temporal_validity,
     "kg_random_walks": q_kg_random_walks,
     "kg_snapshot_timeline": q_kg_snapshot_timeline,
+    "kg_shacl_violations": q_kg_shacl_violations,
+    "kg_property_path": q_kg_property_path,
+    "kg_negative_samples": q_kg_negative_samples,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -5257,4 +5547,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "kg_temporal_validity": ORACLE_KG_TEMPORAL_VALIDITY,
     "kg_random_walks": ORACLE_KG_RANDOM_WALKS,
     "kg_snapshot_timeline": ORACLE_KG_SNAPSHOT_TIMELINE,
+    "kg_shacl_violations": ORACLE_KG_SHACL,
+    "kg_property_path": ORACLE_KG_PROPERTY_PATH,
+    "kg_negative_samples": ORACLE_KG_NEGATIVE_SAMPLES,
 }

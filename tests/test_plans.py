@@ -1060,3 +1060,83 @@ def test_kg_snapshot_timeline_point_in_time_semantics(spark):
     want = sorted(tuple(repr(v) for v in r)
                   for r in ddf[cols].itertuples(index=False, name=None))
     assert got == want
+
+
+def test_kg_shacl_path_and_negatives_semantics_and_plans(spark):
+    """Round-5 KG additions: SHACL shape validation, property-path with
+    pushed-down endpoint aggregation, and TransE filtered negative
+    sampling. Values are oracle-checked by the driver; here we pin the
+    SEMANTICS an oracle hash can't articulate (which constraints hold by
+    construction, uniformity/filtered-flag invariants) and the plan
+    shapes that make the 100-TB versions right."""
+    import duckdb
+
+    from hinbox_spark.plans.queries import (
+        ORACLE_QUERIES, SPARK_QUERIES, q_kg_negative_samples,
+        q_kg_property_path, q_kg_shacl_violations,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    # --- SHACL: generator satisfies minCount/maxCount1/closed-range by
+    # construction; repeat buyers violate priority maxCount 3.
+    shacl = {r.constraint_id: r
+             for r in q_kg_shacl_violations(spark, sf).collect()}
+    assert shacl["customer/in_nation/minCount1"].n_violations == 0
+    assert shacl["customer/in_segment/maxCount1"].n_violations == 0
+    assert shacl["any/in_nation/inClosedSet"].n_violations == 0
+    assert shacl["any/in_nation/inClosedSet"].first_violator is None
+    viol = shacl["customer/placed_priority/maxCount3"]
+    assert 0 < viol.n_violations <= viol.n_focus
+    assert viol.first_violator.startswith("customer/")
+    pl = _plan(q_kg_shacl_violations(spark, sf))
+    # closed-range check is a broadcast anti join, never a shuffle
+    assert "BroadcastHashJoin" in pl and "LeftAnti" in pl
+
+    # --- property path: endpoint aggregation pushed below the inverse
+    # step — result is supplier-sized, the per-nation table broadcast,
+    # and no supplier×customer pair rows exist anywhere in the plan
+    # (the only join touching the supplier branch is the broadcast of
+    # the ALREADY-AGGREGATED per-nation rows: partial_count appears
+    # below the broadcast exchange).
+    pp = q_kg_property_path(spark, sf)
+    n_suppliers = spark.read.parquet(f"{sf}/supplier.parquet").count()
+    assert pp.count() == n_suppliers
+    plan = _plan(pp)
+    assert "BroadcastHashJoin" in plan
+    bcast_idx = plan.index("BroadcastExchange")
+    assert "partial_count" in plan[bcast_idx:]
+
+    # --- negative samples: corrupted tail never equals the true tail,
+    # the filtered flag is exactly membership of (subj, neg) in the
+    # true-triple set, and the draw covers the whole wrong-object space.
+    neg = q_kg_negative_samples(spark, sf).toPandas()
+    assert (neg["neg_obj"] != neg["true_obj"]).all()
+    true_set = set(zip(neg["subj"], neg["true_obj"]))
+    flag = [int((s, n) in true_set)
+            for s, n in zip(neg["subj"], neg["neg_obj"])]
+    assert flag == neg["is_filtered"].tolist()
+    assert neg["is_filtered"].sum() > 0  # multi-priority buyers collide
+    # uniform over V-1 alternatives: every wrong object is drawn
+    vocab = set(neg["true_obj"])
+    assert set(neg["neg_obj"]) == vocab  # 5 priorities, all reachable
+    per_true = neg.groupby("true_obj")["neg_obj"].nunique()
+    assert (per_true == len(vocab) - 1).all()
+
+    # --- all three hash-match DuckDB here too (driver re-checks sf0.01)
+    con = duckdb.connect()
+    for t in ("customer", "nation", "supplier", "orders"):
+        con.execute(
+            f"create view {t} as select * from read_parquet('{sf}/{t}.parquet')"
+        )
+    for name in ("kg_shacl_violations", "kg_property_path",
+                 "kg_negative_samples"):
+        sdf = SPARK_QUERIES[name](spark, sf).toPandas()
+        ddf = con.execute(ORACLE_QUERIES[name]).df()
+        cols = sorted(sdf.columns)
+        assert cols == sorted(ddf.columns), name
+        got = sorted(tuple(repr(v) for v in r)
+                     for r in sdf[cols].itertuples(index=False, name=None))
+        want = sorted(tuple(repr(v) for v in r)
+                      for r in ddf[cols].itertuples(index=False, name=None))
+        assert got == want, name
