@@ -5327,6 +5327,140 @@ LEFT JOIN tp tp2 ON tp2.subj = neg.subj AND tp2.obj = neg.neg_obj
 """
 
 
+def q_kg_schema_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema/ontology induction from instance triples — the step that
+    turns a bag of extracted (subj, pred, obj) assertions into a typed
+    schema a downstream consumer can trust: per predicate, the dominant
+    subject class (IRI prefix), its purity, the inferred object
+    datatype (uniform integer / date / string, else 'mixed'), and an
+    OWL FunctionalProperty flag. Mirrors what KG-construction systems
+    (e.g. schema-on-read RDF profilers) publish next to the graph.
+
+    The triple view is widened with two typed branches private to this
+    query — nation_code (integer literals) and placed_on (date
+    literals) — so datatype inference has real work to do. Purity is
+    floor-scaled to milli-units (integer-exact across engines; the
+    repo-wide rule for ratios in oracle-hashed outputs).
+
+    Scale plan: three aggregation trees, all map-side combinable, all
+    landing on ≤|preds| rows — (pred, class) counts with a deterministic
+    count-desc/class-asc argmax via per-pred sort of a handful of class
+    rows; (pred, subj) distinct-object counts folding to the functional
+    flag; per-pred datatype-set folds over a regexp classification
+    (pure JVM). Nothing driver-side, no window over corpus rows."""
+    t = _kg_triples(spark, sf_dir)
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    extra = c.select(
+        F.concat(F.lit("customer/"), F.col("c_custkey")).alias("subj"),
+        F.lit("nation_code").alias("pred"),
+        F.col("c_nationkey").cast("string").alias("obj"),
+    ).unionByName(o.select(
+        F.concat(F.lit("customer/"), F.col("o_custkey")).alias("subj"),
+        F.lit("placed_on").alias("pred"),
+        F.col("o_orderdate").cast("date").cast("string").alias("obj"),
+    ))
+    t = t.unionByName(extra)
+    typed = t.withColumn(
+        "obj_type",
+        F.when(F.col("obj").rlike("^-?[0-9]+$"), F.lit("integer"))
+        .when(F.col("obj").rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$"),
+              F.lit("date"))
+        .otherwise(F.lit("string")),
+    ).withColumn("subj_class", F.split("subj", "/").getItem(0))
+    by_class = typed.groupBy("pred", "subj_class").agg(
+        F.count("*").alias("n_cls"))
+    w = Window.partitionBy("pred").orderBy(
+        F.col("n_cls").desc(), F.col("subj_class").asc())
+    dom = (
+        by_class.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("pred", F.col("subj_class").alias("dominant_subject_class"),
+                F.col("n_cls").alias("n_dom"))
+    )
+    stats = typed.groupBy("pred").agg(
+        F.count("*").alias("n_triples"),
+        F.count_distinct("subj").alias("n_subjects"),
+        F.count_distinct("obj_type").alias("n_types"),
+        F.min("obj_type").alias("one_type"),
+    )
+    func = (
+        typed.groupBy("pred", "subj")
+        .agg(F.count_distinct("obj").alias("n_obj"))
+        .groupBy("pred")
+        .agg(F.max("n_obj").alias("max_obj"))
+    )
+    return (
+        stats.join(dom, "pred").join(func, "pred")
+        .select(
+            "pred", "n_triples", "n_subjects", "dominant_subject_class",
+            F.floor(F.lit(1000) * F.col("n_dom") / F.col("n_triples"))
+            .alias("subject_class_purity_milli"),
+            F.when(F.col("n_types") == 1, F.col("one_type"))
+            .otherwise(F.lit("mixed")).alias("inferred_object_type"),
+            F.when(F.col("max_obj") == 1, F.lit(1)).otherwise(F.lit(0))
+            .alias("is_functional"),
+        )
+        .orderBy("pred")
+    )
+
+
+ORACLE_KG_SCHEMA_INDUCTION = f"""
+WITH {_ORACLE_KG_TRIPLES_CTE.strip()},
+t2 AS (
+  SELECT subj, pred, obj FROM t
+  UNION ALL
+  SELECT 'customer/' || c_custkey, 'nation_code',
+         CAST(c_nationkey AS VARCHAR)
+  FROM customer
+  UNION ALL
+  SELECT 'customer/' || o_custkey, 'placed_on',
+         CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+  FROM orders
+),
+typed AS (
+  SELECT subj, pred, obj,
+         CASE WHEN regexp_matches(obj, '^-?[0-9]+$') THEN 'integer'
+              WHEN regexp_matches(obj, '^[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}$')
+                THEN 'date'
+              ELSE 'string' END AS obj_type,
+         string_split(subj, '/')[1] AS subj_class
+  FROM t2
+),
+dom AS (
+  SELECT pred, subj_class AS dominant_subject_class, n_cls AS n_dom
+  FROM (
+    SELECT pred, subj_class, count(*) AS n_cls,
+           row_number() OVER (
+             PARTITION BY pred ORDER BY count(*) DESC, subj_class ASC
+           ) AS rn
+    FROM typed GROUP BY pred, subj_class
+  ) WHERE rn = 1
+),
+stats AS (
+  SELECT pred, count(*) AS n_triples, count(DISTINCT subj) AS n_subjects,
+         count(DISTINCT obj_type) AS n_types, min(obj_type) AS one_type
+  FROM typed GROUP BY pred
+),
+func AS (
+  SELECT pred, max(n_obj) AS max_obj
+  FROM (SELECT pred, subj, count(DISTINCT obj) AS n_obj
+        FROM typed GROUP BY pred, subj)
+  GROUP BY pred
+)
+SELECT s.pred AS pred, n_triples, n_subjects, dominant_subject_class,
+       CAST(floor(1000.0 * n_dom / n_triples) AS BIGINT)
+         AS subject_class_purity_milli,
+       CASE WHEN n_types = 1 THEN one_type ELSE 'mixed' END
+         AS inferred_object_type,
+       CASE WHEN max_obj = 1 THEN 1 ELSE 0 END AS is_functional
+FROM stats s
+JOIN dom ON s.pred = dom.pred
+JOIN func ON s.pred = func.pred
+ORDER BY s.pred
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -5447,6 +5581,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_shacl_violations": q_kg_shacl_violations,
     "kg_property_path": q_kg_property_path,
     "kg_negative_samples": q_kg_negative_samples,
+    "kg_schema_induction": q_kg_schema_induction,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -5550,4 +5685,5 @@ ORACLE_QUERIES: dict[str, str] = {
     "kg_shacl_violations": ORACLE_KG_SHACL,
     "kg_property_path": ORACLE_KG_PROPERTY_PATH,
     "kg_negative_samples": ORACLE_KG_NEGATIVE_SAMPLES,
+    "kg_schema_induction": ORACLE_KG_SCHEMA_INDUCTION,
 }

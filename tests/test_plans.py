@@ -1140,3 +1140,52 @@ def test_kg_shacl_path_and_negatives_semantics_and_plans(spark):
         want = sorted(tuple(repr(v) for v in r)
                       for r in ddf[cols].itertuples(index=False, name=None))
         assert got == want, name
+
+
+def test_kg_schema_induction_semantics_and_plan(spark):
+    """Schema induction: the typed branches infer integer/date, the
+    string predicates stay string, functionality matches the known
+    generator cardinalities, purity is floor-scaled integer milli-units,
+    and the plan is pure JVM aggregation (no Python eval) with map-side
+    combine on every tree. Values oracle-checked by the driver."""
+    import duckdb
+
+    from hinbox_spark.plans.queries import (
+        ORACLE_KG_SCHEMA_INDUCTION, q_kg_schema_induction,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = q_kg_schema_induction(spark, sf)
+    rows = {r.pred: r for r in df.collect()}
+    assert rows["nation_code"].inferred_object_type == "integer"
+    assert rows["placed_on"].inferred_object_type == "date"
+    assert rows["in_nation"].inferred_object_type == "string"
+    # one nation / one segment per customer; priorities & dates repeat
+    assert rows["in_nation"].is_functional == 1
+    assert rows["in_segment"].is_functional == 1
+    assert rows["placed_priority"].is_functional == 0
+    # in_nation spans customer AND supplier subjects → purity < 1000;
+    # the customer-only predicates are pure
+    assert rows["in_nation"].subject_class_purity_milli < 1000
+    assert rows["in_segment"].subject_class_purity_milli == 1000
+    assert all(0 <= r.subject_class_purity_milli <= 1000
+               for r in rows.values())
+
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan  # map-side combine
+
+    con = duckdb.connect()
+    for t in ("customer", "nation", "supplier", "orders"):
+        con.execute(
+            f"create view {t} as select * from read_parquet('{sf}/{t}.parquet')"
+        )
+    sdf = df.toPandas()
+    ddf = con.execute(ORACLE_KG_SCHEMA_INDUCTION).df()
+    cols = sorted(sdf.columns)
+    assert cols == sorted(ddf.columns)
+    got = sorted(tuple(repr(v) for v in r)
+                 for r in sdf[cols].itertuples(index=False, name=None))
+    want = sorted(tuple(repr(v) for v in r)
+                  for r in ddf[cols].itertuples(index=False, name=None))
+    assert got == want
