@@ -5461,6 +5461,102 @@ ORDER BY s.pred
 """
 
 
+def q_kg_completion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG-completion evaluation in the FILTERED protocol (Bordes et al.
+    2013): per predicate, rank the true tail of every (subj, pred, obj)
+    test triple under a deterministic popularity scorer (global
+    (pred, obj) frequency, obj-asc tie-break), filtering the subject's
+    OTHER true tails out of the candidate list; report n_test,
+    MRR (micro-units, integer-exact) and Hits@1/Hits@3.
+
+    The trick that makes this web-scale: the UNFILTERED rank is a
+    property of (pred, obj) alone — one row_number over the
+    dimension-sized vocabulary — so no test×vocab candidate expansion
+    ever materializes (the textbook implementation is |test|·|V| rows).
+    The filtered correction subtracts the subject's better-ranked
+    sibling tails: a self-join on (subj, pred) whose fan-out is the
+    per-subject tail count (≤|V|, here ≤5), not |V|. MRR is summed as
+    floor(1e6/rank) BEFORE averaging so both engines fold integers —
+    no float-accumulation-order flake in the oracle hash."""
+    t = _kg_triples(spark, sf_dir)
+    tp = (
+        t.filter(F.col("pred").isin("in_nation", "in_segment",
+                                    "placed_priority"))
+        .select("subj", "pred", "obj").distinct()
+    )
+    pop = tp.groupBy("pred", "obj").agg(F.count("*").alias("freq"))
+    w = Window.partitionBy("pred").orderBy(
+        F.col("freq").desc(), F.col("obj").asc())
+    ranked = pop.select(
+        "pred", "obj", F.row_number().over(w).alias("r"))
+    test = tp.join(F.broadcast(ranked), ["pred", "obj"])
+    sib = test.select(
+        "subj", "pred", F.col("obj").alias("sib_obj"),
+        F.col("r").alias("sib_r"))
+    better = (
+        test.join(sib, ["subj", "pred"])
+        .filter((F.col("sib_obj") != F.col("obj"))
+                & (F.col("sib_r") < F.col("r")))
+        .groupBy("subj", "pred", "obj")
+        .agg(F.count("*").alias("n_better"))
+    )
+    scored = (
+        test.join(better, ["subj", "pred", "obj"], "left")
+        .withColumn("rank", F.col("r") - F.coalesce("n_better", F.lit(0)))
+    )
+    return (
+        scored.groupBy("pred")
+        .agg(
+            F.count("*").alias("n_test"),
+            F.floor(
+                F.sum(F.floor(F.lit(1000000) / F.col("rank")))
+                / F.count("*")
+            ).alias("mrr_micro"),
+            F.count(F.when(F.col("rank") == 1, 1)).alias("n_hits1"),
+            F.count(F.when(F.col("rank") <= 3, 1)).alias("n_hits3"),
+        )
+        .orderBy("pred")
+    )
+
+
+ORACLE_KG_COMPLETION_EVAL = f"""
+WITH {_ORACLE_KG_TRIPLES_CTE.strip()},
+tp AS (
+  SELECT DISTINCT subj, pred, obj FROM t
+  WHERE pred IN ('in_nation', 'in_segment', 'placed_priority')
+),
+ranked AS (
+  SELECT pred, obj,
+         row_number() OVER (
+           PARTITION BY pred ORDER BY count(*) DESC, obj ASC
+         ) AS r
+  FROM tp GROUP BY pred, obj
+),
+test AS (
+  SELECT tp.subj, tp.pred, tp.obj, ranked.r
+  FROM tp JOIN ranked ON tp.pred = ranked.pred AND tp.obj = ranked.obj
+),
+better AS (
+  SELECT a.subj, a.pred, a.obj, count(*) AS n_better
+  FROM test a JOIN test b ON a.subj = b.subj AND a.pred = b.pred
+  WHERE b.obj <> a.obj AND b.r < a.r
+  GROUP BY a.subj, a.pred, a.obj
+),
+scored AS (
+  SELECT test.pred, test.r - coalesce(n_better, 0) AS rank
+  FROM test LEFT JOIN better
+    ON test.subj = better.subj AND test.pred = better.pred
+   AND test.obj = better.obj
+)
+SELECT pred, count(*) AS n_test,
+       CAST(floor(sum(floor(1000000.0 / rank)) / count(*)) AS BIGINT)
+         AS mrr_micro,
+       count(CASE WHEN rank = 1 THEN 1 END) AS n_hits1,
+       count(CASE WHEN rank <= 3 THEN 1 END) AS n_hits3
+FROM scored GROUP BY pred ORDER BY pred
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -5582,6 +5678,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_property_path": q_kg_property_path,
     "kg_negative_samples": q_kg_negative_samples,
     "kg_schema_induction": q_kg_schema_induction,
+    "kg_completion_eval": q_kg_completion_eval,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -5686,4 +5783,5 @@ ORACLE_QUERIES: dict[str, str] = {
     "kg_property_path": ORACLE_KG_PROPERTY_PATH,
     "kg_negative_samples": ORACLE_KG_NEGATIVE_SAMPLES,
     "kg_schema_induction": ORACLE_KG_SCHEMA_INDUCTION,
+    "kg_completion_eval": ORACLE_KG_COMPLETION_EVAL,
 }

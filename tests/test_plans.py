@@ -1189,3 +1189,73 @@ def test_kg_schema_induction_semantics_and_plan(spark):
     want = sorted(tuple(repr(v) for v in r)
                   for r in ddf[cols].itertuples(index=False, name=None))
     assert got == want
+
+
+def test_kg_completion_eval_filtered_protocol(spark):
+    """Pin the filtered-ranking math against a brute-force reference
+    that DOES materialize test×vocab candidates and drops the subject's
+    other true tails (the textbook Bordes et al. protocol) — the query
+    computes identical ranks from the vocabulary ordering plus the
+    sibling correction without ever expanding candidates."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from hinbox_spark.plans.queries import (
+        ORACLE_KG_COMPLETION_EVAL, _kg_triples, q_kg_completion_eval,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    preds = ("in_nation", "in_segment", "placed_priority")
+    tp = {
+        (r.subj, r.pred, r.obj)
+        for r in _kg_triples(spark, sf)
+        .filter(F.col("pred").isin(*preds)).distinct().collect()
+    }
+    # brute force: popularity scores, full candidate list, filter, rank
+    from collections import Counter, defaultdict
+    freq = Counter((p, o) for _, p, o in tp)
+    vocab = defaultdict(list)
+    for (p, o), f in freq.items():
+        vocab[p].append(o)
+    order = {p: sorted(objs, key=lambda o: (-freq[(p, o)], o))
+             for p, objs in vocab.items()}
+    tails = defaultdict(set)
+    for s, p, o in tp:
+        tails[(s, p)].add(o)
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # n, sum_floor, h1, h3
+    for s, p, o in tp:
+        cands = [c for c in order[p] if c == o or c not in tails[(s, p)]]
+        rank = cands.index(o) + 1
+        a = agg[p]
+        a[0] += 1
+        a[1] += 1000000 // rank
+        a[2] += rank == 1
+        a[3] += rank <= 3
+    expect = {
+        p: (a[0], a[1] // a[0], a[2], a[3]) for p, a in agg.items()
+    }
+    got = {
+        r.pred: (r.n_test, r.mrr_micro, r.n_hits1, r.n_hits3)
+        for r in q_kg_completion_eval(spark, sf).collect()
+    }
+    assert got == expect
+
+    df = q_kg_completion_eval(spark, sf)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan  # no test×vocab expansion
+
+    con = duckdb.connect()
+    for t in ("customer", "nation", "supplier", "orders"):
+        con.execute(
+            f"create view {t} as select * from read_parquet('{sf}/{t}.parquet')"
+        )
+    sdf = df.toPandas()
+    ddf = con.execute(ORACLE_KG_COMPLETION_EVAL).df()
+    cols = sorted(sdf.columns)
+    assert cols == sorted(ddf.columns)
+    g = sorted(tuple(repr(v) for v in r)
+               for r in sdf[cols].itertuples(index=False, name=None))
+    w = sorted(tuple(repr(v) for v in r)
+               for r in ddf[cols].itertuples(index=False, name=None))
+    assert g == w
