@@ -131,6 +131,11 @@ HEADLINE = [
     "kg_temporal_validity",
     "kg_random_walks",
     "kg_snapshot_timeline",
+    "kg_shacl_violations",
+    "kg_property_path",
+    "kg_negative_samples",
+    "kg_schema_induction",
+    "kg_completion_eval",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "20000"))
