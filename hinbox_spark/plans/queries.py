@@ -5063,9 +5063,11 @@ def q_kg_shacl_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality constraints; the node universe left-joins on the same
     key so nodes with zero triples still get evaluated for minCount.
     The per-node frame folds to a single row of counters, unpivoted via
-    ``stack`` — driver never sees node rows. The closed-range check is a
-    broadcast LEFT ANTI join against the nation dimension (dimension-
-    sized however large the triple store grows). Zero violations is a
+    ``stack`` — driver never sees node rows. The closed-range check is
+    ONE pass over the in_nation triples: a broadcast left join against
+    the nation dimension (dimension-sized however large the triple
+    store grows) whose null-indicator feeds focus count, violation
+    count, and first-violator in the same fold. Zero violations is a
     legitimate (and asserted) outcome for the constraints the generator
     satisfies by construction."""
     t = _kg_triples(spark, sf_dir)
@@ -5100,17 +5102,21 @@ def q_kg_shacl_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'customer/in_segment/maxCount1',       focus, v2, f2,"
         " 'customer/placed_priority/maxCount3',  focus, v3, f3"
         ") AS (constraint_id, n_focus, n_violations, first_violator)")
-    nat = _t(spark, sf_dir, "nation").select(F.col("n_name").alias("obj"))
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("obj"), F.lit(1).alias("known"))
     rng = t.filter(F.col("pred") == "in_nation")
-    bad = rng.join(F.broadcast(nat), "obj", "left_anti")
-    range_row = rng.agg(F.count("*").alias("n_focus")).crossJoin(
-        bad.agg(
-            F.count("*").alias("n_violations"),
-            F.min("subj").alias("first_violator"),
+    unknown = F.col("known").isNull()
+    range_row = (
+        rng.join(F.broadcast(nat), "obj", "left")
+        .agg(
+            F.count("*").alias("n_focus"),
+            F.count(F.when(unknown, 1)).alias("n_violations"),
+            F.min(F.when(unknown, F.col("subj"))).alias("first_violator"),
         )
-    ).select(
-        F.lit("any/in_nation/inClosedSet").alias("constraint_id"),
-        "n_focus", "n_violations", "first_violator")
+        .select(
+            F.lit("any/in_nation/inClosedSet").alias("constraint_id"),
+            "n_focus", "n_violations", "first_violator")
+    )
     return card.unionByName(range_row).orderBy("constraint_id")
 
 
@@ -5176,7 +5182,8 @@ def q_kg_property_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     urgent subject set, then a nation-keyed fold — both map-side
     combinable), and the supplier side broadcast-joins the resulting
     dimension-sized per-nation table. No pair row ever materializes;
-    tests assert the plan has no supplier-customer join."""
+    tests assert the customer aggregation sits BELOW the top-level
+    broadcast join (partial_count inside its build side)."""
     t = _kg_triples(spark, sf_dir)
     cust_nat = t.filter(
         (F.col("pred") == "in_nation")
@@ -5249,7 +5256,10 @@ def q_kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     back to a literal. The filtered flag is a left join against the
     distinct true-triple set on (subj, candidate) — same subj-keyed
     partitioning as the input, one shuffle. Everything downstream of
-    the distincts is JVM expressions (md5/conv), no Python."""
+    the distincts is JVM expressions (md5/conv), no Python. A
+    single-literal vocabulary (V == 1) has no wrong object to draw, so
+    it yields an explicit EMPTY result (filtered before the modulo —
+    never a silent `h % 0` NULL-join)."""
     t = _kg_triples(spark, sf_dir)
     tp = (
         t.filter(F.col("pred") == "placed_priority")
@@ -5265,8 +5275,12 @@ def q_kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.conv(
         F.substring(F.md5(F.concat_ws("#", "subj", "obj")), 1, 8), 16, 10
     ).cast("long")
+    # a single-literal vocabulary has no wrong object to draw — filter
+    # BEFORE the modulo so the degenerate case is an explicit empty
+    # result (documented), never a silent NULL-join from `h % 0`
     base = (
         tp.crossJoin(F.broadcast(n_row))
+        .filter(F.col("n_obj") > 1)
         .join(
             F.broadcast(ranked.withColumnRenamed("idx", "true_idx")), "obj")
         .withColumn("r", h % (F.col("n_obj") - 1))
@@ -5313,6 +5327,7 @@ base AS (
   FROM tp
   CROSS JOIN n
   JOIN ranked r ON tp.obj = r.obj
+  WHERE n.n_obj > 1
 ),
 neg AS (
   SELECT b.subj, b.obj, r2.obj AS neg_obj

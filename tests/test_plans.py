@@ -8,6 +8,26 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _oracle_compare(sdf_pandas, oracle_sql, sf, tables):
+    """Shared DuckDB oracle comparison: view setup, column-name check,
+    order-insensitive repr-stringified row compare (NULL-safe)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"create view {t} as select * from read_parquet('{sf}/{t}.parquet')"
+        )
+    ddf = con.execute(oracle_sql).df()
+    cols = sorted(sdf_pandas.columns)
+    assert cols == sorted(ddf.columns)
+    got = sorted(tuple(repr(v) for v in r)
+                 for r in sdf_pandas[cols].itertuples(index=False, name=None))
+    want = sorted(tuple(repr(v) for v in r)
+                  for r in ddf[cols].itertuples(index=False, name=None))
+    assert got == want
+
+
 def test_pricing_summary_pushes_filter_and_prunes(spark):
     from hinbox_spark.plans.queries import q_pricing_summary
 
@@ -1069,7 +1089,6 @@ def test_kg_shacl_path_and_negatives_semantics_and_plans(spark):
     SEMANTICS an oracle hash can't articulate (which constraints hold by
     construction, uniformity/filtered-flag invariants) and the plan
     shapes that make the 100-TB versions right."""
-    import duckdb
 
     from hinbox_spark.plans.queries import (
         ORACLE_QUERIES, SPARK_QUERIES, q_kg_negative_samples,
@@ -1090,22 +1109,25 @@ def test_kg_shacl_path_and_negatives_semantics_and_plans(spark):
     assert 0 < viol.n_violations <= viol.n_focus
     assert viol.first_violator.startswith("customer/")
     pl = _plan(q_kg_shacl_violations(spark, sf))
-    # closed-range check is a broadcast anti join, never a shuffle
-    assert "BroadcastHashJoin" in pl and "LeftAnti" in pl
+    # closed-range check: ONE scan of the in_nation triples, nation dim
+    # broadcast — no anti-join second pass, no shuffle join
+    assert "BroadcastHashJoin" in pl
 
     # --- property path: endpoint aggregation pushed below the inverse
-    # step — result is supplier-sized, the per-nation table broadcast,
-    # and no supplier×customer pair rows exist anywhere in the plan
-    # (the only join touching the supplier branch is the broadcast of
-    # the ALREADY-AGGREGATED per-nation rows: partial_count appears
-    # below the broadcast exchange).
+    # step — result is supplier-sized and the per-nation aggregate is
+    # the BUILD side of the top-level broadcast join. The topmost join
+    # prints first in the tree, so partial_count (the customer-side
+    # distinct-count partials) appearing AFTER it pins the aggregation
+    # below the join; a regressed plan that materializes supplier×
+    # customer pairs aggregates ABOVE its first join, putting every
+    # partial_count before it.
     pp = q_kg_property_path(spark, sf)
     n_suppliers = spark.read.parquet(f"{sf}/supplier.parquet").count()
     assert pp.count() == n_suppliers
     plan = _plan(pp)
     assert "BroadcastHashJoin" in plan
-    bcast_idx = plan.index("BroadcastExchange")
-    assert "partial_count" in plan[bcast_idx:]
+    first_join = plan.index("BroadcastHashJoin")
+    assert "partial_count" in plan[first_join:]
 
     # --- negative samples: corrupted tail never equals the true tail,
     # the filtered flag is exactly membership of (subj, neg) in the
@@ -1124,22 +1146,11 @@ def test_kg_shacl_path_and_negatives_semantics_and_plans(spark):
     assert (per_true == len(vocab) - 1).all()
 
     # --- all three hash-match DuckDB here too (driver re-checks sf0.01)
-    con = duckdb.connect()
-    for t in ("customer", "nation", "supplier", "orders"):
-        con.execute(
-            f"create view {t} as select * from read_parquet('{sf}/{t}.parquet')"
-        )
     for name in ("kg_shacl_violations", "kg_property_path",
                  "kg_negative_samples"):
-        sdf = SPARK_QUERIES[name](spark, sf).toPandas()
-        ddf = con.execute(ORACLE_QUERIES[name]).df()
-        cols = sorted(sdf.columns)
-        assert cols == sorted(ddf.columns), name
-        got = sorted(tuple(repr(v) for v in r)
-                     for r in sdf[cols].itertuples(index=False, name=None))
-        want = sorted(tuple(repr(v) for v in r)
-                      for r in ddf[cols].itertuples(index=False, name=None))
-        assert got == want, name
+        _oracle_compare(
+            SPARK_QUERIES[name](spark, sf).toPandas(), ORACLE_QUERIES[name],
+            sf, ("customer", "nation", "supplier", "orders"))
 
 
 def test_kg_schema_induction_semantics_and_plan(spark):
@@ -1148,7 +1159,6 @@ def test_kg_schema_induction_semantics_and_plan(spark):
     generator cardinalities, purity is floor-scaled integer milli-units,
     and the plan is pure JVM aggregation (no Python eval) with map-side
     combine on every tree. Values oracle-checked by the driver."""
-    import duckdb
 
     from hinbox_spark.plans.queries import (
         ORACLE_KG_SCHEMA_INDUCTION, q_kg_schema_induction,
@@ -1175,20 +1185,8 @@ def test_kg_schema_induction_semantics_and_plan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_count" in plan  # map-side combine
 
-    con = duckdb.connect()
-    for t in ("customer", "nation", "supplier", "orders"):
-        con.execute(
-            f"create view {t} as select * from read_parquet('{sf}/{t}.parquet')"
-        )
-    sdf = df.toPandas()
-    ddf = con.execute(ORACLE_KG_SCHEMA_INDUCTION).df()
-    cols = sorted(sdf.columns)
-    assert cols == sorted(ddf.columns)
-    got = sorted(tuple(repr(v) for v in r)
-                 for r in sdf[cols].itertuples(index=False, name=None))
-    want = sorted(tuple(repr(v) for v in r)
-                  for r in ddf[cols].itertuples(index=False, name=None))
-    assert got == want
+    _oracle_compare(df.toPandas(), ORACLE_KG_SCHEMA_INDUCTION, sf,
+                    ("customer", "nation", "supplier", "orders"))
 
 
 def test_kg_completion_eval_filtered_protocol(spark):
@@ -1197,7 +1195,6 @@ def test_kg_completion_eval_filtered_protocol(spark):
     other true tails (the textbook Bordes et al. protocol) — the query
     computes identical ranks from the vocabulary ordering plus the
     sibling correction without ever expanding candidates."""
-    import duckdb
     import pyspark.sql.functions as F
 
     from hinbox_spark.plans.queries import (
@@ -1245,17 +1242,5 @@ def test_kg_completion_eval_filtered_protocol(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan  # no test×vocab expansion
 
-    con = duckdb.connect()
-    for t in ("customer", "nation", "supplier", "orders"):
-        con.execute(
-            f"create view {t} as select * from read_parquet('{sf}/{t}.parquet')"
-        )
-    sdf = df.toPandas()
-    ddf = con.execute(ORACLE_KG_COMPLETION_EVAL).df()
-    cols = sorted(sdf.columns)
-    assert cols == sorted(ddf.columns)
-    g = sorted(tuple(repr(v) for v in r)
-               for r in sdf[cols].itertuples(index=False, name=None))
-    w = sorted(tuple(repr(v) for v in r)
-               for r in ddf[cols].itertuples(index=False, name=None))
-    assert g == w
+    _oracle_compare(df.toPandas(), ORACLE_KG_COMPLETION_EVAL, sf,
+                    ("customer", "nation", "supplier", "orders"))
