@@ -118,6 +118,67 @@ def bfs_distances(
     return visited
 
 
+def sssp_bounded(
+    edges: DataFrame, sources: DataFrame, max_hops: int
+) -> DataFrame:
+    """Hop-bounded weighted single-source shortest paths (Bellman-Ford
+    with a delta frontier). edges(src, dst, w) directed — pass both
+    directions for an undirected graph; sources(node_id) start at 0.
+    Returns (node_id, dist) where dist = MIN total weight over any path
+    of ≤ max_hops edges — exactly the k-round Bellman-Ford invariant, so
+    the result is a pure function of the edge multiset (no RNG, no
+    scheduling dependence) and is value-checkable against a recursive-CTE
+    oracle.
+
+    Scale shape per round: ONE frontier⋈edges shuffle on src + one
+    map-side-combinable min groupBy for the candidates, one min-merge
+    groupBy with the running best, and an improvement filter that keeps
+    the next frontier to just-improved nodes (a drained frontier
+    early-exits the loop). Iteration state is (node_id, dist) only;
+    per-round eager localCheckpoints keep the plan O(1) in rounds —
+    the bfs_distances discipline with weights."""
+    edges = edges.select("src", "dst", "w")
+    best = (
+        sources.select("node_id")
+        .dropDuplicates(["node_id"])
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = best
+    for _ in range(max_hops):
+        cand = (
+            frontier.join(edges, frontier.node_id == edges.src)
+            .select(
+                F.col("dst").alias("node_id"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+            .groupBy("node_id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        merged = (
+            best.unionByName(cand)
+            .groupBy("node_id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = (
+            merged.join(
+                best.select(
+                    "node_id", F.col("dist").alias("old")
+                ),
+                "node_id",
+                "left",
+            )
+            .filter(F.col("old").isNull() | (F.col("dist") < F.col("old")))
+            .select("node_id", "dist")
+            .localCheckpoint(eager=True)
+        )
+        best = merged
+        if frontier.isEmpty():
+            break
+    return best
+
+
 def neighbor_jaccard_topk(
     edges: DataFrame,
     key_col: str,

@@ -4227,8 +4227,13 @@ def q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     per round one map-side-combinable degree shuffle + two semi-join
     filters, edge set only shrinks, driver sees one scalar per round
     (the fixpoint count). Deterministic (pure set fixpoint, no RNG, no
-    floats). Rows-only in the driver contract (the peeling fixpoint
-    isn't one SQL statement); pinned in tests/test_graph_queries.py
+    floats). Oracle-checked since the round-5 continuation: peeling only
+    ever REMOVES nodes, so once the fixpoint is reached further rounds
+    are no-ops — the DuckDB oracle unrolls SIX peel rounds as chained
+    CTEs (the purchase graph converges in ONE round at every test SF,
+    measured; six is headroom) and reads the surviving degree table,
+    value-verifying the iterative Spark fixpoint end-to-end. Also
+    pinned in tests/test_graph_queries.py
     against an independent pure-Python peeling on the same edges, plus
     invariance and core-property assertions. Returns the core nodes with
     their in-core degree, largest first (node ASC tie-break)."""
@@ -4240,6 +4245,49 @@ def q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("s:"), F.col("suppkey")).alias("dst"),
     )
     return kcore(bip, k=8).orderBy(F.desc("core_deg"), F.asc("node")).limit(50)
+
+
+def _kcore_unrolled_oracle(k: int, rounds: int) -> str:
+    """Unrolled-peeling DuckDB oracle for q_copurchase_kcore: each stage
+    keeps nodes whose surviving degree ≥ k and restricts the edge list to
+    them. Peeling is monotone-decreasing, so any `rounds` ≥ the true
+    peeling depth yields the exact fixpoint (extra stages are no-ops).
+    Every stage is AS MATERIALIZED: each eᵢ is referenced three times by
+    stage i+1, so inlining (DuckDB's default for CTEs) would re-plan the
+    base scan 3^rounds times — materialization keeps it linear."""
+    parts = [
+        """WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT 'c:' || o_custkey AS a, 's:' || l_suppkey AS b
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    UNION ALL
+    SELECT 's:' || l_suppkey, 'c:' || o_custkey
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  )
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"n{i} AS MATERIALIZED (SELECT a FROM e{i-1} GROUP BY a"
+            f" HAVING count(*) >= {k})"
+        )
+        parts.append(
+            f"e{i} AS MATERIALIZED (SELECT e.a, e.b FROM e{i-1} e"
+            f" JOIN n{i} x ON e.a = x.a JOIN n{i} y ON e.b = y.a)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT a AS node, count(*) AS core_deg
+FROM e{rounds}
+GROUP BY a HAVING count(*) >= {k}
+ORDER BY core_deg DESC, node ASC
+LIMIT 50
+"""
+    )
+
+
+ORACLE_COPURCHASE_KCORE = _kcore_unrolled_oracle(k=8, rounds=6)
 
 
 def q_events_type_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5572,6 +5620,397 @@ FROM scored GROUP BY pred ORDER BY pred
 """
 
 
+# ── round-5 continuation: KG fusion / graph / exact-similarity family ──
+
+
+def q_kg_truth_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truth discovery for KG fusion — resolve conflicting (object, value)
+    claims from many sources by iterated source reliability (Sums /
+    TruthFinder family, the Knowledge-Vault-style fusion step that follows
+    triple extraction: reference parity `src/engine.py` merge loop, which
+    trusts per-article assertions equally; this operator weighs them).
+
+    Claims: DISTINCT (supplier → part → returnflag) assertions from
+    lineitem. Two un-normalized Sums rounds kept INTEGER-exact so both
+    engines agree to the digit (normalizing divisions would reintroduce
+    float-order divergence):
+      c1(o,v) = #sources asserting (o,v)          — vote count
+      t1(s)   = Σ_{(o,v) claimed by s} c1(o,v)    — source trust
+      c2(o,v) = Σ_{s asserting (o,v)} t1(s)       — trust-weighted belief
+    Resolution per object: argmin over (-c2, v) — highest belief, value
+    ASC on ties — via one min_by struct aggregate (map-side combinable).
+
+    Scale shape (10^12 claims): claims-distinct and c1 are map-side
+    combinable groupBys on (obj, val); t1 re-joins claims to c1 on the
+    SAME (obj, val) keys (shuffle reuse, no new exchange); the t1 table is
+    source-cardinality (web domains ≪ triples) and is broadcast back.
+    Nothing collects; no floats; no windows over raw claims."""
+    li = _t(spark, sf_dir, "lineitem")
+    claims = (
+        li.select(
+            F.col("l_suppkey").alias("src"),
+            F.col("l_partkey").alias("obj"),
+            F.col("l_returnflag").alias("val"),
+        ).distinct()
+    )
+    c1 = claims.groupBy("obj", "val").agg(F.count("*").alias("c1"))
+    t1 = (
+        claims.join(c1, ["obj", "val"])
+        .groupBy("src")
+        .agg(F.sum("c1").alias("t1"))
+    )
+    c2 = (
+        claims.join(F.broadcast(t1), "src")
+        .groupBy("obj", "val")
+        .agg(F.sum("t1").alias("score"))
+    )
+    per_obj = claims.groupBy("obj").agg(
+        F.count_distinct("val").alias("n_values"),
+        F.count_distinct("src").alias("n_sources"),
+    )
+    resolved = c2.groupBy("obj").agg(
+        F.min_by(
+            F.struct(F.col("val").alias("v"), F.col("score").alias("sc")),
+            F.struct((-F.col("score")).alias("neg"), F.col("val").alias("v")),
+        ).alias("best")
+    )
+    return (
+        resolved.join(per_obj, "obj")
+        .select(
+            F.col("obj").alias("partkey"),
+            F.col("best.v").alias("resolved_flag"),
+            F.col("best.sc").alias("score"),
+            "n_values",
+            "n_sources",
+        )
+    )
+
+
+def q_doc_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join with PREFIX FILTERING (AllPairs /
+    PPJoin family, Bayardo et al. 2007) — the scalable *exact* near-dup
+    join, complementing the approximate MinHash/SimHash paths: all
+    document pairs whose 4-shingle sets have Jaccard ≥ 0.5.
+
+    Plan: rank every shingle by global rarity (df ASC, shingle ASC);
+    per doc sort its shingles by that rank and keep only the PREFIX of
+    p = n − ceil(τ·n) + 1 rarest shingles (τ=0.5 → p = n − ceil(n/2) + 1).
+    The prefix-filtering theorem guarantees two sets with Jaccard ≥ τ
+    share ≥ 1 prefix token, so joining on PREFIX tokens only is
+    candidate-complete while shrinking join buckets to the rare end of
+    the df distribution (a boilerplate shingle shared by half the corpus
+    never generates candidates unless it lands in some doc's rare
+    prefix). Survivors are verified EXACTLY via array_intersect on the
+    bounded per-doc shingle arrays; the τ-test is kept integer
+    (3·|∩| ≥ nₐ+n_b ⇔ J ≥ 0.5) so no float crosses the engine boundary.
+
+    Scale shape: df is a map-side-combinable groupBy; the rank join
+    reuses the shingle hash partitioning; candidate buckets are
+    df-bounded by construction (degenerate corpora → the capped LSH path
+    in operators/dedup.py is the approximate fallback); per-doc arrays
+    are document-length-bounded. The DuckDB oracle is the NAIVE exact
+    join — same answer, independent plan."""
+    sh = _doc_shingles(spark, sf_dir)
+    dfc = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    per_doc = (
+        sh.join(dfc, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("df"), F.col("sh")))
+            ).alias("ranked")
+        )
+        .select(
+            "doc_id",
+            F.transform(F.col("ranked"), lambda x: x["sh"]).alias("shs"),
+            F.size("ranked").alias("n"),
+        )
+    )
+    # prefix length for tau=0.5: n - ceil(n/2) + 1 = n div 2 + 1
+    prefix = per_doc.select(
+        "doc_id",
+        F.explode(
+            F.slice(F.col("shs"), 1, F.floor(F.col("n") / 2) + 1)
+        ).alias("sh"),
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "sh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    da = per_doc.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shs").alias("shs_a"),
+        F.col("n").alias("n_a"),
+    )
+    db = per_doc.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shs").alias("shs_b"),
+        F.col("n").alias("n_b"),
+    )
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("shs_a", "shs_b"))
+        )
+        .filter(3 * F.col("n_inter") >= F.col("n_a") + F.col("n_b"))
+        .select(
+            "doc_a", "doc_b",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+        )
+    )
+
+
+ORACLE_DOC_JACCARD_PREFIX = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, array_to_string(w[g:g+3], ' ') AS sh
+  FROM words, unnest(generate_series(1, greatest(len(w) - 3, 0))) AS t(g)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM shingles a JOIN shingles b
+    ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_inter, sa.n AS n_a, sb.n AS n_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE 3 * n_inter >= sa.n + sb.n
+"""
+
+
+def q_copurchase_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded WEIGHTED shortest paths over the purchase graph —
+    the cost-aware sibling of `copurchase_bfs_hops` (BFS counts hops;
+    real KG traversals weight edges: relation confidence, latency bands,
+    toll costs). Edge weight = 1 + min(l_quantity) % 4 per (customer,
+    supplier) edge — a deterministic 1..4 cost band derived from the
+    data. From the lowest-custkey node, dist = min total weight over
+    paths of ≤ 3 edges (`operators/graph.sssp_bounded`, bounded
+    Bellman-Ford: one frontier shuffle + one min-merge per round,
+    id-only state, O(1) plan depth); emitted as a (dist, n_nodes)
+    profile. The DuckDB oracle is an independent algorithm — a recursive
+    CTE enumerating (node, total, hops) walk states then min per node —
+    so the iterative relaxation is value-verified, not rows-only."""
+    from hinbox_spark.operators.graph import sssp_bounded
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    ew = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk")
+        )
+        .agg(F.min("l_quantity").alias("mq"))
+        .select(
+            "ck", "sk",
+            (F.lit(1) + F.col("mq").cast("long") % 4).alias("w"),
+        )
+    )
+    fwd = ew.select(
+        F.concat(F.lit("c:"), F.col("ck")).alias("src"),
+        F.concat(F.lit("s:"), F.col("sk")).alias("dst"),
+        "w",
+    )
+    bi = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ).localCheckpoint(eager=False)
+    src_key = (
+        _t(spark, sf_dir, "orders").agg(F.min("o_custkey").alias("k")).first()["k"]
+    )
+    sources = spark.createDataFrame([(f"c:{src_key}",)], "node_id string")
+    dists = sssp_bounded(bi, sources, max_hops=3)
+    return dists.groupBy("dist").agg(F.count("*").alias("n_nodes"))
+
+
+ORACLE_COPURCHASE_SSSP = """
+WITH RECURSIVE e0 AS (
+  SELECT o_custkey AS ck, l_suppkey AS sk,
+         1 + CAST(min(l_quantity) AS BIGINT) % 4 AS w
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+), bi AS (
+  SELECT 'c:' || ck AS src, 's:' || sk AS dst, w FROM e0
+  UNION ALL
+  SELECT 's:' || sk, 'c:' || ck, w FROM e0
+), walk(node, d, h) AS (
+  SELECT 'c:' || min(o_custkey), CAST(0 AS BIGINT), 0 FROM orders
+  UNION
+  SELECT bi.dst, walk.d + bi.w, walk.h + 1
+  FROM walk JOIN bi ON bi.src = walk.node
+  WHERE walk.h < 3
+), best AS (
+  SELECT node, min(d) AS dist FROM walk GROUP BY node
+)
+SELECT dist, count(*) AS n_nodes FROM best GROUP BY 1
+"""
+
+
+def q_kg_entity_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source entity alignment (ontology-matching style): match
+    supplier entities to customer entities inside a blocking key (nation)
+    by numeric-profile proximity (account balance in integer cents), keep
+    only MUTUAL best matches — the deterministic re-expression of the
+    reference's similarity-then-confirm merge step
+    (`src/engine.py` profile matching) for two entity collections.
+
+    Spec: per (nation, side, cents) the representative is the min key;
+    a supplier's best customer is argmin over (|Δcents|, customer cents)
+    — unique because representative cents are distinct per side — and
+    vice versa; emit mutual pairs only.
+
+    Scale shape: the naive plan is a per-block cross join (quadratic in
+    the block). This plan is the SORT-ADJACENCY one: nearest-in-value is
+    always adjacent in the per-block (cents, side, key) sort order, so
+    ONE window pass (as-of-join pattern, `operators/asof.py` at
+    cluster scale) yields each side's nearest other-side candidate from
+    last/first IGNORE NULLS — O(n log n), no pair materialization. The
+    mutual check is an id-only self-join. Integer cents keep both
+    engines bit-identical (no float rounding divergence)."""
+    cents = lambda col: F.round(F.col(col) * 100).cast("long")  # noqa: E731
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(
+            F.col("s_nationkey").alias("nk"),
+            cents("s_acctbal").alias("cents"),
+        )
+        .agg(F.min("s_suppkey").alias("key"))
+        .withColumn("side", F.lit("S"))
+    )
+    cus = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            cents("c_acctbal").alias("cents"),
+        )
+        .agg(F.min("c_custkey").alias("key"))
+        .withColumn("side", F.lit("C"))
+    )
+    pts = sup.unionByName(cus)
+    w = Window.partitionBy("nk").orderBy("cents", "side", "key")
+    prevf = w.rowsBetween(Window.unboundedPreceding, -1)
+    nextf = w.rowsBetween(1, Window.unboundedFollowing)
+
+    def other(side: str, col: str) -> F.Column:
+        return F.when(F.col("side") == side, F.col(col))
+
+    def cand(cents_col: F.Column, key_col: F.Column) -> F.Column:
+        return F.when(
+            key_col.isNotNull(),
+            F.struct(
+                F.abs(F.col("cents") - cents_col).alias("diff"),
+                cents_col.alias("ocents"),
+                key_col.alias("okey"),
+            ),
+        )
+
+    enriched = pts.select(
+        "nk", "cents", "side", "key",
+        *[
+            f(other(s, c), True).over(fr).alias(n)
+            for s, tag in (("C", "c"), ("S", "s"))
+            for f, fr, d in ((F.last, prevf, "p"), (F.first, nextf, "n"))
+            for c, kind in (("cents", "cents"), ("key", "key"))
+            for n in [f"{d}_{tag}_{kind}"]
+        ],
+    )
+    best_of = lambda tag: F.least(  # noqa: E731
+        cand(F.col(f"p_{tag}_cents"), F.col(f"p_{tag}_key")),
+        cand(F.col(f"n_{tag}_cents"), F.col(f"n_{tag}_key")),
+    )
+    s_best = (
+        enriched.filter(F.col("side") == "S")
+        .select("nk", F.col("key").alias("s_suppkey"), best_of("c").alias("b"))
+        .filter(F.col("b").isNotNull())
+        .select("nk", "s_suppkey", F.col("b.okey").alias("c_custkey"),
+                F.col("b.diff").alias("diff_cents"))
+    )
+    c_best = (
+        enriched.filter(F.col("side") == "C")
+        .select("nk", F.col("key").alias("c_custkey"), best_of("s").alias("b"))
+        .filter(F.col("b").isNotNull())
+        .select("nk", "c_custkey", F.col("b.okey").alias("s_suppkey"))
+    )
+    return s_best.join(c_best, ["nk", "s_suppkey", "c_custkey"]).select(
+        F.col("nk").alias("nationkey"), "s_suppkey", "c_custkey", "diff_cents"
+    )
+
+
+ORACLE_KG_ENTITY_ALIGNMENT = """
+WITH sup AS (
+  SELECT s_nationkey AS nk, CAST(round(s_acctbal * 100) AS BIGINT) AS cents,
+         min(s_suppkey) AS skey
+  FROM supplier GROUP BY 1, 2
+), cus AS (
+  SELECT c_nationkey AS nk, CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+         min(c_custkey) AS ckey
+  FROM customer GROUP BY 1, 2
+), s_best AS (
+  SELECT nk, skey, ckey, diff FROM (
+    SELECT sup.nk, skey, ckey, abs(sup.cents - cus.cents) AS diff,
+           row_number() OVER (
+             PARTITION BY sup.nk, skey
+             ORDER BY abs(sup.cents - cus.cents), cus.cents) AS r
+    FROM sup JOIN cus ON sup.nk = cus.nk) WHERE r = 1
+), c_best AS (
+  SELECT nk, ckey, skey FROM (
+    SELECT cus.nk, ckey, skey,
+           row_number() OVER (
+             PARTITION BY cus.nk, ckey
+             ORDER BY abs(sup.cents - cus.cents), sup.cents) AS r
+    FROM cus JOIN sup ON sup.nk = cus.nk) WHERE r = 1
+)
+SELECT s_best.nk AS nationkey, s_best.skey AS s_suppkey,
+       s_best.ckey AS c_custkey, diff AS diff_cents
+FROM s_best JOIN c_best
+  ON s_best.nk = c_best.nk AND s_best.skey = c_best.skey
+ AND s_best.ckey = c_best.ckey
+"""
+
+
+ORACLE_KG_TRUTH_DISCOVERY = """
+WITH claims AS (
+  SELECT DISTINCT l_suppkey AS src, l_partkey AS obj, l_returnflag AS val
+  FROM lineitem
+), c1 AS (
+  SELECT obj, val, count(*) AS c1 FROM claims GROUP BY 1, 2
+), t1 AS (
+  SELECT src, sum(c1) AS t1
+  FROM claims JOIN c1 USING (obj, val) GROUP BY 1
+), c2 AS (
+  SELECT obj, val, CAST(sum(t1) AS BIGINT) AS score
+  FROM claims JOIN t1 USING (src) GROUP BY 1, 2
+), resolved AS (
+  SELECT obj, val, score,
+         row_number() OVER (
+           PARTITION BY obj ORDER BY score DESC, val ASC) AS r
+  FROM c2
+), per_obj AS (
+  SELECT obj, count(DISTINCT val) AS n_values,
+         count(DISTINCT src) AS n_sources
+  FROM claims GROUP BY 1
+)
+SELECT resolved.obj AS partkey, val AS resolved_flag, score,
+       n_values, n_sources
+FROM resolved JOIN per_obj ON resolved.obj = per_obj.obj
+WHERE r = 1
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -5694,6 +6133,11 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_negative_samples": q_kg_negative_samples,
     "kg_schema_induction": q_kg_schema_induction,
     "kg_completion_eval": q_kg_completion_eval,
+    # round-5 continuation
+    "kg_truth_discovery": q_kg_truth_discovery,
+    "kg_entity_alignment": q_kg_entity_alignment,
+    "copurchase_shortest_paths": q_copurchase_shortest_paths,
+    "doc_jaccard_prefix_pairs": q_doc_jaccard_prefix_pairs,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -5799,4 +6243,9 @@ ORACLE_QUERIES: dict[str, str] = {
     "kg_negative_samples": ORACLE_KG_NEGATIVE_SAMPLES,
     "kg_schema_induction": ORACLE_KG_SCHEMA_INDUCTION,
     "kg_completion_eval": ORACLE_KG_COMPLETION_EVAL,
+    "kg_truth_discovery": ORACLE_KG_TRUTH_DISCOVERY,
+    "kg_entity_alignment": ORACLE_KG_ENTITY_ALIGNMENT,
+    "copurchase_shortest_paths": ORACLE_COPURCHASE_SSSP,
+    "doc_jaccard_prefix_pairs": ORACLE_DOC_JACCARD_PREFIX,
+    "copurchase_kcore": ORACLE_COPURCHASE_KCORE,
 }
