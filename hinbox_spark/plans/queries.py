@@ -5686,6 +5686,185 @@ def q_kg_truth_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_embedding_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TransE KG-embedding training over the materialized triple store
+    (`operators/kge.py`: partition-local SGD + per-epoch model
+    averaging, deterministic end-to-end) followed by a distributed
+    quality eval: per predicate, the mean L2 energy ‖h+r−t‖² of TRUE
+    triples vs hash-corrupted ones and the margin-satisfaction rate.
+    Training must drive true-triple energy BELOW corrupted energy for
+    every predicate (asserted in tests/test_kge.py, along with the
+    distributed==sequential pin and local[1]==local[4] invariance).
+
+    Rows-only in the driver contract: two epochs of SGD are not one SQL
+    statement. Scale shape: one Arrow-batched applyInPandas sweep +
+    one map-side-combinable average shuffle per epoch; eval is one
+    mapInPandas pass with the model on the broadcast (driver holds one
+    model copy between epochs — parameter-server sharding is the
+    10⁹-entity path, documented in kge.py)."""
+    import pandas as pd  # noqa: F401
+
+    from hinbox_spark.operators.kge import _h64, transe_train
+
+    t = _kg_triples(spark, sf_dir).distinct()
+    ent, rel = transe_train(t, dim=16, epochs=2, parts=8)
+    bc = spark.sparkContext.broadcast((ent, rel))
+
+    def energies(batches):
+        import numpy as np
+        import pandas as pd
+
+        ent_b, rel_b = bc.value
+        ents_sorted = sorted(ent_b)
+        for pdf in batches:
+            rows = []
+            for s, p, o in zip(
+                pdf["subj"], pdf["pred"], pdf["obj"], strict=True
+            ):
+                idx = _h64(f"{s}\x1f{p}\x1f{o}\x1feval") % max(
+                    len(ents_sorted) - 1, 1
+                )
+                neg = ents_sorted[idx]
+                if neg == o:
+                    neg = ents_sorted[(idx + 1) % len(ents_sorted)]
+                d_pos = ent_b[s] + rel_b[p] - ent_b[o]
+                d_neg = ent_b[s] + rel_b[p] - ent_b[neg]
+                e_pos = float(d_pos @ d_pos)
+                e_neg = float(d_neg @ d_neg)
+                rows.append((p, e_pos, e_neg, 1 if e_pos < e_neg else 0))
+            yield pd.DataFrame(
+                rows, columns=["pred", "e_pos", "e_neg", "ok"]
+            )
+
+    scored = t.mapInPandas(
+        energies, "pred string, e_pos double, e_neg double, ok long"
+    )
+    return scored.groupBy("pred").agg(
+        F.count("*").alias("n_triples"),
+        F.round(F.avg("e_pos"), 4).alias("mean_true_energy"),
+        F.round(F.avg("e_neg"), 4).alias("mean_corrupt_energy"),
+        F.round(F.avg("ok"), 4).alias("rank_acc"),
+    )
+
+
+def q_doc_bloom_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter novelty screen — the constant-memory membership
+    structure every incremental crawl dedup runs BEFORE the expensive
+    exact/near-dup passes: build a Bloom filter over the HISTORY corpus'
+    content fingerprints (even doc_ids), test each INCOMING doc (odd
+    doc_ids), and report per source how many were flagged, how many were
+    true duplicates, and how many were Bloom FALSE POSITIVES (false
+    negatives are impossible by construction — pinned in tests).
+
+    The filter is fully deterministic, so it is ORACLE-checkable: m=4096
+    bits, j=3 probes at (h1 + i·h2) mod m with h1/h2 = two 32-bit halves
+    of the md5 fingerprint — the identical integer formula on both
+    engines. The 'bit array' is represented as the DISTINCT set-position
+    table: membership(p) ⇔ p ∈ positions(history), exactly Bloom
+    semantics.
+
+    Scale shape: history positions are a map-side-combinable distinct
+    (≤ m rows however large history grows) broadcast to the incoming
+    side — ZERO shuffle on the incoming corpus, the whole point of the
+    op at 10¹² docs; the truth join (oracle-side extra) is the standard
+    fingerprint equi-join. In production the same plan holds with m
+    sized to n (bits stay broadcast-constant) and the position table
+    folded into `aggregate`d long registers (operators/sketches.py CMS
+    pattern) — semantics identical."""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 8)))
+    h1 = F.conv(F.substring(F.col("fp"), 1, 8), 16, 10).cast("long") % 4096
+    h2 = F.conv(F.substring(F.col("fp"), 9, 8), 16, 10).cast("long") % 4096
+    probes = F.array(
+        *[(h1 + F.lit(i) * h2) % 4096 for i in range(3)]
+    )
+    base = d.select("doc_id", "source", fp.alias("fp")).withColumn(
+        "probes", probes
+    )
+    hist = base.filter(F.col("doc_id") % 2 == 0)
+    inc = base.filter(F.col("doc_id") % 2 == 1)
+    bloom = (
+        hist.select(F.explode("probes").alias("pos")).distinct()
+    )
+    hits = (
+        inc.select("doc_id", F.explode("probes").alias("pos"))
+        .join(F.broadcast(bloom), "pos", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+        .filter(F.col("n_hit") == 3)
+        .select("doc_id", F.lit(True).alias("flagged"))
+    )
+    truth = (
+        inc.join(
+            hist.select(F.col("fp").alias("hfp")).distinct(),
+            F.col("fp") == F.col("hfp"),
+            "left_semi",
+        ).select("doc_id", F.lit(True).alias("is_dup"))
+    )
+    joined = (
+        inc.select("doc_id", "source")
+        .join(F.broadcast(hits), "doc_id", "left")
+        .join(F.broadcast(truth), "doc_id", "left")
+    )
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_incoming"),
+        F.sum(F.when(F.col("flagged"), 1).otherwise(0)).alias("n_flagged"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_true_dups"),
+        F.sum(
+            F.when(F.col("flagged") & F.col("is_dup").isNull(), 1).otherwise(0)
+        ).alias("n_false_pos"),
+        F.sum(
+            F.when(F.col("is_dup") & F.col("flagged").isNull(), 1).otherwise(0)
+        ).alias("n_false_neg"),
+    )
+
+
+ORACLE_DOC_BLOOM_NOVELTY = """
+WITH base AS (
+  SELECT doc_id, source,
+         md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp
+  FROM documents
+), hashed AS (
+  SELECT doc_id, source, fp,
+         CAST(('0x' || substr(fp, 1, 8)) AS BIGINT) % 4096 AS h1,
+         CAST(('0x' || substr(fp, 9, 8)) AS BIGINT) % 4096 AS h2
+  FROM base
+), probes AS (
+  SELECT doc_id, source, fp, (h1 + i * h2) % 4096 AS pos
+  FROM hashed, unnest([0, 1, 2]) AS t(i)
+), bloom AS (
+  SELECT DISTINCT pos FROM probes WHERE doc_id % 2 = 0
+), flagged AS (
+  SELECT p.doc_id FROM probes p JOIN bloom USING (pos)
+  WHERE p.doc_id % 2 = 1
+  GROUP BY p.doc_id HAVING count(*) = 3
+), dups AS (
+  SELECT DISTINCT i.doc_id
+  FROM base i JOIN base h ON i.fp = h.fp
+  WHERE i.doc_id % 2 = 1 AND h.doc_id % 2 = 0
+), inc AS (
+  SELECT b.doc_id, b.source,
+         f.doc_id IS NOT NULL AS flagged,
+         d.doc_id IS NOT NULL AS is_dup
+  FROM base b
+  LEFT JOIN flagged f ON b.doc_id = f.doc_id
+  LEFT JOIN dups d ON b.doc_id = d.doc_id
+  WHERE b.doc_id % 2 = 1
+)
+SELECT source, count(*) AS n_incoming,
+       CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_true_dups,
+       CAST(sum(CASE WHEN flagged AND NOT is_dup THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos,
+       CAST(sum(CASE WHEN is_dup AND NOT flagged THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_neg
+FROM inc
+GROUP BY source
+"""
+
+
 def q_doc_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT set-similarity self-join with PREFIX FILTERING (AllPairs /
     PPJoin family, Bayardo et al. 2007) — the scalable *exact* near-dup
@@ -6138,6 +6317,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_entity_alignment": q_kg_entity_alignment,
     "copurchase_shortest_paths": q_copurchase_shortest_paths,
     "doc_jaccard_prefix_pairs": q_doc_jaccard_prefix_pairs,
+    "doc_bloom_novelty": q_doc_bloom_novelty,
+    # rows-only: iterative SGD training is not one SQL statement
+    "kg_embedding_train": q_kg_embedding_train,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -6248,4 +6430,5 @@ ORACLE_QUERIES: dict[str, str] = {
     "copurchase_shortest_paths": ORACLE_COPURCHASE_SSSP,
     "doc_jaccard_prefix_pairs": ORACLE_DOC_JACCARD_PREFIX,
     "copurchase_kcore": ORACLE_COPURCHASE_KCORE,
+    "doc_bloom_novelty": ORACLE_DOC_BLOOM_NOVELTY,
 }

@@ -226,6 +226,22 @@ def test_jaccard_prefix_matches_brute_force_on_sf0001(spark):
     assert got  # sf0.001 contains real near-dups
 
 
+def test_bloom_novelty_no_false_negatives_and_real_fps(spark):
+    """Bloom guarantees: every true duplicate is flagged (no false
+    negatives, structurally impossible), and at m=4096/j=3 the synthetic
+    corpus actually produces false positives — the column is live, not
+    vacuous."""
+    from hinbox_spark.plans.queries import q_doc_bloom_novelty
+
+    rows = q_doc_bloom_novelty(spark, SF).collect()
+    assert rows
+    assert sum(r["n_false_neg"] for r in rows) == 0
+    assert sum(r["n_true_dups"] for r in rows) > 0
+    assert sum(r["n_false_pos"] for r in rows) > 0
+    for r in rows:  # flagged = true dups + false positives, per source
+        assert r["n_flagged"] == r["n_true_dups"] + r["n_false_pos"]
+
+
 def test_kcore_unrolled_oracle_stable_past_fixpoint():
     """Extra unrolled peel rounds are no-ops once converged: rounds=6
     (the shipped oracle) and rounds=9 give identical results on sf0.001."""
