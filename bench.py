@@ -136,6 +136,17 @@ HEADLINE = [
     "kg_negative_samples",
     "kg_schema_induction",
     "kg_completion_eval",
+    # round-5 continuation: truth/alignment/traversal/novelty + reasoning
+    "kg_truth_discovery",
+    "kg_entity_alignment",
+    "copurchase_shortest_paths",
+    "doc_jaccard_prefix_pairs",
+    "doc_bloom_novelty",
+    "kg_embedding_train",
+    "kg_rdfs_closure",
+    "kg_sameas_rewrite",
+    "emb_neighbor_pool",
+    "kg_harmonic_centrality",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "20000"))

@@ -373,6 +373,98 @@ def _neighbor_jaccard_topk_join(
     )
 
 
+def transitive_closure(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Semi-naive transitive closure of a directed relation — the datalog
+    evaluation step behind RDFS entailment (`subClassOf`⁺, `subPropertyOf`⁺)
+    and owl:TransitiveProperty reasoning. Returns the set of (src, dst)
+    pairs with dst reachable from src by ≥1 edge, deduplicated.
+
+    Semi-naive discipline (Bancilhon 1985; every production datalog engine
+    does this): each round joins only the DELTA from the previous round
+    against the base relation — never known×known — and anti-joins the
+    accumulated closure so a fact is derived exactly once. Rounds needed =
+    longest path, and the loop early-exits the round a delta drains.
+
+    Scale shape: intended for SCHEMA-sized relations (class / property
+    hierarchies — thousands of rows even when the instance data is 10¹²
+    triples). Instance-level entailment then becomes ONE broadcast join of
+    the closed hierarchy against the instance table, which is the plan the
+    callers here use (see q_kg_rdfs_closure). Per round: one delta⋈base
+    shuffle + one anti-join; eager localCheckpoints keep the plan O(1) in
+    rounds. For instance-scale closure (billions of edges) use
+    connected_components / bfs_distances instead — closure materializes
+    O(V·depth) pairs and is the wrong tool there by design."""
+    base = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    known = base
+    delta = base
+    for _ in range(max_rounds):
+        step = base.select(
+            F.col("s").alias("mid"), F.col("d").alias("d2")
+        )
+        new = (
+            delta.join(step, delta.d == step.mid)
+            .select("s", F.col("d2").alias("d"))
+            .distinct()
+            .join(known, ["s", "d"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if new.isEmpty():
+            break
+        known = known.unionByName(new).localCheckpoint(eager=True)
+        delta = new
+    return known.select(F.col("s").alias(src_col), F.col("d").alias(dst_col))
+
+
+def bfs_distances_multi(
+    edges: DataFrame, sources: DataFrame, max_hops: int
+) -> DataFrame:
+    """Multi-source tagged BFS: edges(src, dst) directed, sources(tag,
+    node_id) — every (tag, node) pair explores independently, so one pass
+    computes exact hop distances FROM EACH tagged source at once (the
+    centrality-sampling primitive: k sampled sources ⇒ k BFS trees in
+    max_hops rounds, not k·max_hops). Returns (tag, node_id, dist).
+
+    Scale shape: identical to bfs_distances with the visited/frontier key
+    widened to (tag, node_id) — per hop ONE frontier⋈edges equi-shuffle on
+    the node key plus one anti-join against visited; state rows are
+    (tag, node, dist) ids only, ≤ |tags|·|reached| total, partitioned on
+    the composite key so no task holds a whole BFS tree. Eager
+    localCheckpoints keep the plan O(1) in hops; a drained frontier
+    early-exits."""
+    edges = edges.select("src", "dst")
+    visited = (
+        sources.select("tag", "node_id")
+        .dropDuplicates(["tag", "node_id"])
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("tag", "node_id")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier.node_id == edges.src)
+            .select("tag", F.col("dst").alias("node_id"))
+            .dropDuplicates(["tag", "node_id"])
+            .join(visited.select("tag", "node_id"), ["tag", "node_id"], "left_anti")
+            .withColumn("dist", F.lit(hop).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("tag", "node_id")
+    return visited
+
+
 def label_propagation(
     edges: DataFrame,
     iters: int = 3,

@@ -6190,6 +6190,407 @@ WHERE r = 1
 """
 
 
+def q_kg_rdfs_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS subClassOf entailment (rdfs9/rdfs11 rules) over an induced
+    multiple-inheritance taxonomy — the ontology-reasoning step a KG
+    pipeline runs after schema induction (`kg_schema_induction` emits the
+    classes; this query closes the hierarchy and propagates instance
+    types). Taxonomy: each part instance has leaf class
+    `t:{p_type}/b:{p_brand}`; every leaf is subClassOf BOTH `t:{p_type}`
+    and `b:{p_brand}` (a DAG, not a tree — the diamond through `root`
+    is what makes the closure non-trivial), and both uppers are
+    subClassOf `root`. Output: per class, the DIRECT instance count and
+    the ENTAILED count after rdf:type propagation through subClassOf⁺.
+
+    Scale shape: the closure runs on the SCHEMA relation (|classes| ~
+    dimension-sized even at 10¹² triples) via semi-naive iteration
+    (`operators/graph.transitive_closure` — delta⋈base per round, never
+    known×known); instance-side entailment is then ONE broadcast join of
+    the closed hierarchy against the instance table plus a map-side-
+    combinable count. No instance-scale iteration anywhere."""
+    from hinbox_spark.operators.graph import transitive_closure
+
+    p = _t(spark, sf_dir, "part").select("p_type", "p_brand")
+    leaf = p.distinct()
+    lc = F.concat(F.lit("t:"), F.col("p_type"), F.lit("/b:"), F.col("p_brand"))
+    tc = F.concat(F.lit("t:"), F.col("p_type"))
+    bc = F.concat(F.lit("b:"), F.col("p_brand"))
+    sub = (
+        leaf.select(lc.alias("c"), tc.alias("a"))
+        .unionByName(leaf.select(lc.alias("c"), bc.alias("a")))
+        .unionByName(
+            leaf.select(tc.alias("c"), F.lit("root").alias("a")).distinct()
+        )
+        .unionByName(
+            leaf.select(bc.alias("c"), F.lit("root").alias("a")).distinct()
+        )
+        .distinct()
+    )
+    closed = transitive_closure(sub, "c", "a")
+    classes = (
+        sub.select("c").unionByName(sub.select(F.col("a").alias("c"))).distinct()
+    )
+    # reflexive closure: rdf:type entails membership in the class itself
+    anc = closed.unionByName(classes.select("c", F.col("c").alias("a")))
+    inst = p.select(lc.alias("leaf"))
+    direct = inst.groupBy(F.col("leaf").alias("class")).agg(
+        F.count("*").alias("n_direct")
+    )
+    entailed = (
+        inst.join(F.broadcast(anc), inst.leaf == anc.c)
+        .groupBy(F.col("a").alias("class"))
+        .agg(F.count("*").alias("n_entailed"))
+    )
+    return entailed.join(direct, "class", "left").select(
+        "class",
+        F.coalesce("n_direct", F.lit(0)).cast("long").alias("n_direct"),
+        "n_entailed",
+    )
+
+
+ORACLE_KG_RDFS_CLOSURE = """
+WITH RECURSIVE leaf AS (
+  SELECT DISTINCT p_type AS t, p_brand AS b FROM part
+), sub AS (
+  SELECT 't:' || t || '/b:' || b AS c, 't:' || t AS a FROM leaf
+  UNION
+  SELECT 't:' || t || '/b:' || b, 'b:' || b FROM leaf
+  UNION
+  SELECT DISTINCT 't:' || t, 'root' FROM leaf
+  UNION
+  SELECT DISTINCT 'b:' || b, 'root' FROM leaf
+), closure(c, a) AS (
+  SELECT c, a FROM sub
+  UNION
+  SELECT closure.c, sub.a FROM closure JOIN sub ON closure.a = sub.c
+), classes AS (
+  -- explicit DISTINCT: inside WITH RECURSIVE this DuckDB build does not
+  -- dedup a plain UNION in non-recursive CTEs
+  SELECT DISTINCT c FROM (SELECT c FROM sub UNION ALL SELECT a FROM sub)
+), anc AS (
+  SELECT DISTINCT c, a
+  FROM (SELECT c, a FROM closure UNION ALL SELECT c, c FROM classes)
+), inst AS (
+  SELECT 't:' || p_type || '/b:' || p_brand AS leaf FROM part
+), direct AS (
+  SELECT leaf AS class, count(*) AS n_direct FROM inst GROUP BY 1
+), entailed AS (
+  SELECT anc.a AS class, count(*) AS n_entailed
+  FROM inst JOIN anc ON inst.leaf = anc.c GROUP BY 1
+)
+SELECT entailed.class, CAST(coalesce(n_direct, 0) AS BIGINT) AS n_direct,
+       n_entailed
+FROM entailed LEFT JOIN direct ON entailed.class = direct.class
+"""
+
+
+def q_kg_sameas_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:sameAs consolidation — the graph-canonicalization step after
+    entity resolution: two equivalence-GENERATING relations (same surface
+    form + same brand, i.e. (p_name, p_brand); same surface form + same
+    size, i.e. (p_name, p_size)) each assert sameAs within their block,
+    the union is closed into cliques by connected components (the two
+    relations overlap on the name key, so brand-chains and size-chains
+    genuinely compose multi-hop — no single blocking pass finds these),
+    every triple is rewritten through the
+    canonical (min-key) representative, and the output profiles the
+    consolidation: per sameAs-clique size, how many cliques exist and
+    how many DISTINCT (customer, canonical-part) purchase triples remain
+    after the rewrite (the KG-compression measure). Re-expresses the
+    reference's transitive profile-merge (J11/J12,
+    /root/reference/src/engine.py merge loop) at the whole-graph level.
+
+    Scale shape: each blocking relation emits STAR edges (member →
+    block-min) — O(n) edges, never the block clique's O(n²);
+    clustering.connected_components is the adaptive driver-UF /
+    distributed min-label operator the pipeline itself uses; the rewrite
+    is one broadcast-sized mapping join (mapping rows = |entities|, and
+    only clustered entities need a row at production scale); the
+    distinct-after-rewrite is a map-side-combinable dedup on the
+    rewritten key. The oracle is an INDEPENDENT algorithm (recursive-CTE
+    min-label propagation over the bidirectional star edges)."""
+    from hinbox_spark.operators.clustering import connected_components
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_type", "p_size"
+    )
+
+    def star_edges(df: DataFrame, keys: list[str]) -> DataFrame:
+        m = df.groupBy(*keys).agg(F.min("p_partkey").alias("canon"))
+        return (
+            df.join(m, keys)
+            .filter(F.col("p_partkey") != F.col("canon"))
+            .select(F.col("p_partkey").alias("src"), F.col("canon").alias("dst"))
+        )
+
+    edges = star_edges(p, ["p_name", "p_brand"]).unionByName(
+        star_edges(p, ["p_name", "p_size"])
+    ).distinct()
+    nodes = p.select(F.col("p_partkey").alias("node_id"))
+    labels = connected_components(nodes, edges)  # (node_id, cluster_id=min)
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("clique_size"))
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    triples = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    rewritten = (
+        triples.join(
+            F.broadcast(labels), triples.l_partkey == labels.node_id
+        )
+        .select("o_custkey", F.col("cluster_id").alias("canon"))
+        .distinct()
+    )
+    per_size = sizes.groupBy("clique_size").agg(F.count("*").alias("n_cliques"))
+    tri_per_size = (
+        rewritten.join(
+            F.broadcast(sizes), rewritten.canon == sizes.cluster_id
+        )
+        .groupBy("clique_size")
+        .agg(F.count("*").alias("n_triples_after"))
+    )
+    return per_size.join(tri_per_size, "clique_size", "left").select(
+        "clique_size",
+        "n_cliques",
+        F.coalesce("n_triples_after", F.lit(0)).cast("long").alias(
+            "n_triples_after"
+        ),
+    )
+
+
+ORACLE_KG_SAMEAS_REWRITE = """
+WITH RECURSIVE p AS (
+  SELECT p_partkey AS k, p_name || '|' || p_brand AS nb,
+         p_name || '|' || CAST(p_size AS VARCHAR) AS ns
+  FROM part
+), e1 AS (
+  SELECT k AS u, min(k) OVER (PARTITION BY nb) AS v FROM p
+), e2 AS (
+  SELECT k AS u, min(k) OVER (PARTITION BY ns) AS v FROM p
+), edges AS (
+  SELECT u, v FROM e1 WHERE u <> v
+  UNION SELECT v, u FROM e1 WHERE u <> v
+  UNION SELECT u, v FROM e2 WHERE u <> v
+  UNION SELECT v, u FROM e2 WHERE u <> v
+), en AS (
+  SELECT DISTINCT u AS k FROM edges
+), reach(node, label) AS (
+  SELECT k, k FROM en
+  UNION
+  SELECT edges.v, reach.label FROM reach JOIN edges ON edges.u = reach.node
+), lab AS (
+  SELECT node AS k, min(label) AS cluster FROM reach GROUP BY 1
+), allmap AS (
+  SELECT p.k, coalesce(lab.cluster, p.k) AS cluster
+  FROM p LEFT JOIN lab ON p.k = lab.k
+), sizes AS (
+  SELECT cluster, count(*) AS clique_size FROM allmap GROUP BY 1
+), tri AS (
+  SELECT DISTINCT o_custkey AS c, l_partkey AS pk
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), rew AS (
+  SELECT DISTINCT c, cluster FROM tri JOIN allmap ON tri.pk = allmap.k
+), pc AS (
+  SELECT clique_size, count(*) AS n_cliques FROM sizes GROUP BY 1
+), ts AS (
+  SELECT clique_size, count(*) AS n_triples_after
+  FROM rew JOIN sizes ON rew.cluster = sizes.cluster GROUP BY 1
+)
+SELECT pc.clique_size, n_cliques,
+       CAST(coalesce(n_triples_after, 0) AS BIGINT) AS n_triples_after
+FROM pc LEFT JOIN ts ON pc.clique_size = ts.clique_size
+"""
+
+
+def q_emb_neighbor_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style mean-pool neighborhood aggregation — the feature
+    step a graph-ML training pipeline runs over the materialized KG:
+    for each sampled node (vec_id % 17 = 0), pool the element-wise MEAN
+    of its k=3 cosine-nearest neighbor embeddings and emit the pooled
+    norm plus cosine(self, pooled) — the layer-1 GNN input features.
+    The kNN edge build here is the brute oracle baseline (same contract
+    as knn_top5); at web scale the edge list comes from the ANN scale
+    paths (operators/ann.lsh_topk / ivf_topk / pq_topk, recall-pinned).
+
+    Scale shape: sampled query vectors broadcast against the candidate
+    scan (one pass, JVM zip_with/aggregate dot products, no Python);
+    mean-pool via posexplode→(node, pos) avg — the exact grouped vector
+    aggregation discipline of label_centroid_norms — then one (node,
+    pos)-keyed join with the self vector and a final per-node fold. All
+    aggregations map-side combinable; nothing collects."""
+    e = _t(spark, sf_dir, "embeddings")
+    nrm = F.expr(
+        "sqrt(aggregate(embedding, 0.0D,"
+        " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    q = (
+        e.filter((F.col("vec_id") % 17 == 0) & (nrm > 0))
+        .select(F.col("vec_id").alias("node"), F.col("embedding").alias("qvec"))
+    )
+    cand = e.filter(nrm > 0).select(F.col("vec_id").alias("nb"), "embedding")
+    dot = F.expr(
+        "aggregate(zip_with(qvec, embedding, (a, b) ->"
+        " CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+    )
+    nq = F.expr(
+        "sqrt(aggregate(qvec, 0.0D,"
+        " (acc, x) -> acc + CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))"
+    )
+    nc = F.expr(
+        "sqrt(aggregate(embedding, 0.0D,"
+        " (acc, x) -> acc + CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))"
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("cos"), F.asc("nb"))
+    knn = (
+        F.broadcast(q)
+        .crossJoin(cand)
+        .filter(F.col("node") != F.col("nb"))
+        .withColumn("cos", dot / (nq * nc))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 3)
+        .select("node", "embedding")
+    )
+    pooled = (
+        knn.select("node", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("node", "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+    )
+    selfx = q.select("node", F.posexplode("qvec").alias("pos", "sx"))
+    j = pooled.join(selfx, ["node", "pos"]).select(
+        "node", "m", F.col("sx").cast("double").alias("sx")
+    )
+    return j.groupBy("node").agg(
+        F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 4).alias("pooled_norm"),
+        F.round(
+            F.sum(F.col("m") * F.col("sx"))
+            / (
+                F.sqrt(F.sum(F.col("m") * F.col("m")))
+                * F.sqrt(F.sum(F.col("sx") * F.col("sx")))
+            ),
+            4,
+        ).alias("self_cos"),
+    )
+
+
+ORACLE_EMB_NEIGHBOR_POOL = """
+WITH q AS (
+  SELECT vec_id AS node, embedding AS qv FROM embeddings
+  WHERE vec_id % 17 = 0
+    AND sqrt(list_sum(list_transform(embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
+), c AS (
+  SELECT vec_id AS nb, embedding FROM embeddings
+  WHERE sqrt(list_sum(list_transform(embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
+), knn AS (
+  SELECT node, nb, embedding FROM (
+    SELECT q.node, c.nb, c.embedding,
+           row_number() OVER (
+             PARTITION BY q.node
+             ORDER BY list_cosine_similarity(
+                 list_transform(q.qv, x -> CAST(x AS DOUBLE)),
+                 list_transform(c.embedding, x -> CAST(x AS DOUBLE))) DESC,
+             c.nb ASC) AS r
+    FROM q JOIN c ON q.node <> c.nb
+  ) WHERE r <= 3
+), ex AS (
+  SELECT node, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS x
+  FROM knn
+), pooled AS (
+  SELECT node, pos, avg(CAST(x AS DOUBLE)) AS m FROM ex GROUP BY 1, 2
+), selfx AS (
+  SELECT node, generate_subscripts(qv, 1) AS pos, unnest(qv) AS sx FROM q
+), j AS (
+  SELECT pooled.node, m, CAST(sx AS DOUBLE) AS sx
+  FROM pooled JOIN selfx ON pooled.node = selfx.node AND pooled.pos = selfx.pos
+)
+SELECT node, round(sqrt(sum(m * m)), 4) AS pooled_norm,
+       round(sum(m * sx) / (sqrt(sum(m * m)) * sqrt(sum(sx * sx))), 4)
+         AS self_cos
+FROM j GROUP BY node
+"""
+
+
+def q_kg_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled harmonic centrality (Boldi & Vigna's preferred closeness
+    variant — sums 1/d so unreachable nodes cost nothing) over the
+    bipartite purchase graph, hop-bounded at 3: from each of the 8
+    smallest customer nodes, harmonic = Σ 1/dist over reached nodes.
+    Distances ∈ {1,2,3} make 6/dist integer-EXACT, so `harmonic_sixths`
+    = Σ (6 div dist) is a bit-identical long in both engines (no float
+    summation anywhere). The sampled-sources design is the standard
+    web-graph estimator (Eppstein-Wang): at 10¹² nodes you never run
+    all-pairs — k sampled BFS trees bound the estimate.
+
+    Scale shape: ONE multi-source tagged BFS
+    (operators/graph.bfs_distances_multi) — per hop a single
+    frontier⋈edges shuffle keyed on node plus a composite-key anti-join;
+    all 8 trees ride the same 3 rounds (state = (tag, node, dist) ids).
+    The final fold is one map-side-combinable groupBy over |tags| keys."""
+    from hinbox_spark.operators.graph import bfs_distances_multi
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    bi = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    srcs = (
+        o.select("o_custkey")
+        .distinct()
+        .orderBy("o_custkey")
+        .limit(8)
+        .select(F.concat(F.lit("c:"), F.col("o_custkey")).alias("node_id"))
+        .withColumn("tag", F.col("node_id"))
+    )
+    vis = bfs_distances_multi(bi, srcs, max_hops=3)
+    return (
+        vis.filter(F.col("dist") > 0)
+        .groupBy("tag")
+        .agg(
+            F.sum(F.expr("6 div dist")).alias("harmonic_sixths"),
+            F.count("*").alias("n_reached"),
+        )
+        .select(F.col("tag").alias("source"), "harmonic_sixths", "n_reached")
+    )
+
+
+ORACLE_KG_HARMONIC_CENTRALITY = """
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), bi AS (
+  SELECT src, dst FROM e0
+  UNION ALL
+  SELECT dst, src FROM e0
+), srcs AS (
+  SELECT 'c:' || o_custkey AS node
+  FROM (SELECT DISTINCT o_custkey FROM orders ORDER BY o_custkey LIMIT 8)
+), walk(tag, node, h) AS (
+  SELECT node, node, 0 FROM srcs
+  UNION
+  SELECT walk.tag, bi.dst, walk.h + 1
+  FROM walk JOIN bi ON bi.src = walk.node
+  WHERE walk.h < 3
+), best AS (
+  SELECT tag, node, min(h) AS dist FROM walk GROUP BY 1, 2
+)
+SELECT tag AS source, CAST(sum(6 // dist) AS BIGINT) AS harmonic_sixths,
+       count(*) AS n_reached
+FROM best WHERE dist > 0 GROUP BY tag
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -6318,6 +6719,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "copurchase_shortest_paths": q_copurchase_shortest_paths,
     "doc_jaccard_prefix_pairs": q_doc_jaccard_prefix_pairs,
     "doc_bloom_novelty": q_doc_bloom_novelty,
+    "kg_rdfs_closure": q_kg_rdfs_closure,
+    "kg_sameas_rewrite": q_kg_sameas_rewrite,
+    "emb_neighbor_pool": q_emb_neighbor_pool,
+    "kg_harmonic_centrality": q_kg_harmonic_centrality,
     # rows-only: iterative SGD training is not one SQL statement
     "kg_embedding_train": q_kg_embedding_train,
 }
@@ -6431,4 +6836,8 @@ ORACLE_QUERIES: dict[str, str] = {
     "doc_jaccard_prefix_pairs": ORACLE_DOC_JACCARD_PREFIX,
     "copurchase_kcore": ORACLE_COPURCHASE_KCORE,
     "doc_bloom_novelty": ORACLE_DOC_BLOOM_NOVELTY,
+    "kg_rdfs_closure": ORACLE_KG_RDFS_CLOSURE,
+    "kg_sameas_rewrite": ORACLE_KG_SAMEAS_REWRITE,
+    "emb_neighbor_pool": ORACLE_EMB_NEIGHBOR_POOL,
+    "kg_harmonic_centrality": ORACLE_KG_HARMONIC_CENTRALITY,
 }
