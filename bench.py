@@ -147,6 +147,8 @@ HEADLINE = [
     "kg_sameas_rewrite",
     "emb_neighbor_pool",
     "kg_harmonic_centrality",
+    "kg_wl_colors",
+    "kg_ppr",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "20000"))

@@ -465,6 +465,53 @@ def bfs_distances_multi(
     return visited
 
 
+_WL_MOD = 2_147_483_647  # 2³¹−1 (prime): keeps every intermediate in 63 bits
+
+
+def wl_refinement(
+    edges: DataFrame, labels0: DataFrame, rounds: int = 2
+) -> DataFrame:
+    """Weisfeiler-Leman color refinement (1-WL) — the structural
+    fingerprinting loop behind graph-isomorphism screening, graph-kernel
+    features, and GNN expressiveness analysis: each round a node's color
+    becomes a hash of (its color, the MULTISET of neighbor colors).
+    edges(src, dst) directed — pass both directions for undirected;
+    labels0(node, l) integer seed colors. Returns (node, l) after
+    `rounds` refinements.
+
+    The multiset hash is COMMUTATIVE integer arithmetic — Σ((l+1)² mod M)
+    mod M folded as l' = (31·l + Σ) mod M with M = 2³¹−1 — so it is (a)
+    order-free, making the result a pure function of the graph no matter
+    how rows are partitioned, (b) map-side combinable (a plain SUM — no
+    collect_list of neighbor colors, which on a web-scale hub node would
+    materialize the whole neighborhood in one task), and (c) exactly
+    reproducible in ANSI SQL, so fixed-round runs are hash-checkable
+    against a DuckDB oracle (float-free). Per round: ONE edges⋈labels
+    equi-shuffle + one sum groupBy; lazy localCheckpoints keep the plan
+    O(1) in rounds."""
+    edges = edges.select("src", "dst")
+    labels = labels0.select("node", F.col("l").cast("long").alias("l"))
+    sq = (F.col("l") + 1) * (F.col("l") + 1) % _WL_MOD
+    for _ in range(rounds):
+        contrib = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), sq.alias("q"))
+            .groupBy("node")
+            .agg((F.sum("q") % _WL_MOD).alias("s"))
+        )
+        labels = (
+            labels.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    (F.col("l") * 31 + F.coalesce("s", F.lit(0))) % _WL_MOD
+                ).alias("l"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels
+
+
 def label_propagation(
     edges: DataFrame,
     iters: int = 3,

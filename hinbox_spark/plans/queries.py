@@ -6591,6 +6591,200 @@ FROM best WHERE dist > 0 GROUP BY tag
 """
 
 
+def q_kg_wl_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weisfeiler-Leman structural fingerprint of the purchase graph —
+    2 rounds of 1-WL color refinement (operators/graph.wl_refinement)
+    seeded by node side (customer=0, supplier=1), then the color
+    HISTOGRAM: (wl_color, n_nodes). Two nodes share a round-2 color iff
+    their 2-hop neighborhood trees agree — the canonical-form screen a
+    KG pipeline uses for structural dedup of subgraphs and as
+    graph-kernel features. Integer-exact by construction (commutative
+    modular multiset hash, no floats, no collect_list), so the whole
+    histogram hash-matches a DuckDB oracle running the identical two
+    unrolled rounds.
+
+    Scale shape: per round ONE edges⋈labels shuffle + one map-side-
+    combinable SUM groupBy — a hub node's neighborhood folds inside the
+    combiner instead of materializing in one task. The histogram is a
+    second tiny groupBy over |colors| keys."""
+    from hinbox_spark.operators.graph import wl_refinement
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    bi = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels0 = (
+        bi.select(F.col("src").alias("node"))
+        .distinct()
+        .select(
+            "node",
+            F.when(F.col("node").startswith("c:"), F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("l"),
+        )
+    )
+    refined = wl_refinement(bi, labels0, rounds=2)
+    return refined.groupBy(F.col("l").alias("wl_color")).agg(
+        F.count("*").alias("n_nodes")
+    )
+
+
+ORACLE_KG_WL_COLORS = """
+WITH e0 AS (
+  SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), bi AS (
+  SELECT src, dst FROM e0
+  UNION ALL
+  SELECT dst, src FROM e0
+), l0 AS (
+  SELECT src AS node,
+         CAST(CASE WHEN src LIKE 'c:%' THEN 0 ELSE 1 END AS BIGINT) AS l
+  FROM (SELECT DISTINCT src FROM bi)
+), c1 AS (
+  SELECT bi.dst AS node,
+         CAST(sum(((l0.l + 1) * (l0.l + 1)) % 2147483647)
+              % 2147483647 AS BIGINT) AS s
+  FROM bi JOIN l0 ON bi.src = l0.node GROUP BY bi.dst
+), l1 AS (
+  SELECT l0.node,
+         CAST((l0.l * 31 + coalesce(c1.s, 0)) % 2147483647 AS BIGINT) AS l
+  FROM l0 LEFT JOIN c1 ON l0.node = c1.node
+), c2 AS (
+  SELECT bi.dst AS node,
+         CAST(sum(((l1.l + 1) * (l1.l + 1)) % 2147483647)
+              % 2147483647 AS BIGINT) AS s
+  FROM bi JOIN l1 ON bi.src = l1.node GROUP BY bi.dst
+), l2 AS (
+  SELECT l1.node,
+         CAST((l1.l * 31 + coalesce(c2.s, 0)) % 2147483647 AS BIGINT) AS l
+  FROM l1 LEFT JOIN c2 ON l1.node = c2.node
+)
+SELECT l AS wl_color, count(*) AS n_nodes FROM l2 GROUP BY 1
+"""
+
+
+def q_kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank — entity relatedness in a KG: random walk
+    with restart to a 4-seed set (the 4 smallest customer nodes, uniform
+    restart mass), damping 0.85, fixed 8 power iterations, top-10 nodes.
+    The PPR vector is what KG serving layers rank "related entities" by
+    (Pixie/Pinterest-style); it differs from global PageRank
+    (`copurchase_pagerank`) only in the teleport distribution, so the
+    whole determinism discipline carries over: fixed iterations, every
+    node carries a rank row from iteration 0 (non-seeds start at 0.0, so
+    no row ever vanishes and the restart mass can never be dropped — the
+    naive seeds-only recursion LOSES a seed's restart term in any round
+    where no contribution reaches it), 8-dp rounding with ~6 orders of
+    magnitude of cross-engine float headroom.
+
+    Scale shape per iteration: ONE shuffle (edges ⋈ ranks on src,
+    contributions groupBy dst, map-side combinable); degrees precomputed;
+    lazy localCheckpoints keep the plan O(1) in rounds. The seed
+    indicator is a broadcast hash join against a 4-row frame."""
+    e = _purchase_edges(spark, sf_dir)
+    fwd = e.select(
+        F.concat(F.lit("c:"), F.col("custkey")).alias("src"),
+        F.concat(F.lit("s:"), F.col("suppkey")).alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    seeds = (
+        e.select("custkey")
+        .distinct()
+        .orderBy("custkey")
+        .limit(4)
+        .select(F.concat(F.lit("c:"), F.col("custkey")).alias("node_id"))
+        .withColumn("is_seed", F.lit(True))
+    )
+    nodes = (
+        deg.select(F.col("src").alias("node_id"))
+        .join(F.broadcast(seeds), "node_id", "left")
+        .select(
+            "node_id", F.coalesce("is_seed", F.lit(False)).alias("is_seed")
+        )
+        .localCheckpoint(eager=True)
+    )
+    d = 0.85
+    restart = F.when(F.col("is_seed"), F.lit((1.0 - d) * 0.25)).otherwise(
+        F.lit(0.0)
+    )
+    ranks = nodes.select(
+        "node_id",
+        F.when(F.col("is_seed"), F.lit(0.25)).otherwise(F.lit(0.0)).alias(
+            "rank"
+        ),
+    )
+    out_edges = edges.join(deg, "src").localCheckpoint(eager=True)
+    for _ in range(8):
+        contrib = (
+            out_edges.join(ranks, out_edges.src == ranks.node_id)
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node_id == contrib.dst, "left")
+            .select(
+                "node_id",
+                (restart + d * F.coalesce("contrib", F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        ranks.select("node_id", F.round("rank", 8).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node_id"))
+        .limit(10)
+    )
+
+
+ORACLE_KG_PPR = """
+WITH RECURSIVE
+e AS (
+  SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+oe AS (SELECT edges.src, edges.dst, deg.deg FROM edges JOIN deg USING (src)),
+seeds AS (
+  SELECT 'c:' || o_custkey AS node
+  FROM (SELECT DISTINCT o_custkey FROM orders ORDER BY o_custkey LIMIT 4)
+),
+pr AS (
+  SELECT 0 AS iter, src AS node_id,
+         CASE WHEN src IN (SELECT node FROM seeds)
+              THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+           AS rank
+  FROM deg
+  UNION ALL
+  SELECT pr.iter + 1, oe.dst,
+         0.15 * (CASE WHEN oe.dst IN (SELECT node FROM seeds)
+                 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+         + 0.85 * sum(pr.rank / oe.deg)
+  FROM pr JOIN oe ON oe.src = pr.node_id
+  WHERE pr.iter < 8
+  GROUP BY pr.iter, oe.dst
+)
+SELECT node_id, round(rank, 8) AS rank FROM pr WHERE iter = 8
+ORDER BY rank DESC, node_id
+LIMIT 10
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -6723,6 +6917,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_sameas_rewrite": q_kg_sameas_rewrite,
     "emb_neighbor_pool": q_emb_neighbor_pool,
     "kg_harmonic_centrality": q_kg_harmonic_centrality,
+    "kg_wl_colors": q_kg_wl_colors,
+    "kg_ppr": q_kg_ppr,
     # rows-only: iterative SGD training is not one SQL statement
     "kg_embedding_train": q_kg_embedding_train,
 }
@@ -6840,4 +7036,6 @@ ORACLE_QUERIES: dict[str, str] = {
     "kg_sameas_rewrite": ORACLE_KG_SAMEAS_REWRITE,
     "emb_neighbor_pool": ORACLE_EMB_NEIGHBOR_POOL,
     "kg_harmonic_centrality": ORACLE_KG_HARMONIC_CENTRALITY,
+    "kg_wl_colors": ORACLE_KG_WL_COLORS,
+    "kg_ppr": ORACLE_KG_PPR,
 }

@@ -221,3 +221,85 @@ def test_harmonic_centrality_matches_python_bfs(spark):
         for r in q_kg_harmonic_centrality(spark, SF).collect()
     }
     assert got == expected
+
+
+def test_wl_refinement_matches_python_and_distinguishes_structure(spark):
+    """Crafted graph: a 4-path and a 4-star have the same node count and
+    edge count, but 1-WL must separate the star center (3 degree-1
+    neighbors) from every path node by round 2. Colors must match an
+    independent pure-Python replica of the modular multiset hash."""
+    from hinbox_spark.operators.graph import wl_refinement, _WL_MOD
+
+    und = [("p1", "p2"), ("p2", "p3"), ("p3", "p4"),
+           ("hub", "x1"), ("hub", "x2"), ("hub", "x3")]
+    pairs = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(pairs, "src string, dst string")
+    nodes = sorted({x for e in pairs for x in e})
+    labels0 = spark.createDataFrame(
+        [(n, 0) for n in nodes], "node string, l long"
+    )
+
+    lab = {n: 0 for n in nodes}
+    for _ in range(2):
+        s = {n: 0 for n in nodes}
+        for a, b in pairs:
+            s[b] = (s[b] + (lab[a] + 1) * (lab[a] + 1) % _WL_MOD) % _WL_MOD
+        lab = {n: (lab[n] * 31 + s[n]) % _WL_MOD for n in nodes}
+
+    got = {
+        r["node"]: r["l"]
+        for r in wl_refinement(edges, labels0, rounds=2).collect()
+    }
+    assert got == lab
+    # structure separation: star center ≠ any path color; leaves x1-x3
+    # share a color; path ends share a color distinct from the middle
+    assert got["hub"] not in {got[p] for p in ("p1", "p2", "p3", "p4")}
+    assert got["x1"] == got["x2"] == got["x3"]
+    assert got["p1"] == got["p4"] != got["p2"]
+
+
+def test_kg_ppr_matches_numpy_power_iteration(spark):
+    """PPR (restart to the 4 smallest customer nodes, d=0.85, 8 fixed
+    iterations) must agree with a dense numpy replica to float precision;
+    restart mass must keep seeds ranked above the global-PageRank order."""
+    import numpy as np
+
+    from hinbox_spark.plans.queries import _purchase_edges, q_kg_ppr
+
+    fwd = [
+        (f"c:{r['custkey']}", f"s:{r['suppkey']}")
+        for r in _purchase_edges(spark, SF).collect()
+    ]
+    edges = fwd + [(b, a) for a, b in fwd]
+    nodes = sorted({x for e in edges for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for s, _ in edges:
+        deg[idx[s]] += 1
+    seeds = sorted(
+        {int(a[2:]) for a, _ in fwd}
+    )[:4]
+    e_s = np.zeros(n)
+    for k in seeds:
+        e_s[idx[f"c:{k}"]] = 0.25
+    rank = e_s.copy()
+    d = 0.85
+    for _ in range(8):
+        contrib = np.zeros(n)
+        for s, t in edges:
+            contrib[idx[t]] += rank[idx[s]] / deg[idx[s]]
+        rank = (1.0 - d) * e_s + d * contrib
+
+    got = q_kg_ppr(spark, SF).collect()
+    assert len(got) == 10
+    expected = sorted(
+        ((nodes[i], rank[i]) for i in range(n)),
+        key=lambda t: (-round(t[1], 8), t[0]),
+    )[:10]
+    for row, (name, r) in zip(got, expected):
+        assert row["node_id"] == name
+        assert abs(row["rank"] - round(r, 8)) < 1e-9
+    # personalization check: all 4 seeds are in the top-10
+    top = {r["node_id"] for r in got}
+    assert {f"c:{k}" for k in seeds} <= top
