@@ -93,29 +93,11 @@ def bfs_distances(
     """edges(src, dst) directed (pass both directions for an undirected
     walk), sources(node_id) → (node_id, dist) for every node reachable in
     ≤ max_hops, dist = exact hop distance (0 for the sources themselves).
-    Early-exits when a frontier drains before max_hops."""
-    edges = edges.select("src", "dst")
-    visited = (
-        sources.select("node_id")
-        .dropDuplicates(["node_id"])
-        .withColumn("dist", F.lit(0).cast("long"))
-        .localCheckpoint(eager=True)
-    )
-    frontier = visited.select("node_id")
-    for hop in range(1, max_hops + 1):
-        nxt = (
-            frontier.join(edges, frontier.node_id == edges.src)
-            .select(F.col("dst").alias("node_id"))
-            .dropDuplicates(["node_id"])
-            .join(visited.select("node_id"), "node_id", "left_anti")
-            .withColumn("dist", F.lit(hop).cast("long"))
-            .localCheckpoint(eager=True)
-        )
-        if nxt.isEmpty():
-            break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt.select("node_id")
-    return visited
+    Early-exits when a frontier drains before max_hops. The single-source
+    walk is the degenerate case of the tagged multi-source loop — one
+    shared implementation, one place to fix."""
+    tagged = sources.select("node_id").withColumn("tag", F.lit(0))
+    return bfs_distances_multi(edges, tagged, max_hops).drop("tag")
 
 
 def sssp_bounded(
@@ -407,7 +389,11 @@ def transitive_closure(
     )
     known = base
     delta = base
-    for _ in range(max_rounds):
+    # max_rounds+1 probes: the extra probe exists so that exhausting the
+    # budget with derivations STILL pending raises instead of silently
+    # returning a partial closure (callers would undercount entailments
+    # with no hint why)
+    for rnd in range(max_rounds + 1):
         step = base.select(
             F.col("s").alias("mid"), F.col("d").alias("d2")
         )
@@ -420,6 +406,11 @@ def transitive_closure(
         )
         if new.isEmpty():
             break
+        if rnd == max_rounds:
+            raise RuntimeError(
+                f"transitive_closure did not converge in {max_rounds} "
+                "rounds (delta still non-empty) — raise max_rounds"
+            )
         known = known.unionByName(new).localCheckpoint(eager=True)
         delta = new
     return known.select(F.col("s").alias(src_col), F.col("d").alias(dst_col))
@@ -488,7 +479,13 @@ def wl_refinement(
     reproducible in ANSI SQL, so fixed-round runs are hash-checkable
     against a DuckDB oracle (float-free). Per round: ONE edges⋈labels
     equi-shuffle + one sum groupBy; lazy localCheckpoints keep the plan
-    O(1) in rounds."""
+    O(1) in rounds.
+
+    Bound: each summand is < 2³¹, so the int64 SUM is exact for node
+    degree < 2³² (~4.3e9) — an order of magnitude above the largest
+    observed web-graph hub. Past that, Spark's long sum would wrap while
+    an INT128 engine would not; pre-reduce with a two-level
+    (node, salt)-then-node fold before trusting colors on such a graph."""
     edges = edges.select("src", "dst")
     labels = labels0.select("node", F.col("l").cast("long").alias("l"))
     sq = (F.col("l") + 1) * (F.col("l") + 1) % _WL_MOD

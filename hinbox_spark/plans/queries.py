@@ -1563,6 +1563,58 @@ def _purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _purchase_bigraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirected, namespace-prefixed ('c:'/'s:') purchase graph as
+    (src, dst) — the ONE edge definition shared by the traversal /
+    centrality / fingerprint queries so a future change (e.g. an order-
+    status filter) lands everywhere at once instead of silently diverging
+    per query."""
+    e = _purchase_edges(spark, sf_dir)
+    fwd = e.select(
+        F.concat(F.lit("c:"), F.col("custkey")).alias("src"),
+        F.concat(F.lit("s:"), F.col("suppkey")).alias("dst"),
+    )
+    return fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def _power_iterate(
+    nodes: DataFrame,
+    out_edges: DataFrame,
+    ranks: DataFrame,
+    restart,
+    d: float = 0.85,
+    iters: int = 8,
+) -> DataFrame:
+    """The shared PageRank power loop (global and personalized variants
+    differ ONLY in the initial rank vector and the `restart` column
+    expression — one body keeps damping / iteration / checkpoint
+    discipline in sync). nodes(node_id, ...), out_edges(src, dst, deg),
+    ranks(node_id, rank). Per iteration: ONE shuffle (edges ⋈ ranks on
+    src, contributions groupBy dst, map-side combinable); LAZY
+    localCheckpoints keep the plan O(1) in rounds (A/B'd in
+    q_copurchase_pagerank's docstring)."""
+    for _ in range(iters):
+        contrib = (
+            out_edges.join(ranks, out_edges.src == ranks.node_id)
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node_id == contrib.dst, "left")
+            .select(
+                "node_id",
+                (restart + d * F.coalesce("contrib", F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
 def q_purchase_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree distribution of the supplier side: for each supplier-degree
     d, how many customers bought from exactly d suppliers."""
@@ -2140,40 +2192,16 @@ def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine float-summation-order error. Values additionally pinned
     vs a numpy power iteration in tests/test_graph_queries.py. Returns
     top-10 (node_id, rank)."""
-    e = _purchase_edges(spark, sf_dir)
-    fwd = e.select(
-        F.concat(F.lit("c:"), F.col("custkey")).alias("src"),
-        F.concat(F.lit("s:"), F.col("suppkey")).alias("dst"),
-    )
-    edges = fwd.unionByName(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    edges = _purchase_bigraph(spark, sf_dir).localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     nodes = deg.select(F.col("src").alias("node_id")).localCheckpoint(eager=True)
     n_nodes = nodes.count()
     d = 0.85
     ranks = nodes.select("node_id", F.lit(1.0 / n_nodes).alias("rank"))
     out_edges = edges.join(deg, "src").localCheckpoint(eager=True)
-    for _ in range(8):
-        contrib = (
-            out_edges.join(
-                ranks, out_edges.src == ranks.node_id
-            )
-            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("contrib"))
-        )
-        ranks = (
-            nodes.join(contrib, nodes.node_id == contrib.dst, "left")
-            .select(
-                "node_id",
-                (
-                    F.lit((1.0 - d) / n_nodes)
-                    + d * F.coalesce("contrib", F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=False)
-        )
+    ranks = _power_iterate(
+        nodes, out_edges, ranks, F.lit((1.0 - d) / n_nodes), d=d, iters=8
+    )
     return (
         ranks.select("node_id", F.round("rank", 8).alias("rank"))
         .orderBy(F.desc("rank"), F.asc("node_id"))
@@ -6532,21 +6560,10 @@ def q_kg_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     The final fold is one map-side-combinable groupBy over |tags| keys."""
     from hinbox_spark.operators.graph import bfs_distances_multi
 
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    e0 = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
-        )
-        .distinct()
-    )
-    bi = e0.unionByName(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    bi = _purchase_bigraph(spark, sf_dir)
     srcs = (
-        o.select("o_custkey")
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey")
         .distinct()
         .orderBy("o_custkey")
         .limit(8)
@@ -6609,19 +6626,7 @@ def q_kg_wl_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
     second tiny groupBy over |colors| keys."""
     from hinbox_spark.operators.graph import wl_refinement
 
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    e0 = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
-        )
-        .distinct()
-    )
-    bi = e0.unionByName(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    bi = _purchase_bigraph(spark, sf_dir)
     labels0 = (
         bi.select(F.col("src").alias("node"))
         .distinct()
@@ -6691,21 +6696,18 @@ def q_kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributions groupBy dst, map-side combinable); degrees precomputed;
     lazy localCheckpoints keep the plan O(1) in rounds. The seed
     indicator is a broadcast hash join against a 4-row frame."""
-    e = _purchase_edges(spark, sf_dir)
-    fwd = e.select(
-        F.concat(F.lit("c:"), F.col("custkey")).alias("src"),
-        F.concat(F.lit("s:"), F.col("suppkey")).alias("dst"),
-    )
-    edges = fwd.unionByName(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    edges = _purchase_bigraph(spark, sf_dir).localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # seeds come from ORDERS (like the oracle and the harmonic-centrality
+    # sibling), not from the joined edge list: an orders-only customer
+    # with a small key must pick the same seed set in both engines
     seeds = (
-        e.select("custkey")
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey")
         .distinct()
-        .orderBy("custkey")
+        .orderBy("o_custkey")
         .limit(4)
-        .select(F.concat(F.lit("c:"), F.col("custkey")).alias("node_id"))
+        .select(F.concat(F.lit("c:"), F.col("o_custkey")).alias("node_id"))
         .withColumn("is_seed", F.lit(True))
     )
     nodes = (
@@ -6727,23 +6729,7 @@ def q_kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     out_edges = edges.join(deg, "src").localCheckpoint(eager=True)
-    for _ in range(8):
-        contrib = (
-            out_edges.join(ranks, out_edges.src == ranks.node_id)
-            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("contrib"))
-        )
-        ranks = (
-            nodes.join(contrib, nodes.node_id == contrib.dst, "left")
-            .select(
-                "node_id",
-                (restart + d * F.coalesce("contrib", F.lit(0.0))).alias(
-                    "rank"
-                ),
-            )
-            .localCheckpoint(eager=False)
-        )
+    ranks = _power_iterate(nodes, out_edges, ranks, restart, d=d, iters=8)
     return (
         ranks.select("node_id", F.round("rank", 8).alias("rank"))
         .orderBy(F.desc("rank"), F.asc("node_id"))
