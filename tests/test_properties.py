@@ -147,3 +147,96 @@ def test_distributed_ntile_equals_reference_formula(sparkref, n, k, mod):
         else:
             want[doc] = r + (pos - r * (q + 1)) // q + 1
     assert got == want
+
+
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edge_pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=0, max_value=6),
+        ),
+        min_size=1,
+        max_size=14,
+    ),
+)
+def test_transitive_closure_equals_python_reachability(sparkref, edge_pairs):
+    """For ANY small digraph — self-loops, duplicate edges, cycles,
+    disconnected islands — semi-naive closure equals DFS reachability
+    computed directly in Python (reach-by-≥1-edge, self-pairs only via
+    an actual cycle)."""
+    from hinbox_spark.operators.graph import transitive_closure
+
+    df = sparkref.createDataFrame(
+        [(f"n{a}", f"n{b}") for a, b in edge_pairs], "src string, dst string"
+    )
+    got = {(r["src"], r["dst"]) for r in transitive_closure(df).collect()}
+
+    adj = {}
+    for a, b in edge_pairs:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+    want = set()
+    for s in list(adj):
+        seen, stack = set(), list(adj[s])
+        while stack:
+            n = stack.pop()
+            if n in seen:
+                continue
+            seen.add(n)
+            stack.extend(adj.get(n, ()))
+        want |= {(f"n{s}", f"n{d}") for d in seen}
+    assert got == want
+
+
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edge_pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=0, max_value=6),
+        ),
+        min_size=1,
+        max_size=14,
+    ),
+    seeds=st.lists(
+        st.integers(min_value=0, max_value=3), min_size=7, max_size=7
+    ),
+    parts=st.sampled_from([1, 3, 7]),
+)
+def test_wl_refinement_python_parity_any_partitioning(
+    sparkref, edge_pairs, seeds, parts
+):
+    """For ANY digraph, ANY integer seed coloring, and ANY edge
+    partitioning, 2-round WL colors equal the pure-Python modular
+    multiset-hash replica — the commutative-sum design makes the result
+    partitioning-independent by construction, and this pins it."""
+    from hinbox_spark.operators.graph import wl_refinement, _WL_MOD
+
+    pairs = [(f"n{a}", f"n{b}") for a, b in edge_pairs]
+    nodes = sorted({x for e in pairs for x in e})
+    edges = sparkref.createDataFrame(
+        pairs, "src string, dst string"
+    ).repartition(parts)
+    labels0 = sparkref.createDataFrame(
+        [(n, seeds[int(n[1:])]) for n in nodes], "node string, l long"
+    )
+
+    lab = {n: seeds[int(n[1:])] for n in nodes}
+    for _ in range(2):
+        s = {n: 0 for n in nodes}
+        for a, b in pairs:
+            s[b] = (s[b] + (lab[a] + 1) * (lab[a] + 1) % _WL_MOD) % _WL_MOD
+        lab = {n: (lab[n] * 31 + s[n]) % _WL_MOD for n in nodes}
+
+    got = {
+        r["node"]: r["l"]
+        for r in wl_refinement(edges, labels0, rounds=2).collect()
+    }
+    assert got == lab
