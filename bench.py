@@ -311,10 +311,19 @@ def main() -> None:
     # compact headline as the LAST stdout line — the driver captures a
     # bounded stdout tail, so this line must stay well under 1 KB:
     # headline SCALARS only, per-query minima live in the sidecar.
+    # tiny "queries" dict for driver-schema compliance: the headline kg
+    # run plus the 5 slowest others — full minima live in the sidecar.
+    slowest = dict(
+        sorted(
+            ((k, v) for k, v in timings.items() if k != "kg_pipeline"),
+            key=lambda kv: -kv[1],
+        )[:5]
+    )
     result = {
         "metric": "headline_total_sec",
         "value": total,
         "unit": "sec",
+        "queries": {"kg_pipeline": kg_sec, **slowest},
         "n_queries": len(timings),
         "sf": sf,
         "kg_sec": kg_sec,
