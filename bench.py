@@ -76,6 +76,7 @@ HEADLINE = [
     "priority_by_returnflag",
     "top_return_customers",
     "copurchase_pagerank",
+    "copurchase_hits",
     "doc_dedup_keepers",
     "corpus_vocab_topk",
     "doc_weighted_mix",

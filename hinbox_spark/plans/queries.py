@@ -2234,6 +2234,110 @@ LIMIT 10
 """
 
 
+def q_copurchase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg 1999) over the DIRECTED bipartite
+    purchase graph (customer → supplier) — PageRank's mutual-reinforcement
+    sibling: a customer is a good hub if it buys from authoritative
+    suppliers, a supplier authoritative if bought from by good hubs.
+
+    Fixed 4 full iterations of the UNnormalized power iteration
+    (a ← Eᵀh, h ← E a) with ONE max-normalization at the end: scaling
+    commutes with the linear updates, so normalizing once is algebraically
+    identical to the textbook per-round normalization while keeping the
+    DuckDB oracle a plain recursive CTE (no per-step max subquery, which
+    recursive SQL cannot express over the working table). Magnitudes grow
+    like (d̄_c·d̄_s)^4 ≈ 1e15 at sf0.1 — far inside double range, and the
+    final division restores [0, 1].
+
+    Scale shape per half-step: ONE shuffle (edges ⋈ scores on the source
+    side, groupBy the target side — a map-side-combinable sum, so a
+    mega-degree supplier partially aggregates before the exchange);
+    scores are LAZILY localCheckpointed per half-step so the physical
+    plan stays O(1) in the iteration count (the q_copurchase_pagerank
+    discipline). Returns top-10 suppliers by authority and top-10
+    customers by hub score, max-normalized, 8-dp rounded — cross-engine
+    float-summation-order error sits ~6 orders of magnitude below the
+    rounding grid (measured on the pagerank oracle, same arithmetic
+    depth)."""
+    e = _purchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    h = (
+        e.select("custkey").distinct()
+        .select("custkey", F.lit(1.0).alias("score"))
+    )
+    a = None
+    for _ in range(4):
+        a = (
+            e.join(h, "custkey")
+            .groupBy("suppkey").agg(F.sum("score").alias("score"))
+        ).localCheckpoint(eager=False)
+        h = (
+            e.join(a, "suppkey")
+            .groupBy("custkey").agg(F.sum("score").alias("score"))
+        ).localCheckpoint(eager=False)
+
+    def _norm_top(df: DataFrame, key: str, prefix: str, role: str) -> DataFrame:
+        mx = df.agg(F.max("score").alias("mx"))
+        return (
+            df.crossJoin(F.broadcast(mx))
+            .select(
+                F.lit(role).alias("role"),
+                F.concat(F.lit(prefix), F.col(key).cast("string")).alias(
+                    "node_id"
+                ),
+                F.round(F.col("score") / F.col("mx"), 8).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("node_id"))
+            .limit(10)
+        )
+
+    return (
+        _norm_top(a, "suppkey", "s:", "auth")
+        .unionAll(_norm_top(h, "custkey", "c:", "hub"))
+        .orderBy("role", F.desc("score"), F.asc("node_id"))
+    )
+
+
+# Half-step recursion: even steps hold hub scores on customers, odd steps
+# authority scores on suppliers (the working table at each step is exactly
+# the previous step's rows, so the CASE picks the join side by parity);
+# step 7 = 4th authority update, step 8 = 4th hub update — the same
+# schedule as the Spark loop above.
+ORACLE_COPURCHASE_HITS = """
+WITH RECURSIVE
+e AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+hits AS (
+  SELECT 0 AS step, c AS k, CAST(1.0 AS DOUBLE) AS score
+  FROM (SELECT DISTINCT c FROM e)
+  UNION ALL
+  SELECT step + 1,
+         CASE WHEN step % 2 = 0 THEN e.s ELSE e.c END AS k,
+         sum(score) AS score
+  FROM hits JOIN e ON (CASE WHEN step % 2 = 0 THEN e.c ELSE e.s END) = hits.k
+  WHERE step < 8
+  GROUP BY 1, 2
+),
+auth AS (SELECT k, score FROM hits WHERE step = 7),
+hub  AS (SELECT k, score FROM hits WHERE step = 8),
+top_auth AS (
+  SELECT 'auth' AS role, 's:' || k AS node_id,
+         round(score / (SELECT max(score) FROM auth), 8) AS score
+  FROM auth ORDER BY score DESC, node_id LIMIT 10
+),
+top_hub AS (
+  SELECT 'hub' AS role, 'c:' || k AS node_id,
+         round(score / (SELECT max(score) FROM hub), 8) AS score
+  FROM hub ORDER BY score DESC, node_id LIMIT 10
+)
+SELECT * FROM top_auth
+UNION ALL
+SELECT * FROM top_hub
+ORDER BY role, score DESC, node_id
+"""
+
+
 def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting — the classic graph-cohesion analytic (clustering
     coefficient's numerator) over the customer co-supplier projection.
@@ -6878,6 +6982,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_dedup_keepers": q_doc_dedup_keepers,
     # oracle-checked since round 5 (fixed-iteration recursive CTE)
     "copurchase_pagerank": q_copurchase_pagerank,
+    "copurchase_hits": q_copurchase_hits,
     "copurchase_triangles": q_copurchase_triangles,
     "corpus_bigram_pmi": q_corpus_bigram_pmi,
     # materialized-KG query family (round 5)
@@ -6991,6 +7096,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "doc_unigram_rarity": ORACLE_DOC_UNIGRAM_RARITY,
     "emb_hard_negatives": ORACLE_EMB_HARD_NEGATIVES,
     "copurchase_pagerank": ORACLE_COPURCHASE_PAGERANK,
+    "copurchase_hits": ORACLE_COPURCHASE_HITS,
     "copurchase_triangles": ORACLE_COPURCHASE_TRIANGLES,
     "corpus_bigram_pmi": ORACLE_CORPUS_BIGRAM_PMI,
     "copurchase_link_prediction": ORACLE_LINK_PREDICTION,

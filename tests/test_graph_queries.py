@@ -421,3 +421,59 @@ def test_neighbor_jaccard_join_fallback_int_keys_and_unpackable_ids(spark):
         for r in _neighbor_jaccard_topk_join(big, "key", "item", 5).collect()
     ]
     assert got_big == want
+
+
+def test_copurchase_hits_matches_numpy_replica(spark):
+    """The Spark HITS (4 full unnormalized iterations, one final
+    max-normalization) must agree with an independent dense numpy replica
+    on the same directed bipartite graph to ~float precision, and the
+    unnormalized-then-normalize-once schedule must equal the textbook
+    per-round-normalized fixpoint direction (scaling commutes with the
+    linear updates)."""
+    import numpy as np
+
+    from hinbox_spark.plans.queries import _purchase_edges, q_copurchase_hits
+
+    edges = [
+        (r["custkey"], r["suppkey"])
+        for r in _purchase_edges(spark, SF).collect()
+    ]
+    custs = sorted({c for c, _ in edges})
+    supps = sorted({s for _, s in edges})
+    ci = {c: i for i, c in enumerate(custs)}
+    si = {s: i for i, s in enumerate(supps)}
+    E = np.zeros((len(custs), len(supps)))
+    for c, s in edges:
+        E[ci[c], si[s]] = 1.0
+    h = np.ones(len(custs))
+    for _ in range(4):
+        a = E.T @ h
+        h = E @ a
+    a_norm, h_norm = a / a.max(), h / h.max()
+
+    # per-round-normalized textbook HITS points the same direction
+    h2 = np.ones(len(custs))
+    for _ in range(4):
+        a2 = E.T @ h2
+        a2 = a2 / a2.max()
+        h2 = E @ a2
+        h2 = h2 / h2.max()
+    assert np.allclose(a_norm, a2 / a2.max(), rtol=1e-9)
+    assert np.allclose(h_norm, h2, rtol=1e-9)
+
+    got = q_copurchase_hits(spark, SF).collect()
+    assert len(got) == 20
+    want_auth = sorted(
+        ((f"s:{s}", a_norm[si[s]]) for s in supps),
+        key=lambda t: (-round(t[1], 8), t[0]),
+    )[:10]
+    want_hub = sorted(
+        ((f"c:{c}", h_norm[ci[c]]) for c in custs),
+        key=lambda t: (-round(t[1], 8), t[0]),
+    )[:10]
+    for row, (name, score) in zip(got, want_auth + want_hub):
+        assert row["node_id"] == name, (row, name)
+        assert abs(row["score"] - round(score, 8)) < 1e-9, (row, score)
+
+    rerun = q_copurchase_hits(spark, SF).collect()
+    assert [tuple(r) for r in rerun] == [tuple(r) for r in got]
