@@ -2246,8 +2246,10 @@ def q_copurchase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to the textbook per-round normalization while keeping the
     DuckDB oracle a plain recursive CTE (no per-step max subquery, which
     recursive SQL cannot express over the working table). Magnitudes grow
-    like (d̄_c·d̄_s)^4 ≈ 1e15 at sf0.1 — far inside double range, and the
-    final division restores [0, 1].
+    like (d̄_c·d̄_s)^4 ≈ 3e17 at sf0.1 (measured: 586,871 edges over
+    14,999 customers × 1,000 suppliers) — far inside double range even at
+    web-scale degree distributions, and the final division restores
+    [0, 1].
 
     Scale shape per half-step: ONE shuffle (edges ⋈ scores on the source
     side, groupBy the target side — a map-side-combinable sum, so a
