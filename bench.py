@@ -77,6 +77,7 @@ HEADLINE = [
     "top_return_customers",
     "copurchase_pagerank",
     "copurchase_hits",
+    "doc_bm25_search",
     "doc_dedup_keepers",
     "corpus_vocab_topk",
     "doc_weighted_mix",

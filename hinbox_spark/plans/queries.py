@@ -4559,6 +4559,108 @@ LIMIT 100
 """
 
 
+#: Fixed multi-term query for the BM25 ranked-retrieval entry — mid-df
+#: terms from the synthetic vocabulary so the ranking exercises both the
+#: tf saturation and the length normalization.
+BM25_QUERY_TERMS = ("hash", "merge", "vector", "stream")
+
+
+def q_doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval — the IR query the inverted index exists to
+    serve: top-10 documents for a fixed 4-term query under the Lucene
+    BM25 variant (idf = ln(1 + (N − df + 0.5)/(df + 0.5)), always
+    positive even for df > N/2 — the Robertson idf goes negative there,
+    and this corpus's query terms sit at df ≈ 0.8·N; k1 = 1.2, b = 0.75).
+
+    Scale shape: the token stream is filtered to the ≤4 query terms
+    BEFORE any shuffle, so the per-(doc, term) tf aggregation carries
+    only matching postings — on a 10¹²-doc corpus the shuffle is
+    O(matching postings), not O(tokens). Document lengths fold in one
+    map-side-combinable pass; N and avgdl are 1-row aggregates broadcast
+    via crossJoin; per-term df is a ≤4-row aggregate joined broadcast.
+    Everything is JVM column arithmetic — no UDFs. The only
+    transcendental is ln inside idf: summed over ≤4 terms the
+    cross-engine libm drift is ~1e-15 absolute, ~7 orders of magnitude
+    under the 8-dp rounding grid (the q_copurchase_pagerank rounding
+    argument). Deterministic: ties broken by doc_id."""
+    k1, b = 1.2, 0.75
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("word").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tbl = tf.groupBy("word").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * F.col("tf")
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hit"),
+            F.round(F.sum("contrib"), 8).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+ORACLE_DOC_BM25_SEARCH = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+    FROM documents
+),
+toks_ne AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks_ne GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+    SELECT doc_id, word, count(*) AS tf FROM toks_ne
+    WHERE word IN ('hash', 'merge', 'vector', 'stream')
+    GROUP BY 1, 2
+),
+df_tbl AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+    SELECT tf.doc_id,
+           count(*) AS n_hit,
+           round(sum(
+               ln(1.0 + (stats.n_docs - df_tbl.df + 0.5) / (df_tbl.df + 0.5))
+               * tf.tf
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+           ), 8) AS score
+    FROM tf
+    JOIN df_tbl USING (word)
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, n_hit, score FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 def q_doc_target_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance selection (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling"): score every
@@ -6967,6 +7069,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_length_buckets": q_doc_length_buckets,
     "corpus_cms_heavy_hitters": q_corpus_cms_heavy_hitters,
     "doc_inverted_index": q_doc_inverted_index,
+    "doc_bm25_search": q_doc_bm25_search,
     "doc_target_affinity": q_doc_target_affinity,
     "corpus_bpe_merges": q_corpus_bpe_merges,
     "copurchase_kcore": q_copurchase_kcore,
@@ -7106,6 +7209,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "doc_quality_classifier": ORACLE_DOC_QUALITY_CLASSIFIER,
     "doc_length_buckets": ORACLE_DOC_LENGTH_BUCKETS,
     "doc_inverted_index": ORACLE_DOC_INVERTED_INDEX,
+    "doc_bm25_search": ORACLE_DOC_BM25_SEARCH,
     "doc_target_affinity": ORACLE_DOC_TARGET_AFFINITY,
     "events_type_bigrams": ORACLE_EVENTS_TYPE_BIGRAMS,
     "kg_star_join": ORACLE_KG_STAR_JOIN,

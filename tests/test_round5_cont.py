@@ -259,3 +259,41 @@ def test_kcore_unrolled_oracle_stable_past_fixpoint():
     r9 = con.execute(_kcore_unrolled_oracle(k=8, rounds=9)).fetchall()
     assert r6 == r9
     assert len(r6) == 50
+
+
+def test_bm25_search_matches_python_replica(spark):
+    """q_doc_bm25_search vs an independent pure-Python Lucene-variant BM25
+    (idf = ln(1 + (N-df+0.5)/(df+0.5)), k1=1.2, b=0.75) computed from the
+    raw parquet — full ranking and 8-dp scores must agree, plus a
+    determinism rerun."""
+    import math
+
+    from hinbox_spark.plans.queries import BM25_QUERY_TERMS, q_doc_bm25_search
+
+    docs = {
+        r["doc_id"]: [w for w in r["text"].lower().split(" ") if w]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    n_docs = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n_docs
+    df = {
+        q: sum(1 for t in docs.values() if q in t) for q in BM25_QUERY_TERMS
+    }
+    k1, b = 1.2, 0.75
+    expected = []
+    for doc_id, toks in docs.items():
+        hits, score = 0, 0.0
+        for q in BM25_QUERY_TERMS:
+            tf = toks.count(q)
+            if not tf:
+                continue
+            hits += 1
+            idf = math.log(1.0 + (n_docs - df[q] + 0.5) / (df[q] + 0.5))
+            score += idf * tf / (tf + k1 * (1 - b + b * len(toks) / avgdl))
+        if hits:
+            expected.append((doc_id, hits, round(score, 8)))
+    expected.sort(key=lambda t: (-t[2], t[0]))
+
+    got = [tuple(r) for r in q_doc_bm25_search(spark, SF).collect()]
+    assert got == expected[:10]
+    assert [tuple(r) for r in q_doc_bm25_search(spark, SF).collect()] == got
