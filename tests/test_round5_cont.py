@@ -297,3 +297,23 @@ def test_bm25_search_matches_python_replica(spark):
     got = [tuple(r) for r in q_doc_bm25_search(spark, SF).collect()]
     assert got == expected[:10]
     assert [tuple(r) for r in q_doc_bm25_search(spark, SF).collect()] == got
+
+
+def test_hits_and_bm25_partitioning_invariant(spark):
+    """Both late additions sum doubles across partitions, so raw
+    summation order varies with the partition layout; the 8-dp output
+    rounding must absorb that drift. Pin it: identical rounded output
+    under 1-partition and 17-partition shuffle layouts."""
+    from hinbox_spark.plans.queries import (
+        q_copurchase_hits, q_doc_bm25_search,
+    )
+
+    for fn in (q_copurchase_hits, q_doc_bm25_search):
+        outs = []
+        for parts in ("1", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            try:
+                outs.append([tuple(r) for r in fn(spark, SF).collect()])
+            finally:
+                spark.conf.unset("spark.sql.shuffle.partitions")
+        assert outs[0] == outs[1], fn.__name__
