@@ -78,6 +78,7 @@ HEADLINE = [
     "copurchase_pagerank",
     "copurchase_hits",
     "doc_bm25_search",
+    "purchase_degree_gini",
     "doc_dedup_keepers",
     "corpus_vocab_topk",
     "doc_weighted_mix",

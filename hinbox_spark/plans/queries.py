@@ -4559,6 +4559,91 @@ LIMIT 100
 """
 
 
+def q_purchase_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of the degree distribution, per role — the
+    inequality number a web-scale operator watches to quantify key skew
+    BEFORE it becomes a mega-task (power-law degree inequality is exactly
+    what the bucket caps / salting / tournament top-k defenses exist
+    for; Gini puts one monitored scalar on it).
+
+    G = (2·Σ i·dᵢ − (n+1)·Σdᵢ) / (n·Σdᵢ) over degrees sorted ascending
+    with 1-based rank i — INTEGER-EXACT numerator and denominator (no
+    float summation anywhere), emitted alongside the rounded ratio, so
+    the cross-engine hash cannot flake (the TF-IDF/PMI integer-exact
+    discipline). The global sort-rank comes from
+    `operators/ranking.global_row_numbers` — range partition + offset
+    fold, NO `Exchange SinglePartition`, so the rank pass holds at 10¹²
+    nodes where a bare row_number() window funnels the world into one
+    task; the tie-break on the node key makes the order total, and any
+    total order over equal degrees yields the same Σ i·dᵢ (equal values
+    commute), so the rank-sampling nondeterminism cannot leak into the
+    result. One rank pass + one 5-scalar fold per role."""
+    from hinbox_spark.operators.ranking import global_row_numbers
+
+    e = _purchase_edges(spark, sf_dir)
+
+    def one(role: str, key: str) -> DataFrame:
+        deg = e.groupBy(key).agg(F.count("*").alias("deg"))
+        ranked = global_row_numbers(
+            deg, [F.asc("deg"), F.asc(key)], rank_col="r"
+        )
+        return (
+            ranked.agg(
+                F.count("*").alias("n_nodes"),
+                F.sum("deg").alias("sum_deg"),
+                F.sum((F.col("r") + 1) * F.col("deg")).alias("s_rank_deg"),
+            )
+            .select(
+                F.lit(role).alias("role"),
+                "n_nodes",
+                "sum_deg",
+                (
+                    2 * F.col("s_rank_deg")
+                    - (F.col("n_nodes") + 1) * F.col("sum_deg")
+                ).alias("gini_num"),
+                (F.col("n_nodes") * F.col("sum_deg")).alias("gini_den"),
+            )
+            .withColumn(
+                "gini", F.round(F.col("gini_num") / F.col("gini_den"), 8)
+            )
+        )
+
+    return (
+        one("customer", "custkey")
+        .unionAll(one("supplier", "suppkey"))
+        .orderBy("role")
+    )
+
+
+ORACLE_PURCHASE_DEGREE_GINI = """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS custkey, l_suppkey AS suppkey
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+cd AS (SELECT custkey AS k, count(*) AS deg FROM e GROUP BY 1),
+sd AS (SELECT suppkey AS k, count(*) AS deg FROM e GROUP BY 1),
+cr AS (SELECT deg, row_number() OVER (ORDER BY deg, k) AS i FROM cd),
+sr AS (SELECT deg, row_number() OVER (ORDER BY deg, k) AS i FROM sd),
+folded AS (
+  SELECT 'customer' AS role, count(*) AS n_nodes,
+         CAST(sum(deg) AS BIGINT) AS sum_deg,
+         CAST(sum(i * deg) AS BIGINT) AS s_rank_deg
+  FROM cr
+  UNION ALL
+  SELECT 'supplier', count(*), CAST(sum(deg) AS BIGINT),
+         CAST(sum(i * deg) AS BIGINT)
+  FROM sr
+)
+SELECT role, n_nodes, sum_deg,
+       2 * s_rank_deg - (n_nodes + 1) * sum_deg AS gini_num,
+       n_nodes * sum_deg AS gini_den,
+       round(CAST(2 * s_rank_deg - (n_nodes + 1) * sum_deg AS DOUBLE)
+             / (n_nodes * sum_deg), 8) AS gini
+FROM folded
+ORDER BY role
+"""
+
+
 #: Fixed multi-term query for the BM25 ranked-retrieval entry — mid-df
 #: terms from the synthetic vocabulary so the ranking exercises both the
 #: tf saturation and the length normalization.
@@ -7070,6 +7155,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_cms_heavy_hitters": q_corpus_cms_heavy_hitters,
     "doc_inverted_index": q_doc_inverted_index,
     "doc_bm25_search": q_doc_bm25_search,
+    "purchase_degree_gini": q_purchase_degree_gini,
     "doc_target_affinity": q_doc_target_affinity,
     "corpus_bpe_merges": q_corpus_bpe_merges,
     "copurchase_kcore": q_copurchase_kcore,
@@ -7210,6 +7296,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "doc_length_buckets": ORACLE_DOC_LENGTH_BUCKETS,
     "doc_inverted_index": ORACLE_DOC_INVERTED_INDEX,
     "doc_bm25_search": ORACLE_DOC_BM25_SEARCH,
+    "purchase_degree_gini": ORACLE_PURCHASE_DEGREE_GINI,
     "doc_target_affinity": ORACLE_DOC_TARGET_AFFINITY,
     "events_type_bigrams": ORACLE_EVENTS_TYPE_BIGRAMS,
     "kg_star_join": ORACLE_KG_STAR_JOIN,

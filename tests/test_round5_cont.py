@@ -317,3 +317,44 @@ def test_hits_and_bm25_partitioning_invariant(spark):
             finally:
                 spark.conf.unset("spark.sql.shuffle.partitions")
         assert outs[0] == outs[1], fn.__name__
+
+
+def test_degree_gini_matches_python_and_tie_order_invariant(spark):
+    """q_purchase_degree_gini vs a pure-Python exact-integer Gini on the
+    same degree multisets, plus the algebraic claim the docstring makes:
+    ANY total order over equal degrees yields the same Σ i·dᵢ (so the
+    range-partitioner's sampling nondeterminism can't leak out)."""
+    from hinbox_spark.plans.queries import (
+        _purchase_edges, q_purchase_degree_gini,
+    )
+
+    e = [(r["custkey"], r["suppkey"])
+         for r in _purchase_edges(spark, SF).collect()]
+
+    def gini_parts(degs):
+        degs = sorted(degs)
+        n, sd = len(degs), sum(degs)
+        srd = sum((i + 1) * d for i, d in enumerate(degs))
+        return n, sd, 2 * srd - (n + 1) * sd, n * sd
+
+    from collections import Counter
+    cdeg = Counter(c for c, _ in e)
+    sdeg = Counter(s for _, s in e)
+    want = {
+        "customer": gini_parts(list(cdeg.values())),
+        "supplier": gini_parts(list(sdeg.values())),
+    }
+    got = {r["role"]: (r["n_nodes"], r["sum_deg"], r["gini_num"],
+                       r["gini_den"])
+           for r in q_purchase_degree_gini(spark, SF).collect()}
+    assert got == want
+
+    # tie-order invariance: permuting equal values never changes Σ i·dᵢ
+    import itertools
+    degs = [2, 2, 3, 3, 3, 7]
+    sums = {
+        sum((i + 1) * d for i, d in enumerate(p))
+        for p in set(itertools.permutations(degs))
+        if list(p) == sorted(p)
+    }
+    assert len(sums) == 1
