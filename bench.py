@@ -79,6 +79,7 @@ HEADLINE = [
     "copurchase_hits",
     "doc_bm25_search",
     "purchase_degree_gini",
+    "purchase_assortativity",
     "doc_dedup_keepers",
     "corpus_vocab_topk",
     "doc_weighted_mix",

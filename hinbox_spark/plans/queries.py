@@ -4644,6 +4644,91 @@ ORDER BY role
 """
 
 
+def q_purchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the bidirected purchase
+    graph — the Pearson correlation of endpoint degrees over edges, the
+    standard one-scalar answer to "do hubs attach to hubs?" (web graphs
+    are famously disassortative; on THIS bipartite graph high-degree
+    suppliers necessarily face lower-degree customers, so r < 0 is the
+    structurally expected sign — a useful fixture property).
+
+    All six moments (m, Σx, Σy, Σxy, Σx², Σy² with x = src degree,
+    y = dst degree per directed edge) are INTEGER-EXACT — the degree
+    table (one row per node; node-count-sized, so NOT broadcast at
+    10¹²-node scale) joins onto edges keyed by node, where the degree
+    aggregation has already partitioned both sides; the moments then
+    fold map-side before ONE 6-scalar exchange. No float summation
+    anywhere (int64 headroom: m·Σx² ≈ 5e17 at sf0.1, bound scales as
+    |E|²·d̄_max² — switch the moments to DECIMAL(38) past ~10⁹ edges). The only non-integer
+    steps are the final subtractions, one sqrt, and one division —
+    performed on identical integer operands in both engines, and IEEE
+    sqrt/division are correctly rounded, so the 8-dp rounded r cannot
+    flake cross-engine. Emits the exact moments beside r so the hash
+    check is anchored on integers."""
+    e = _purchase_bigraph(spark, sf_dir)
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    xy = (
+        e.join(deg.withColumnRenamed("deg", "dx"), "src")
+        .join(
+            deg.select(
+                F.col("src").alias("dst"), F.col("deg").alias("dy")
+            ),
+            "dst",
+        )
+    )
+    m = xy.agg(
+        F.count("*").alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    return m.select(
+        "m", "sx", "sy", "sxy", "sxx", "syy",
+        F.round(
+            (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                .cast("double")
+                * (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))
+                .cast("double")
+            ),
+            8,
+        ).alias("assortativity"),
+    )
+
+
+ORACLE_PURCHASE_ASSORTATIVITY = """
+WITH b AS (
+  SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e AS (SELECT src, dst FROM b UNION ALL SELECT dst, src FROM b),
+deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+xy AS (
+  SELECT dx.deg AS dx, dy.deg AS dy
+  FROM e
+  JOIN deg dx ON dx.node = e.src
+  JOIN deg dy ON dy.node = e.dst
+),
+mo AS (
+  SELECT count(*) AS m,
+         CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+         CAST(sum(dx * dy) AS BIGINT) AS sxy,
+         CAST(sum(dx * dx) AS BIGINT) AS sxx,
+         CAST(sum(dy * dy) AS BIGINT) AS syy
+  FROM xy
+)
+SELECT m, sx, sy, sxy, sxx, syy,
+       round((m * sxy - sx * sy)
+             / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                    * CAST(m * syy - sy * sy AS DOUBLE)), 8)
+  AS assortativity
+FROM mo
+"""
+
+
 #: Fixed multi-term query for the BM25 ranked-retrieval entry — mid-df
 #: terms from the synthetic vocabulary so the ranking exercises both the
 #: tf saturation and the length normalization.
@@ -7156,6 +7241,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_inverted_index": q_doc_inverted_index,
     "doc_bm25_search": q_doc_bm25_search,
     "purchase_degree_gini": q_purchase_degree_gini,
+    "purchase_assortativity": q_purchase_assortativity,
     "doc_target_affinity": q_doc_target_affinity,
     "corpus_bpe_merges": q_corpus_bpe_merges,
     "copurchase_kcore": q_copurchase_kcore,
@@ -7297,6 +7383,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "doc_inverted_index": ORACLE_DOC_INVERTED_INDEX,
     "doc_bm25_search": ORACLE_DOC_BM25_SEARCH,
     "purchase_degree_gini": ORACLE_PURCHASE_DEGREE_GINI,
+    "purchase_assortativity": ORACLE_PURCHASE_ASSORTATIVITY,
     "doc_target_affinity": ORACLE_DOC_TARGET_AFFINITY,
     "events_type_bigrams": ORACLE_EVENTS_TYPE_BIGRAMS,
     "kg_star_join": ORACLE_KG_STAR_JOIN,

@@ -358,3 +358,36 @@ def test_degree_gini_matches_python_and_tie_order_invariant(spark):
         if list(p) == sorted(p)
     }
     assert len(sums) == 1
+
+
+def test_assortativity_matches_python_replica(spark):
+    """q_purchase_assortativity vs a pure-Python exact-moment Pearson on
+    the same bidirected edge list; moments must be integer-identical and
+    the rounded r equal. Also asserts the documented structural sign:
+    bipartite hub structure => strongly disassortative."""
+    import math
+    from collections import Counter
+
+    from hinbox_spark.plans.queries import (
+        _purchase_edges, q_purchase_assortativity,
+    )
+
+    fwd = [(f"c:{r['custkey']}", f"s:{r['suppkey']}")
+           for r in _purchase_edges(spark, SF).collect()]
+    edges = fwd + [(b, a) for a, b in fwd]
+    deg = Counter(s for s, _ in edges)
+    m = len(edges)
+    sx = sy = sxy = sxx = syy = 0
+    for s, t in edges:
+        dx, dy = deg[s], deg[t]
+        sx += dx; sy += dy; sxy += dx * dy
+        sxx += dx * dx; syy += dy * dy
+    r = (m * sxy - sx * sy) / math.sqrt(
+        float(m * sxx - sx * sx) * float(m * syy - sy * sy)
+    )
+
+    row = q_purchase_assortativity(spark, SF).collect()[0]
+    assert (row["m"], row["sx"], row["sy"], row["sxy"], row["sxx"],
+            row["syy"]) == (m, sx, sy, sxy, sxx, syy)
+    assert abs(row["assortativity"] - round(r, 8)) < 1e-9
+    assert row["assortativity"] < -0.9
