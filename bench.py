@@ -80,6 +80,7 @@ HEADLINE = [
     "doc_bm25_search",
     "purchase_degree_gini",
     "purchase_assortativity",
+    "copurchase_transitivity",
     "doc_dedup_keepers",
     "corpus_vocab_topk",
     "doc_weighted_mix",

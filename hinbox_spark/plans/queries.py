@@ -2340,6 +2340,31 @@ ORDER BY role, score DESC, node_id
 """
 
 
+def _capped_coprojection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The degree-capped customer co-supplier projection shared by the
+    triangle and transitivity queries: each supplier contributes pairs
+    only among its 8 smallest custkeys (cap via the `bounded_topk`
+    tournament, so a mega-supplier never sorts in one task; the edge set
+    is bounded at C(8,2)=28 rows per supplier), undirected edges kept as
+    x < y, distinct."""
+    from hinbox_spark.functions.skew import bounded_topk
+
+    e = _purchase_edges(spark, sf_dir)
+    capped = bounded_topk(
+        e, ["suppkey"], [F.asc("custkey")], 8, F.xxhash64("custkey")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.suppkey") == F.col("b.suppkey"))
+            & (F.col("a.custkey") < F.col("b.custkey")),
+        )
+        .select(F.col("a.custkey").alias("x"), F.col("b.custkey").alias("y"))
+        .distinct()
+    )
+
+
 def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting — the classic graph-cohesion analytic (clustering
     coefficient's numerator) over the customer co-supplier projection.
@@ -2362,22 +2387,7 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap already enforces a stronger bound here. Exact, deterministic,
     oracle-checked against DuckDB running the identical capped
     definition."""
-    from hinbox_spark.functions.skew import bounded_topk
-
-    e = _purchase_edges(spark, sf_dir)
-    capped = bounded_topk(
-        e, ["suppkey"], [F.asc("custkey")], 8, F.xxhash64("custkey")
-    )
-    a, b = capped.alias("a"), capped.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.suppkey") == F.col("b.suppkey"))
-            & (F.col("a.custkey") < F.col("b.custkey")),
-        )
-        .select(F.col("a.custkey").alias("x"), F.col("b.custkey").alias("y"))
-        .distinct()
-    )
+    edges = _capped_coprojection(spark, sf_dir)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.x") == F.col("e1.y"))
@@ -2432,6 +2442,102 @@ SELECT custkey, count(*) AS n_triangles
 FROM nodes GROUP BY 1
 ORDER BY n_triangles DESC, custkey ASC
 LIMIT 10
+"""
+
+
+def q_copurchase_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global transitivity (clustering coefficient) of the capped
+    co-supplier projection — the one-scalar cohesion companion to the
+    per-node triangle counts: T = 3·triangles / wedges, where wedges =
+    Σ deg·(deg−1)/2 over projected nodes. Everything INTEGER-EXACT up to
+    the final division (the Gini/assortativity discipline): degrees fold
+    from the undirected edge list (each x<y edge counted once per
+    endpoint via explode — map-side combinable), the wedge sum keeps the
+    even product deg·(deg−1) in bigint and halves it exactly, and the
+    triangle count reuses the same ordered wedge-check join as
+    q_copurchase_triangles (each triangle exactly once as a<b<c) over
+    the SHARED `_capped_coprojection` edge definition, so both queries
+    answer about the identical graph. Emits the exact counts beside the
+    8-dp ratio. Same scale story as the triangle query: the cap bounds
+    every fan-out before any join."""
+    edges = _capped_coprojection(spark, sf_dir).localCheckpoint(eager=True)
+    deg = (
+        edges.select(F.explode(F.array("x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    wedge = deg.agg(
+        F.count("*").alias("n_nodes"),
+        (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2)
+        .cast("bigint")
+        .alias("n_wedges"),
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    n_tri = (
+        e1.join(e2, F.col("e2.x") == F.col("e1.y"))
+        .join(
+            e3,
+            (F.col("e3.x") == F.col("e1.x"))
+            & (F.col("e3.y") == F.col("e2.y")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return (
+        wedge.crossJoin(F.broadcast(n_tri))
+        .crossJoin(
+            F.broadcast(edges.agg(F.count("*").alias("n_edges")))
+        )
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                3 * F.col("n_triangles")
+                / F.col("n_wedges").cast("double"),
+                8,
+            ).alias("transitivity"),
+        )
+    )
+
+
+ORACLE_COPURCHASE_TRANSITIVITY = """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS custkey, l_suppkey AS suppkey
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+capped AS (
+  SELECT suppkey, custkey FROM (
+    SELECT suppkey, custkey,
+           row_number() OVER (PARTITION BY suppkey ORDER BY custkey) AS rn
+    FROM e
+  ) WHERE rn <= 8
+),
+edges AS (
+  SELECT DISTINCT a.custkey AS x, b.custkey AS y
+  FROM capped a JOIN capped b
+    ON a.suppkey = b.suppkey AND a.custkey < b.custkey
+),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT x AS node FROM edges UNION ALL SELECT y FROM edges
+  ) GROUP BY 1
+),
+wedge AS (
+  SELECT count(*) AS n_nodes,
+         CAST(sum(deg * (deg - 1)) / 2 AS BIGINT) AS n_wedges
+  FROM deg
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e2.x = e1.y
+  JOIN edges e3 ON e3.x = e1.x AND e3.y = e2.y
+),
+ne AS (SELECT count(*) AS n_edges FROM edges)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       round(3 * n_triangles / CAST(n_wedges AS DOUBLE), 8) AS transitivity
+FROM wedge, tri, ne
 """
 
 
@@ -7261,6 +7367,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "copurchase_pagerank": q_copurchase_pagerank,
     "copurchase_hits": q_copurchase_hits,
     "copurchase_triangles": q_copurchase_triangles,
+    "copurchase_transitivity": q_copurchase_transitivity,
     "corpus_bigram_pmi": q_corpus_bigram_pmi,
     # materialized-KG query family (round 5)
     "kg_star_join": q_kg_star_join,
@@ -7384,6 +7491,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "doc_bm25_search": ORACLE_DOC_BM25_SEARCH,
     "purchase_degree_gini": ORACLE_PURCHASE_DEGREE_GINI,
     "purchase_assortativity": ORACLE_PURCHASE_ASSORTATIVITY,
+    "copurchase_transitivity": ORACLE_COPURCHASE_TRANSITIVITY,
     "doc_target_affinity": ORACLE_DOC_TARGET_AFFINITY,
     "events_type_bigrams": ORACLE_EVENTS_TYPE_BIGRAMS,
     "kg_star_join": ORACLE_KG_STAR_JOIN,

@@ -391,3 +391,33 @@ def test_assortativity_matches_python_replica(spark):
             row["syy"]) == (m, sx, sy, sxy, sxx, syy)
     assert abs(row["assortativity"] - round(r, 8)) < 1e-9
     assert row["assortativity"] < -0.9
+
+
+def test_transitivity_matches_python_replica(spark):
+    """q_copurchase_transitivity vs a pure-Python count on the same
+    capped projected edge set; counts must be integer-identical and the
+    identity 3·triangles ≤ wedges must hold."""
+    from itertools import combinations
+
+    from hinbox_spark.plans.queries import (
+        _capped_coprojection, q_copurchase_transitivity,
+    )
+
+    edges = {(r["x"], r["y"])
+             for r in _capped_coprojection(spark, SF).collect()}
+    adj: dict = {}
+    for x, y in edges:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    wedges = sum(len(n) * (len(n) - 1) // 2 for n in adj.values())
+    tris = sum(
+        1
+        for a, b in edges
+        for c in adj[a] & adj[b]
+        if a < b < c
+    )
+    row = q_copurchase_transitivity(spark, SF).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_wedges"],
+            row["n_triangles"]) == (len(adj), len(edges), wedges, tris)
+    assert 3 * tris <= wedges
+    assert abs(row["transitivity"] - round(3 * tris / wedges, 8)) < 1e-9
