@@ -6218,8 +6218,13 @@ def q_kg_embedding_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from hinbox_spark.operators.kge import _h64, transe_train
 
-    t = _kg_triples(spark, sf_dir).distinct()
-    ent, rel = transe_train(t, dim=16, epochs=2, parts=8)
+    # lazy localCheckpoint: the train's pid-stamped materialization pulls
+    # these blocks into the cache once; the eval pass below then reads the
+    # same blocks instead of re-deriving the 4-branch triple union (the
+    # view was computed 4× per bench run before — guide §1.2 "don't
+    # compute things twice")
+    t = _kg_triples(spark, sf_dir).distinct().localCheckpoint(eager=False)
+    ent, rel = transe_train(t, dim=16, epochs=2, parts=8, pre_distinct=True)
     bc = spark.sparkContext.broadcast((ent, rel))
 
     def energies(batches):

@@ -38,7 +38,7 @@ def value_hash(df) -> str:
     return h.hexdigest()[:16]
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     import duckdb
 
     from hinbox_spark.session import get_spark
@@ -54,6 +54,8 @@ def main(sf_dir: str) -> int:
         )
 
     queries = entrymod.queries()
+    if only:
+        queries = {k: v for k, v in queries.items() if k in only}
     oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in queries.items():
@@ -96,6 +98,9 @@ def main(sf_dir: str) -> int:
             print(f"OK    {name}: {len(sdf)} rows")
 
     # entry smoke
+    if only:
+        print(f"{'PASS' if failures == 0 else 'FAIL'}: {len(queries) - failures}/{len(queries)} ok")
+        return 1 if failures else 0
     try:
         n = entrymod.entry(spark).count()
         print(f"entry rows: {n}")
@@ -107,4 +112,4 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01", sys.argv[2:] or None))
