@@ -167,7 +167,9 @@ def minhash_near_duplicates(
     # anti-join, not a window — a mega-bucket never lands in one task
     kept = capped_bucket_entries(
         band_entries, ["band", "bh"], BUCKET_CAP, stats_out=stats_out
-    )
+    ).localCheckpoint(eager=False)
+    # computed once, scanned twice by the self-join (see
+    # neighbor_minhash_candidates — same duplicated-subtree finding)
 
     a, b = kept.alias("a"), kept.alias("b")
     cand = (
@@ -437,7 +439,11 @@ def neighbor_minhash_candidates(
     ).select("key", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
     kept = capped_bucket_entries(
         band_entries, ["band", "bh"], cap, stats_out=stats_out, reuse=reuse
-    )
+    ).localCheckpoint(eager=False)
+    # ^ the self-join below scans `kept` twice; without the checkpoint the
+    # whole signature groupBy (n_hashes xxhash64 mins over every edge) and
+    # the cap anti-join are planned — and computed — once PER SIDE
+    # (observed in the physical plan as two identical subtrees)
     a, b = kept.alias("a"), kept.alias("b")
     return (
         a.join(

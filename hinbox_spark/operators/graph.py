@@ -169,6 +169,7 @@ def neighbor_jaccard_topk(
     dense_cap_cells: int = 200_000_000,
     edge_cap: int = 5_000_000,
     n_blocks: int | None = None,
+    probe_bounds: tuple[int, int, int] | None = None,
 ) -> DataFrame:
     """Exact top-k key pairs by Jaccard similarity of their item
     neighborhoods (common-neighbors link prediction over a bipartite
@@ -199,21 +200,35 @@ def neighbor_jaccard_topk(
 
     Requires distinct (key, item) rows and non-negative int ids; pairs
     with zero shared items are excluded (matching the inner-join SQL
-    formulation)."""
+    formulation).
+
+    `probe_bounds` = caller-known UPPER bounds (n_edges, n_keys, n_items)
+    — e.g. base-table counts before the join that derives `edges`. When
+    the bounds already clear both caps the exact probe (a full pass over
+    the derived edge list with a 3-way count-distinct expand) is skipped
+    entirely; bounds can only over-estimate, so the dense path is taken
+    only when it is provably safe. Bounds over the caps fall back to the
+    exact probe, never directly to the join path."""
     import numpy as np
 
     spark = edges.sparkSession
     e = edges.select(F.col(key_col).alias("k"), F.col(item_col).alias("i"))
-    probe = e.agg(
-        F.count("*").alias("n_edges"),
-        F.countDistinct("k").alias("n_keys"),
-        F.countDistinct("i").alias("n_items"),
-    ).first()
-    if (
-        probe["n_keys"] * probe["n_items"] > dense_cap_cells
-        or probe["n_edges"] > edge_cap
+    if probe_bounds is not None and (
+        probe_bounds[1] * probe_bounds[2] <= dense_cap_cells
+        and probe_bounds[0] <= edge_cap
     ):
-        return _neighbor_jaccard_topk_join(edges, key_col, item_col, k)
+        pass  # provably under the caps — no exact probe pass needed
+    else:
+        probe = e.agg(
+            F.count("*").alias("n_edges"),
+            F.countDistinct("k").alias("n_keys"),
+            F.countDistinct("i").alias("n_items"),
+        ).first()
+        if (
+            probe["n_keys"] * probe["n_items"] > dense_cap_cells
+            or probe["n_edges"] > edge_cap
+        ):
+            return _neighbor_jaccard_topk_join(edges, key_col, item_col, k)
 
     pdf = e.toPandas()
     keys = np.sort(pdf["k"].unique())
@@ -251,6 +266,8 @@ def neighbor_jaccard_topk(
             cache[cache_token] = A8.astype(np.float32)
         Af = cache[cache_token]
         n = len(ids)
+        dgf = dg.astype(np.float64)
+        cols = np.arange(n)[None, :]
         for b in batches:
             for blk in b["id"].to_numpy():
                 lo = int(blk) * bs
@@ -258,16 +275,34 @@ def neighbor_jaccard_topk(
                 if lo >= hi:
                     continue
                 S = Af[lo:hi] @ Af.T  # float32 GEMM, exact int counts
-                cols = np.arange(n)[None, :]
-                mask = (cols > np.arange(lo, hi)[:, None]) & (S >= 1.0)
-                ai, bi = np.nonzero(mask)
-                if len(ai) == 0:
+                # jaccard on the whole block in float64 (division of the
+                # SAME exact integers as before — identical values), with
+                # non-candidates (lower triangle / zero shared) masked to
+                # -1, then a partition-select of the kth-largest value.
+                # This replaces extracting EVERY candidate pair
+                # (~2.6M/block at sf0.1) and lexsorting it (~0.5 s/block
+                # measured) with O(cells) vectorized ops + an O(k+ties)
+                # lexsort — same result: every composite-order top-k pair
+                # has jaccard >= the kth-largest jaccard, so the
+                # threshold superset always contains it, and the final
+                # lexsort applies the identical total order.
+                Sd = S.astype(np.float64)
+                jac = Sd / (dgf[lo:hi, None] + dgf[None, :] - Sd)
+                valid = (cols > np.arange(lo, hi)[:, None]) & (S >= 1.0)
+                jac[~valid] = -1.0
+                flat = jac.ravel()
+                nv = int(valid.sum())
+                if nv == 0:
                     continue
+                kk = min(k, nv)
+                thr = np.partition(flat, flat.size - kk)[flat.size - kk]
+                sel = np.nonzero(flat >= thr)[0]
+                ai, bi = np.unravel_index(sel, jac.shape)
                 nsh = S[ai, bi].astype(np.int64)
                 ga = lo + ai
                 da, db = dg[ga], dg[bi]
-                jac = nsh / (da + db - nsh).astype(np.float64)
-                top = np.lexsort((ids[bi], ids[ga], -jac))[:k]
+                jv = flat[sel]
+                top = np.lexsort((ids[bi], ids[ga], -jv))[:k]
                 yield _pd.DataFrame(
                     {
                         "key_a": ids[ga][top],
@@ -275,7 +310,7 @@ def neighbor_jaccard_topk(
                         "n_shared": nsh[top],
                         "deg_a": da[top],
                         "deg_b": db[top],
-                        "jaccard": jac[top],
+                        "jaccard": jv[top],
                     }
                 )
 

@@ -429,7 +429,9 @@ def _pairs_minhash_names(
         NAME_LSH_BUCKET_CAP,
         stats_out=stats_out,
         reuse=reuse,
-    )
+    ).localCheckpoint(eager=False)
+    # computed once, scanned twice by the self-join (same duplicated-
+    # subtree finding as dedup.neighbor_minhash_candidates)
 
     a, b = kept.alias("a"), kept.alias("b")
     return (

@@ -4162,8 +4162,19 @@ def q_copurchase_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, so IEEE division makes the ordering bit-identical."""
     from hinbox_spark.operators.graph import neighbor_jaccard_topk
 
+    # base-table upper bounds for the size probe: |edges| <= |lineitem|,
+    # |keys| <= |customer|, |items| <= |supplier| — three metadata-cheap
+    # counts that, when under the caps, prove the dense path safe without
+    # the full-pass 3-way count-distinct probe over the joined edge list
+    # (guide §1.2: don't compute what a cheaper bound already answers)
+    bounds = (
+        _t(spark, sf_dir, "lineitem").count(),
+        _t(spark, sf_dir, "customer").count(),
+        _t(spark, sf_dir, "supplier").count(),
+    )
     top = neighbor_jaccard_topk(
-        _purchase_edges(spark, sf_dir), "custkey", "suppkey", k=15
+        _purchase_edges(spark, sf_dir), "custkey", "suppkey", k=15,
+        probe_bounds=bounds,
     )
     return top.select(
         F.col("key_a").alias("cust_a"),
@@ -4425,16 +4436,31 @@ def q_copurchase_link_prediction_minhash(
     J≈0.5+, which 16 two-row bands catch with ~99% probability)."""
     from hinbox_spark.operators.dedup import neighbor_minhash_candidates
 
-    e = _purchase_edges(spark, sf_dir)
+    # the edge projection feeds FOUR subtrees (signatures, both sides of
+    # the exact-verify walk, degrees) — materialize the distinct (cust,
+    # supp) list once (lazy: the first job populates the blocks, no extra
+    # materialization job) instead of re-running the orders⋈lineitem join
+    # + dedup per subtree (guide §2.4; at web scale the same edge list
+    # would be a written table read many times)
+    e = _purchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     cand = neighbor_minhash_candidates(
         e, "custkey", "suppkey", n_hashes=32, bands=16
     )
     # exact verify on candidates only: count shared suppliers per pair by
     # walking each candidate through the edge table twice (semi-shaped
     # joins on (key, supplier)), then the same broadcast degree math as
-    # the exact query
+    # the exact query. Size-probed broadcast (guide §3.1): the cand⋈edges
+    # walk inflates each candidate by deg_a (~32M intermediate rows at
+    # sf0.1), and a sort-merge second join would EXCHANGE that whole
+    # intermediate on (key_b, suppkey); broadcasting the edge list when it
+    # fits keeps the inflated rows inside their tasks — the partial
+    # aggregation collapses them to <=|cand| rows before the only
+    # exchange. Over the cap (web scale) the shuffle walk stands.
+    n_e = e.count()
     ea = e.select(F.col("custkey").alias("key_a"), "suppkey")
     eb = e.select(F.col("custkey").alias("key_b"), "suppkey")
+    if n_e <= 2_000_000:
+        ea, eb = F.broadcast(ea), F.broadcast(eb)
     shared = (
         cand.join(ea, "key_a")
         .join(eb, ["key_b", "suppkey"])
