@@ -31,6 +31,26 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+# Iteration-state frames (ranks / labels / frontiers / survivor sets) are
+# node-sized, while the edge list they join is orders of magnitude larger.
+# Below this many state rows the loops hint a broadcast join so the EDGE
+# side is never exchanged per round (guide §3.1 — the checkpointed-RDD
+# inputs defeat the planner's size estimates, so every round otherwise
+# plans a SortMergeJoin that shuffles the edges; observed in the r6 plan
+# audit). Above it the shuffle join stands — at 10^9 nodes the state no
+# longer broadcasts and partition-reuse is the right shape. The gate is
+# always fed by a count the loop already pays (fixpoint/frontier checks)
+# or one cheap count of the checkpointed state.
+BROADCAST_STATE_MAX_ROWS = 2_000_000
+
+
+def _bc_if(df: DataFrame, n_rows: int | None) -> DataFrame:
+    """Broadcast-hint `df` when its known row count is under the state
+    cap; pass it through untouched (shuffle join) otherwise."""
+    if n_rows is not None and n_rows <= BROADCAST_STATE_MAX_ROWS:
+        return F.broadcast(df)
+    return df
+
 
 def kcore(
     edges: DataFrame,
@@ -75,10 +95,15 @@ def kcore(
         if n == n_prev or n == 0:
             return keep.select(F.col("a").alias("node"), "core_deg")
         n_prev = n
-        survivors = keep.select("a")
+        # survivor set is node-sized (n just counted) — broadcast the
+        # semi-join build sides so the edge list is filtered in place
+        # instead of being exchanged twice per peel round
+        survivors = _bc_if(keep.select("a"), n)
         live = (
             live.join(survivors, "a", "left_semi")
-            .join(survivors.select(F.col("a").alias("b")), "b", "left_semi")
+            .join(
+                _bc_if(keep.select(F.col("a").alias("b")), n), "b", "left_semi"
+            )
             .localCheckpoint(eager=True)
         )
     deg = live.groupBy("a").agg(F.count("*").alias("core_deg"))
@@ -127,9 +152,15 @@ def sssp_bounded(
         .localCheckpoint(eager=True)
     )
     frontier = best
+    n_front = best.count()
+    n_best = n_front
     for _ in range(max_hops):
+        # frontier and best are node-sized state (counts known from the
+        # previous round's fixpoint bookkeeping) — broadcast them so the
+        # edge list is never exchanged inside the loop
         cand = (
-            frontier.join(edges, frontier.node_id == edges.src)
+            _bc_if(frontier, n_front)
+            .join(edges, frontier.node_id == edges.src)
             .select(
                 F.col("dst").alias("node_id"),
                 (F.col("dist") + F.col("w")).alias("dist"),
@@ -145,8 +176,9 @@ def sssp_bounded(
         )
         frontier = (
             merged.join(
-                best.select(
-                    "node_id", F.col("dist").alias("old")
+                _bc_if(
+                    best.select("node_id", F.col("dist").alias("old")),
+                    n_best,
                 ),
                 "node_id",
                 "left",
@@ -156,7 +188,9 @@ def sssp_bounded(
             .localCheckpoint(eager=True)
         )
         best = merged
-        if frontier.isEmpty():
+        n_best = merged.count()
+        n_front = frontier.count()
+        if n_front == 0:
             break
     return best
 
@@ -475,18 +509,30 @@ def bfs_distances_multi(
         .localCheckpoint(eager=True)
     )
     frontier = visited.select("tag", "node_id")
+    n_front = visited.count()
+    n_vis = n_front
     for hop in range(1, max_hops + 1):
+        # frontier / visited are (tag, node)-sized state with counts paid
+        # by the fixpoint bookkeeping — broadcast them so the edge list
+        # and the expanded frontier are never exchanged per hop
         nxt = (
-            frontier.join(edges, frontier.node_id == edges.src)
+            _bc_if(frontier, n_front)
+            .join(edges, frontier.node_id == edges.src)
             .select("tag", F.col("dst").alias("node_id"))
             .dropDuplicates(["tag", "node_id"])
-            .join(visited.select("tag", "node_id"), ["tag", "node_id"], "left_anti")
+            .join(
+                _bc_if(visited.select("tag", "node_id"), n_vis),
+                ["tag", "node_id"],
+                "left_anti",
+            )
             .withColumn("dist", F.lit(hop).cast("long"))
             .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
+        n_front = nxt.count()
+        if n_front == 0:
             break
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        n_vis += n_front
         frontier = nxt.select("tag", "node_id")
     return visited
 
@@ -495,7 +541,10 @@ _WL_MOD = 2_147_483_647  # 2³¹−1 (prime): keeps every intermediate in 63 bit
 
 
 def wl_refinement(
-    edges: DataFrame, labels0: DataFrame, rounds: int = 2
+    edges: DataFrame,
+    labels0: DataFrame,
+    rounds: int = 2,
+    n_nodes: int | None = None,
 ) -> DataFrame:
     """Weisfeiler-Leman color refinement (1-WL) — the structural
     fingerprinting loop behind graph-isomorphism screening, graph-kernel
@@ -525,14 +574,17 @@ def wl_refinement(
     labels = labels0.select("node", F.col("l").cast("long").alias("l"))
     sq = (F.col("l") + 1) * (F.col("l") + 1) % _WL_MOD
     for _ in range(rounds):
+        # labels (and the per-round contrib, <= |labels| rows) are
+        # node-sized; with a caller-known node count they broadcast so
+        # the edge list never shuffles per round
         contrib = (
-            edges.join(labels, edges.src == labels.node)
+            edges.join(_bc_if(labels, n_nodes), edges.src == labels.node)
             .select(F.col("dst").alias("node"), sq.alias("q"))
             .groupBy("node")
             .agg((F.sum("q") % _WL_MOD).alias("s"))
         )
         labels = (
-            labels.join(contrib, "node", "left")
+            labels.join(_bc_if(contrib, n_nodes), "node", "left")
             .select(
                 "node",
                 (
@@ -572,12 +624,19 @@ def label_propagation(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    labels = und.select(F.col("a").alias("node")).distinct().withColumn(
-        "label", F.col("node")
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
     )
+    # one count of the (constant-size) label table gates the per-round
+    # broadcast: under the state cap the edge list joins the labels in
+    # place instead of being exchanged every round
+    n_nodes = labels.count()
     for _ in range(iters):
         nbr = und.join(
-            labels.withColumnRenamed("node", "b"), "b"
+            _bc_if(labels.withColumnRenamed("node", "b"), n_nodes), "b"
         ).select(F.col("a").alias("node"), "label")
         counts = nbr.groupBy("node", "label").agg(F.count("*").alias("c"))
         # argmax by (count desc, label asc): min_by over (-c, label)

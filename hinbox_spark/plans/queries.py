@@ -1586,6 +1586,7 @@ def _power_iterate(
     restart,
     d: float = 0.85,
     iters: int = 8,
+    n_nodes: int | None = None,
 ) -> DataFrame:
     """The shared PageRank power loop (global and personalized variants
     differ ONLY in the initial rank vector and the `restart` column
@@ -1594,16 +1595,27 @@ def _power_iterate(
     ranks(node_id, rank). Per iteration: ONE shuffle (edges ⋈ ranks on
     src, contributions groupBy dst, map-side combinable); LAZY
     localCheckpoints keep the plan O(1) in rounds (A/B'd in
-    q_copurchase_pagerank's docstring)."""
+    q_copurchase_pagerank's docstring). With `n_nodes` under the state
+    cap the rank/contrib frames ride broadcasts (graph._bc_if), so the
+    edge list is read in place every round and the only exchange is the
+    map-side-combined contribution partials — the checkpointed-RDD
+    inputs otherwise defeat size estimation and every round planned a
+    SortMergeJoin exchanging the edges (r6 plan audit)."""
+    from hinbox_spark.operators.graph import _bc_if
+
     for _ in range(iters):
         contrib = (
-            out_edges.join(ranks, out_edges.src == ranks.node_id)
+            out_edges.join(
+                _bc_if(ranks, n_nodes), out_edges.src == ranks.node_id
+            )
             .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
         ranks = (
-            nodes.join(contrib, nodes.node_id == contrib.dst, "left")
+            nodes.join(
+                _bc_if(contrib, n_nodes), nodes.node_id == contrib.dst, "left"
+            )
             .select(
                 "node_id",
                 (restart + d * F.coalesce("contrib", F.lit(0.0))).alias(
@@ -2192,15 +2204,22 @@ def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine float-summation-order error. Values additionally pinned
     vs a numpy power iteration in tests/test_graph_queries.py. Returns
     top-10 (node_id, rank)."""
+    from hinbox_spark.operators.graph import _bc_if
+
     edges = _purchase_bigraph(spark, sf_dir).localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     nodes = deg.select(F.col("src").alias("node_id")).localCheckpoint(eager=True)
     n_nodes = nodes.count()
     d = 0.85
     ranks = nodes.select("node_id", F.lit(1.0 / n_nodes).alias("rank"))
-    out_edges = edges.join(deg, "src").localCheckpoint(eager=True)
+    # deg is node-sized (n_nodes just counted): broadcast it onto the
+    # edge list instead of exchanging both sides of a sort-merge join
+    out_edges = edges.join(_bc_if(deg, n_nodes), "src").localCheckpoint(
+        eager=True
+    )
     ranks = _power_iterate(
-        nodes, out_edges, ranks, F.lit((1.0 - d) / n_nodes), d=d, iters=8
+        nodes, out_edges, ranks, F.lit((1.0 - d) / n_nodes), d=d, iters=8,
+        n_nodes=n_nodes,
     )
     return (
         ranks.select("node_id", F.round("rank", 8).alias("rank"))
@@ -2261,19 +2280,25 @@ def q_copurchase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     float-summation-order error sits ~6 orders of magnitude below the
     rounding grid (measured on the pagerank oracle, same arithmetic
     depth)."""
+    from hinbox_spark.operators.graph import _bc_if
+
     e = _purchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     h = (
         e.select("custkey").distinct()
         .select("custkey", F.lit(1.0).alias("score"))
+        .localCheckpoint(eager=True)
     )
+    # hub/authority score tables are node-sided; one count gates the
+    # per-half-step broadcast so the edge list never shuffles in the loop
+    n_side = h.count()
     a = None
     for _ in range(4):
         a = (
-            e.join(h, "custkey")
+            e.join(_bc_if(h, n_side), "custkey")
             .groupBy("suppkey").agg(F.sum("score").alias("score"))
         ).localCheckpoint(eager=False)
         h = (
-            e.join(a, "suppkey")
+            e.join(_bc_if(a, n_side), "suppkey")
             .groupBy("custkey").agg(F.sum("score").alias("score"))
         ).localCheckpoint(eager=False)
 
@@ -7075,7 +7100,9 @@ def q_kg_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     The final fold is one map-side-combinable groupBy over |tags| keys."""
     from hinbox_spark.operators.graph import bfs_distances_multi
 
-    bi = _purchase_bigraph(spark, sf_dir)
+    # eager checkpoint: the BFS loop joins the edge list once per hop —
+    # without it the orders⋈lineitem union re-derived per hop
+    bi = _purchase_bigraph(spark, sf_dir).localCheckpoint(eager=True)
     srcs = (
         _t(spark, sf_dir, "orders")
         .select("o_custkey")
@@ -7141,7 +7168,10 @@ def q_kg_wl_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
     second tiny groupBy over |colors| keys."""
     from hinbox_spark.operators.graph import wl_refinement
 
-    bi = _purchase_bigraph(spark, sf_dir)
+    # eager checkpoint: the refinement loop joins the edge list every
+    # round AND labels0 derives from it — without materialization the
+    # orders⋈lineitem union was recomputed once per round
+    bi = _purchase_bigraph(spark, sf_dir).localCheckpoint(eager=True)
     labels0 = (
         bi.select(F.col("src").alias("node"))
         .distinct()
@@ -7151,8 +7181,9 @@ def q_kg_wl_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(1))
             .alias("l"),
         )
+        .localCheckpoint(eager=True)
     )
-    refined = wl_refinement(bi, labels0, rounds=2)
+    refined = wl_refinement(bi, labels0, rounds=2, n_nodes=labels0.count())
     return refined.groupBy(F.col("l").alias("wl_color")).agg(
         F.count("*").alias("n_nodes")
     )
@@ -7243,8 +7274,16 @@ def q_kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank"
         ),
     )
-    out_edges = edges.join(deg, "src").localCheckpoint(eager=True)
-    ranks = _power_iterate(nodes, out_edges, ranks, restart, d=d, iters=8)
+    n_nodes = nodes.count()  # instant on the eager checkpoint; gates the
+    # state broadcasts below (q_copurchase_pagerank discipline)
+    from hinbox_spark.operators.graph import _bc_if
+
+    out_edges = edges.join(_bc_if(deg, n_nodes), "src").localCheckpoint(
+        eager=True
+    )
+    ranks = _power_iterate(
+        nodes, out_edges, ranks, restart, d=d, iters=8, n_nodes=n_nodes
+    )
     return (
         ranks.select("node_id", F.round("rank", 8).alias("rank"))
         .orderBy(F.desc("rank"), F.asc("node_id"))
