@@ -392,6 +392,43 @@ def _embedding_cosine_crossjoin(v: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def neighbor_minhash_band_entries(
+    edges: DataFrame,
+    key_col: str,
+    item_col: str,
+    n_hashes: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """(key, band, bh) LSH band entries over neighbor-set MinHash
+    signatures — the pre-cap half of neighbor_minhash_candidates, split
+    out so its plan shape (map-side-combinable JVM min(xxhash64)
+    aggregates, no Python) stays directly assertable now that the
+    candidate path checkpoints before the bucket self-join."""
+    rows_per_band = n_hashes // bands
+    mins = [
+        F.min(F.xxhash64(F.col(item_col), F.lit(i))).alias(f"_h{i}")
+        for i in range(n_hashes)
+    ]
+    sigs = (
+        edges.groupBy(key_col)
+        .agg(*mins)
+        .select(
+            F.col(key_col).alias("key"),
+            F.array(*[f"_h{i}" for i in range(n_hashes)]).alias("sig"),
+        )
+    )
+    return sigs.select(
+        "key",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"struct(b AS band, hash(slice(sig, b * {rows_per_band} + 1,"
+                f" {rows_per_band})) AS bh))"
+            )
+        ).alias("e"),
+    ).select("key", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+
+
 def neighbor_minhash_candidates(
     edges: DataFrame,
     key_col: str,
@@ -414,29 +451,9 @@ def neighbor_minhash_candidates(
     With 32 hashes / 16 bands (2 rows per band) the S-curve catches
     J≥0.5 pairs with ~99% probability. Callers re-rank candidates with
     exact Jaccard — candidates are a tiny fraction of all pairs."""
-    rows_per_band = n_hashes // bands
-    mins = [
-        F.min(F.xxhash64(F.col(item_col), F.lit(i))).alias(f"_h{i}")
-        for i in range(n_hashes)
-    ]
-    sigs = (
-        edges.groupBy(key_col)
-        .agg(*mins)
-        .select(
-            F.col(key_col).alias("key"),
-            F.array(*[f"_h{i}" for i in range(n_hashes)]).alias("sig"),
-        )
+    band_entries = neighbor_minhash_band_entries(
+        edges, key_col, item_col, n_hashes=n_hashes, bands=bands
     )
-    band_entries = sigs.select(
-        "key",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), b -> "
-                f"struct(b AS band, hash(slice(sig, b * {rows_per_band} + 1,"
-                f" {rows_per_band})) AS bh))"
-            )
-        ).alias("e"),
-    ).select("key", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
     kept = capped_bucket_entries(
         band_entries, ["band", "bh"], cap, stats_out=stats_out, reuse=reuse
     ).localCheckpoint(eager=False)

@@ -211,7 +211,11 @@ def transe_train(
                 rows, columns=["kind", "name", "pid", "vec"]
             )
 
-        out = tp.groupBy("pid").applyInPandas(
+        # explicit pid repartition: AQE size-based coalescing would fold
+        # the (byte-tiny, CPU-heavy) SGD groups into one task; a
+        # user-specified repartition is exempt from coalescing and already
+        # satisfies applyInPandas' clustering, so no extra exchange
+        out = tp.repartition(parts, "pid").groupBy("pid").applyInPandas(
             run_group,
             "kind string, name string, pid long, vec array<double>",
         )

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -2609,25 +2610,42 @@ def q_doc_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHINGLE_N = 4
 
 
+def _shingle_set_udf():
+    """Vectorized shingle builder: sorted distinct word-{_SHINGLE_N}-gram
+    strings per text. Python-set construction beats the previous
+    sequence/transform/slice/concat_ws/array_distinct chain ~5× warm
+    (0.37 s vs 2.0 s for the sf0.1 explode, r6 measurement): higher-order
+    array functions are interpreted, not codegen'd, so the per-position
+    slice+concat paid interpreter overhead on every shingle (guide §4.2 —
+    hand whole batches to native/set code instead of chaining interpreted
+    expressions). sorted() keeps the array deterministic across workers
+    (set iteration order is salted per process). Token semantics match
+    str.split(" ")/Java split exactly (empties preserved); docs with
+    < {_SHINGLE_N} tokens yield no shingles, as before."""
+    import pandas as pd
+
+    @F.pandas_udf("array<string>")
+    def _sh(texts: pd.Series) -> pd.Series:
+        n = _SHINGLE_N
+
+        def g(t):
+            w = (t or "").split(" ")
+            if len(w) < n:
+                return []
+            return sorted({" ".join(w[i : i + n]) for i in range(len(w) - n + 1)})
+
+        return texts.map(g)
+
+    return _sh
+
+
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct word-{_SHINGLE_N}-gram shingles per document, exploded to
     (doc_id, sh) rows — the shared substrate for decontamination and
-    novelty. JVM-only: split → sequence/transform/slice → array_distinct →
-    explode, all whole-stage-codegen column expressions (no UDF). The
-    `when` guard matters: Spark's `sequence(1, size-3)` DESCENDS when
-    size < 4, which would fabricate shingles for short docs."""
+    novelty (see _shingle_set_udf for the construction choice)."""
     d = _t(spark, sf_dir, "documents")
-    w = F.split(F.col("text"), " ")
-    span = _SHINGLE_N - 1
-    sh = F.when(
-        F.size(w) > span,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - span),
-            lambda i: F.concat_ws(" ", F.slice(w, i, _SHINGLE_N)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     return d.select(
-        "doc_id", F.explode(F.array_distinct(sh)).alias("sh")
+        "doc_id", F.explode(_shingle_set_udf()(F.col("text"))).alias("sh")
     )
 
 
@@ -2708,24 +2726,35 @@ def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuses the same hash partitioning on sh (no extra exchange under
     AQE), then a per-doc groupBy. Nothing is all-pairs and nothing is
     collected. Returns (doc_id, n_shingles, n_novel, novelty)."""
-    sh = _doc_shingles(spark, sf_dir)
-    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
-    per = (
-        sh.join(first, "sh")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_shingles"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            ).alias("n_novel"),
-        )
+    # r6 plan restructure (guide §2.3/§2.4): the old shape joined the full
+    # exploded shingle set back onto the per-shingle minima — two
+    # exchanges + a sort-merge join of millions of ~25-char strings. But
+    # n_novel(d) = |{sh : min_doc(sh) = d}| needs no join at all: count
+    # the minima by their owning doc; n_shingles(d) is a per-doc count of
+    # the same exploded rows (map-side combinable, tiny exchange). The
+    # exploded set is lazily checkpointed so the shingle construction
+    # runs once for both aggregates; only the per-shingle min still
+    # shuffles shingle-cardinality rows. Identical results (same oracle).
+    sh = _doc_shingles(spark, sf_dir).localCheckpoint(eager=False)
+    novel = (
+        sh.groupBy("sh")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(F.col("first_doc").alias("doc_id"))
+        .agg(F.count("*").alias("n_novel"))
     )
-    return per.select(
-        "doc_id",
-        "n_shingles",
-        "n_novel",
-        F.round(F.col("n_novel") / F.col("n_shingles"), 4).alias("novelty"),
-    ).orderBy("doc_id")
+    totals = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    return (
+        totals.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.round(
+                F.coalesce("n_novel", F.lit(0)) / F.col("n_shingles"), 4
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 ORACLE_DOC_NGRAM_NOVELTY = """
@@ -4114,10 +4143,12 @@ def q_emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("cos"), F.asc("neighbor_id")
     )
     best = (
-        F.broadcast(q.filter(nq > 0))
-        .crossJoin(cand.filter(nc > 0))
+        # norms stamped per side before the pair join — not re-evaluated
+        # per pair (identical expressions/values; see q_emb_neighbor_pool)
+        F.broadcast(q.filter(nq > 0).withColumn("nq", nq))
+        .crossJoin(cand.filter(nc > 0).withColumn("nc", nc))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", dot / (nq * nc))
+        .withColumn("cos", dot / (F.col("nq") * F.col("nc")))
         .withColumn("same_label", same)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -6993,15 +7024,10 @@ def q_emb_neighbor_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sqrt(aggregate(embedding, 0.0D,"
         " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
     )
-    q = (
-        e.filter((F.col("vec_id") % 17 == 0) & (nrm > 0))
-        .select(F.col("vec_id").alias("node"), F.col("embedding").alias("qvec"))
-    )
-    cand = e.filter(nrm > 0).select(F.col("vec_id").alias("nb"), "embedding")
-    dot = F.expr(
-        "aggregate(zip_with(qvec, embedding, (a, b) ->"
-        " CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
-    )
+    # norms are a per-VECTOR property: stamp them on each side before the
+    # |q|×|cand| pair join instead of re-evaluating the interpreted
+    # aggregate() expression once per pair (it ran 2·|q|·|cand| times —
+    # guide §1.2 step 2, per-task work). Same expressions, same values.
     nq = F.expr(
         "sqrt(aggregate(qvec, 0.0D,"
         " (acc, x) -> acc + CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))"
@@ -7010,16 +7036,39 @@ def q_emb_neighbor_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sqrt(aggregate(embedding, 0.0D,"
         " (acc, x) -> acc + CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))"
     )
+    q = (
+        e.filter((F.col("vec_id") % 17 == 0) & (nrm > 0))
+        .select(F.col("vec_id").alias("node"), F.col("embedding").alias("qvec"))
+        .withColumn("nq", nq)
+    )
+    cand = (
+        e.filter(nrm > 0)
+        .select(F.col("vec_id").alias("nb"), "embedding")
+        .withColumn("nc", nc)
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qvec, embedding, (a, b) ->"
+        " CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+    )
     w = Window.partitionBy("node").orderBy(F.desc("cos"), F.asc("nb"))
-    knn = (
+    # project to (node, nb, cos) BEFORE the window exchange (guide §2.3):
+    # the candidate embedding array otherwise rides the full |q|×|cand|
+    # pair stream through the top-k shuffle; the 3·|q| winners re-join
+    # their vectors afterwards — identical rows, ~dim× fewer bytes moved
+    knn_ids = (
         F.broadcast(q)
         .crossJoin(cand)
         .filter(F.col("node") != F.col("nb"))
-        .withColumn("cos", dot / (nq * nc))
+        .select(
+            "node", "nb", (dot / (F.col("nq") * F.col("nc"))).alias("cos")
+        )
         .withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= 3)
-        .select("node", "embedding")
+        .select("node", "nb")
     )
+    knn = knn_ids.join(
+        e.select(F.col("vec_id").alias("nb"), "embedding"), "nb"
+    ).select("node", "embedding")
     pooled = (
         knn.select("node", F.posexplode("embedding").alias("pos", "x"))
         .groupBy("node", "pos")

@@ -202,9 +202,10 @@ def test_corpus_vocab_topk_is_tournament_not_global_sort(spark):
 def test_text_analysis_round4b_queries_scale_shaped_plans(spark):
     """Decontamination/novelty/TF-IDF plans: eval shingles and the df
     vocabulary table are BROADCAST (the corpus side never shuffles for
-    those joins), shingle generation is pure column expressions (no
-    Python UDF anywhere in the plan), and the text column is pruned from
-    the scan wherever it isn't needed."""
+    those joins), shingle generation is a VECTORIZED Arrow UDF (r6: the
+    interpreted higher-order-function chain measured ~5× slower — never
+    the row-at-a-time BatchEvalPython), and the text column is pruned
+    from the scan wherever it isn't needed."""
     from hinbox_spark.plans.queries import (
         q_doc_contamination, q_doc_ngram_novelty, q_source_distinctive_terms,
     )
@@ -212,10 +213,10 @@ def test_text_analysis_round4b_queries_scale_shaped_plans(spark):
     sf = "/root/testdata/sf0.001"
     cont = _plan(q_doc_contamination(spark, sf))
     assert "BroadcastHashJoin" in cont
-    assert "BatchEvalPython" not in cont and "ArrowEvalPython" not in cont
+    assert "BatchEvalPython" not in cont
 
     nov = _plan(q_doc_ngram_novelty(spark, sf))
-    assert "BatchEvalPython" not in nov and "ArrowEvalPython" not in nov
+    assert "BatchEvalPython" not in nov
     # only doc_id + text are read from the documents scan
     read = nov.split("ReadSchema")[-1]
     assert "source" not in read and "lang" not in read
@@ -765,12 +766,13 @@ def test_link_prediction_minhash_scale_path_recall_and_plan(spark):
     plan = _plan(q_copurchase_link_prediction_minhash(spark, sf))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # the signature aggregate is map-side combinable JVM arithmetic —
-    # visible with reuse=False (the default localCheckpoint cuts the plan)
+    # asserted on the pre-cap band-entry half (the candidate path now
+    # checkpoints before the bucket self-join, which cuts the final plan)
     from hinbox_spark.plans.queries import _purchase_edges
-    from hinbox_spark.operators.dedup import neighbor_minhash_candidates
+    from hinbox_spark.operators.dedup import neighbor_minhash_band_entries
 
-    sig_plan = _plan(neighbor_minhash_candidates(
-        _purchase_edges(spark, sf), "custkey", "suppkey", reuse=False
+    sig_plan = _plan(neighbor_minhash_band_entries(
+        _purchase_edges(spark, sf), "custkey", "suppkey"
     ))
     assert "partial_min(xxhash64" in sig_plan
     assert "BatchEvalPython" not in sig_plan
