@@ -38,6 +38,13 @@ END_OF_WORD = "</w>"
 
 _SEP = " "  # symbols never contain spaces: words come from split-on-space
 
+# below this many vocabulary rows the merge loop runs driver-side over the
+# collected (symbols, count) table — one job instead of 2 per merge round
+# (the same adaptive small-side decision as clustering's driver union-find
+# cap). 500k rows × ~60 B ≈ 30 MB on the driver; real web-corpus
+# vocabularies (10⁶-10⁸) stay on the distributed path.
+DRIVER_BPE_MAX_VOCAB = 500_000
+
 
 def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus → (word, n) counts; the single corpus-wide pass."""
@@ -96,6 +103,7 @@ def train_bpe(
     min_count: int = 2,
     word_col: str = "word",
     count_col: str = "n",
+    driver_vocab_cap: int = DRIVER_BPE_MAX_VOCAB,
 ) -> list[dict]:
     """Learn `num_merges` BPE merges from a (word, count) table.
 
@@ -108,6 +116,16 @@ def train_bpe(
         _sym_str(F.col(word_col)).alias("sym_str"),
         F.col(count_col).cast("long").alias("n"),
     ).localCheckpoint(eager=True)
+
+    # adaptive driver path: the merge loop is inherently sequential (each
+    # round's argmax depends on the previous merge), so under the vocab
+    # cap it is 20+ tiny Spark rounds of pure scheduling overhead —
+    # collect the bounded table and run the identical loop locally. The
+    # probe is a limit-count on the already-materialized checkpoint
+    # (moves no rows); identical merges by construction (pinned in
+    # tests/test_bpe.py against the independent Sennrich reference).
+    if vocab.limit(driver_vocab_cap + 1).count() <= driver_vocab_cap:
+        return _train_bpe_local(vocab.collect(), num_merges, min_count)
 
     merges: list[dict] = []
     for rank in range(num_merges):
@@ -153,6 +171,61 @@ def train_bpe(
             ).alias("sym_str"),
             "n",
         ).localCheckpoint(eager=True)  # plan stays O(1) in rounds
+    return merges
+
+
+def _train_bpe_local(rows, num_merges: int, min_count: int) -> list[dict]:
+    """Driver-side merge loop over the collected (sym_str, n) vocabulary —
+    EXACTLY the distributed semantics: overlapping adjacent pairs each
+    count, argmax tie-break (cnt DESC, left ASC, right ASC — Python's
+    code-point string order equals Spark's UTF8 binary order), merges
+    applied greedy left-to-right non-overlapping (the lookaround-regex
+    behavior), early stop when no pair reaches min_count."""
+    import collections
+
+    vocab: dict[tuple, int] = {}
+    for r in rows:
+        k = tuple(r["sym_str"].split(_SEP))
+        vocab[k] = vocab.get(k, 0) + int(r["n"])
+    merges: list[dict] = []
+    for rank in range(num_merges):
+        counts: collections.Counter = collections.Counter()
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += n
+        eligible = {p: c for p, c in counts.items() if c >= min_count}
+        if not eligible:
+            break
+        (left, right), cnt = min(
+            eligible.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append(
+            {
+                "rank": rank,
+                "left": left,
+                "right": right,
+                "merged": left + right,
+                "cnt": int(cnt),
+            }
+        )
+        new_vocab: dict[tuple, int] = {}
+        for syms, n in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            k = tuple(out)
+            new_vocab[k] = new_vocab.get(k, 0) + n
+        vocab = new_vocab
     return merges
 
 

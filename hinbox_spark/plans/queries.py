@@ -3908,20 +3908,32 @@ def q_doc_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeats are NOT flagged (cross-doc distinct count ≥ 2), matching the
     oracle."""
     d = _t(spark, sf_dir, "documents")
-    w = F.split(F.col("text"), " ")
-    span = _SPAN_L - 1
-    grams = F.when(
-        F.size(w) > span,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - span),
-            lambda i: F.struct(
-                i.alias("pos"),
-                F.concat_ws(" ", F.slice(w, i, _SPAN_L)).alias("gram"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
-    g = d.select("doc_id", F.explode(grams).alias("g")).select(
-        "doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram")
+
+    # positional windows via a vectorized Arrow UDF — the interpreted
+    # transform/slice/concat_ws chain gets no codegen and measured ~5×
+    # slower on the sibling shingle path (see _shingle_set_udf); the
+    # exploded frame is lazily checkpointed because BOTH the dup groupBy
+    # and the hits join consume it (it was planned and computed twice)
+    @F.pandas_udf("array<struct<pos:int,gram:string>>")
+    def _pos_grams(texts: pd.Series) -> pd.Series:
+        n = _SPAN_L
+
+        def gr(t):
+            w = (t or "").split(" ")
+            if len(w) < n:
+                return []
+            return [
+                (i + 1, " ".join(w[i : i + n])) for i in range(len(w) - n + 1)
+            ]
+
+        return texts.map(gr)
+
+    g = (
+        d.select("doc_id", F.explode(_pos_grams(F.col("text"))).alias("g"))
+        .select(
+            "doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram")
+        )
+        .localCheckpoint(eager=False)
     )
     dup = (
         g.groupBy("gram")
@@ -4768,7 +4780,9 @@ def q_purchase_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     result. One rank pass + one 5-scalar fold per role."""
     from hinbox_spark.operators.ranking import global_row_numbers
 
-    e = _purchase_edges(spark, sf_dir)
+    # lazy checkpoint: each role derives its degree table from the same
+    # edge projection (it was re-joined from base tables once per role)
+    e = _purchase_edges(spark, sf_dir).localCheckpoint(eager=False)
 
     def one(role: str, key: str) -> DataFrame:
         deg = e.groupBy(key).agg(F.count("*").alias("deg"))
@@ -4853,8 +4867,10 @@ def q_purchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sqrt/division are correctly rounded, so the 8-dp rounded r cannot
     flake cross-engine. Emits the exact moments beside r so the hash
     check is anchored on integers."""
-    e = _purchase_bigraph(spark, sf_dir)
-    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    e = _purchase_bigraph(spark, sf_dir).localCheckpoint(eager=False)
+    deg = e.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint(
+        eager=False
+    )  # e feeds deg + the edge walk; deg joins onto BOTH endpoints
     xy = (
         e.join(deg.withColumnRenamed("deg", "dx"), "src")
         .join(

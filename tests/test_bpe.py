@@ -165,3 +165,14 @@ def test_replacement_quoting_handles_dollar_and_backslash(spark):
     for r in enc:
         joined = "".join(r["subwords"]).removesuffix("</w>")
         assert joined == r["word"]
+
+
+def test_distributed_path_equals_driver_path(spark):
+    """Force the distributed merge loop (driver_vocab_cap=0) and pin it
+    merge-for-merge against the adaptive driver-side path (the r6
+    size-probed fast path) on the same word counts."""
+    docs = spark.createDataFrame(_CORPUS, "text string")
+    wc = word_counts(docs)
+    dist = train_bpe(wc, num_merges=12, min_count=2, driver_vocab_cap=0)
+    drv = train_bpe(wc, num_merges=12, min_count=2)
+    assert dist == drv and len(drv) > 0
