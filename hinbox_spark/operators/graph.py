@@ -95,15 +95,10 @@ def kcore(
         if n == n_prev or n == 0:
             return keep.select(F.col("a").alias("node"), "core_deg")
         n_prev = n
-        # survivor set is node-sized (n just counted) — broadcast the
-        # semi-join build sides so the edge list is filtered in place
-        # instead of being exchanged twice per peel round
-        survivors = _bc_if(keep.select("a"), n)
+        survivors = keep.select("a")
         live = (
             live.join(survivors, "a", "left_semi")
-            .join(
-                _bc_if(keep.select(F.col("a").alias("b")), n), "b", "left_semi"
-            )
+            .join(survivors.select(F.col("a").alias("b")), "b", "left_semi")
             .localCheckpoint(eager=True)
         )
     deg = live.groupBy("a").agg(F.count("*").alias("core_deg"))
@@ -624,19 +619,12 @@ def label_propagation(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    labels = (
-        und.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+    labels = und.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
     )
-    # one count of the (constant-size) label table gates the per-round
-    # broadcast: under the state cap the edge list joins the labels in
-    # place instead of being exchanged every round
-    n_nodes = labels.count()
     for _ in range(iters):
         nbr = und.join(
-            _bc_if(labels.withColumnRenamed("node", "b"), n_nodes), "b"
+            labels.withColumnRenamed("node", "b"), "b"
         ).select(F.col("a").alias("node"), "label")
         counts = nbr.groupBy("node", "label").agg(F.count("*").alias("c"))
         # argmax by (count desc, label asc): min_by over (-c, label)

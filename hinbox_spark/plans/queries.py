@@ -4296,7 +4296,8 @@ def q_emb_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("vec_a").cast("string").alias("src"),
         F.col("vec_b").cast("string").alias("dst"),
-    )
+    ).localCheckpoint(eager=False)  # cosine-pair DAG feeds nodes + CC's
+    # probe/collect actions (see doc_dedup_keepers)
     nodes = (
         edges.select(F.col("src").alias("node_id"))
         .unionByName(edges.select(F.col("dst").alias("node_id")))
