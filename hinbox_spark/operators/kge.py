@@ -75,7 +75,15 @@ def sgd_partition(
     loss, hash-chosen tail corruption, post-step entity renorm to the
     unit ball). Mutates nothing: returns fresh dicts holding ONLY the
     vectors this partition touched. Shared verbatim by the executor path
-    and the sequential test replica."""
+    and the sequential test replica.
+
+    Aliasing note (intentional, ADVICE r5): when the corrupted tail
+    equals the head (neg == s) or the triple is a self-loop (s == o),
+    hs/tp_/tn reference the SAME buffer and the in-place updates compound
+    in statement order — a deliberate, documented deviation from the
+    textbook independent-gradient update. It is deterministic, mirrored
+    bit-for-bit by the sequential replica (the pin test covers it), and
+    affects only the rare hash-collision corruption draws."""
     local_e: dict[str, np.ndarray] = {}
     local_r: dict[str, np.ndarray] = {}
 

@@ -431,7 +431,9 @@ def _pairs_minhash_names(
         reuse=reuse,
     ).localCheckpoint(eager=False)
     # computed once, scanned twice by the self-join (same duplicated-
-    # subtree finding as dedup.neighbor_minhash_candidates)
+    # subtree finding as dedup.neighbor_minhash_candidates; A/B'd in the
+    # full pipeline at 20k pages: neutral there — kept for the larger-
+    # vocabulary case where the duplicated signature pass is real work)
 
     a, b = kept.alias("a"), kept.alias("b")
     return (
