@@ -148,7 +148,13 @@ def minhash_near_duplicates(
     def _sig(texts: pd.Series) -> pd.Series:
         return texts.map(lambda t: _minhash_signature(t, n_hashes, shingle_k))
 
-    texts = docs.select("doc_id", text_col)
+    from hinbox_spark.partitioning import spread_for_compute
+
+    # the signature pass is the CPU-heavy Python stage of this operator
+    # (1.4 s serial over sf0.1's single-split documents scan, r6
+    # measurement) — spread it across the session's cores; no-op at scale
+    # where the scan already splits
+    texts = spread_for_compute(docs.select("doc_id", text_col), ["doc_id"])
     sigs = texts.withColumn("sig", _sig(F.col(text_col)))
 
     # id-only band entries: no text rides the ×bands explode/shuffle
@@ -252,7 +258,13 @@ def simhash_near_duplicates(
     def _sh(texts: pd.Series) -> pd.Series:
         return texts.map(_simhash64).astype("int64")
 
-    sigs = docs.select("doc_id", text_col).withColumn("sim", _sh(F.col(text_col)))
+    from hinbox_spark.partitioning import spread_for_compute
+
+    # spread the serial signature pass (1.2 s over sf0.1's single-split
+    # scan) — same rationale as minhash_near_duplicates above
+    sigs = spread_for_compute(docs.select("doc_id", text_col), ["doc_id"]).withColumn(
+        "sim", _sh(F.col(text_col))
+    )
 
     chunks = sigs.select(
         "doc_id",

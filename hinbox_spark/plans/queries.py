@@ -2642,7 +2642,13 @@ def _shingle_set_udf():
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct word-{_SHINGLE_N}-gram shingles per document, exploded to
     (doc_id, sh) rows — the shared substrate for decontamination and
-    novelty (see _shingle_set_udf for the construction choice)."""
+    novelty (see _shingle_set_udf for the construction choice).
+
+    Deliberately NOT spread_for_compute'd: the set-dedup'd shingle pass is
+    only ~0.26 s serial at sf0.1, and an interleaved A/B (r6 session 2)
+    measured the extra exchange + stage barriers costing MORE than the
+    spread saves (contamination 1.03 s serial vs 1.22 s spread) — the
+    rebalance only pays for Python stages ≳1 s serial (minhash/simhash)."""
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id", F.explode(_shingle_set_udf()(F.col("text"))).alias("sh")
@@ -3907,7 +3913,13 @@ def q_doc_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle is exact, and the note is the only delta. Within-doc
     repeats are NOT flagged (cross-doc distinct count ≥ 2), matching the
     oracle."""
-    d = _t(spark, sf_dir, "documents")
+    from hinbox_spark.partitioning import spread_for_compute
+
+    # spread the Python positional-gram pass (single-split scan → one
+    # task otherwise; guide §2.2)
+    d = spread_for_compute(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), ["doc_id"]
+    )
 
     # positional windows via a vectorized Arrow UDF — the interpreted
     # transform/slice/concat_ws chain gets no codegen and measured ~5×
@@ -5664,8 +5676,14 @@ def q_part_name_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`dedup.minhash_near_duplicates` is the scale path when no natural
     block key exists or blocks skew — the groupBy-count +
     broadcast-anti-join bucket cap pattern applies verbatim here)."""
+    from hinbox_spark.partitioning import spread_for_compute
+
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
-    a = p.select(
+    # the banded levenshtein runs in the broadcast-hash-join condition on
+    # the PROBE side — spread the probe so the ~Σ block² edit-distance
+    # evaluations parallelize instead of running inside the single task of
+    # a one-split scan (r6: 4.7 s wall with 32 idle cores); no-op at scale
+    a = spread_for_compute(p, ["p_partkey"]).select(
         F.col("p_partkey").alias("a_key"), F.col("p_name").alias("a_nm"),
         "p_brand", F.length("p_name").alias("len_key"))
     b = p.select(
