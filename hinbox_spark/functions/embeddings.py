@@ -83,6 +83,42 @@ def cosine_series(a: pd.Series, b: pd.Series) -> pd.Series:
     )
 
 
+def dot_seq_udf():
+    """Vectorized pandas UDF computing the dot product of two equal-length
+    float vector columns with EXACTLY the operation sequence of the SQL
+    expression
+
+        aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE)*CAST(y AS
+        DOUBLE)), 0.0D, (acc, x) -> acc + x)
+
+    i.e. a strict left fold ((0 + x0·y0) + x1·y1) + … in float64. The
+    accumulation loop runs over DIMENSIONS (so each pair's adds happen in
+    array order, bit-identical to the interpreted fold — verified by an
+    exact-equality pin in tests) while vectorizing across the row batch —
+    the interpreted higher-order expression gets no codegen and measured
+    ~25-40 µs/row, ~1 s per million pairs at 32 cores (r6). NULL on
+    either side yields NULL, matching aggregate-over-null semantics.
+    Rows within a batch must share one dimensionality (ragged batches
+    raise — callers pass fixed-dim embedding columns)."""
+
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("double")
+    def _dot(ea: pd.Series, eb: pd.Series) -> pd.Series:
+        mask = ea.notna() & eb.notna()
+        out = pd.Series(np.nan, index=ea.index, dtype="float64")
+        if mask.any():
+            A = np.array(ea[mask].tolist(), dtype=np.float64)
+            B = np.array(eb[mask].tolist(), dtype=np.float64)
+            acc = np.zeros(len(A), dtype=np.float64)
+            for j in range(A.shape[1]):
+                acc += A[:, j] * B[:, j]
+            out[mask] = acc
+        return out
+
+    return _dot
+
+
 def fingerprint(model: str = EMBEDDING_MODEL, dim: int = EMBEDDING_DIM) -> str:
     """'{model}:{dim}' fingerprint (reference: manager.py:318-338)."""
     return f"{model}:{dim}"

@@ -24,6 +24,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _t_rowcount(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Exact row count of a base table from parquet FOOTER metadata — the
+    num_rows every footer already carries — instead of a count() job per
+    table (3 sequential jobs ≈ 0.6 s measured in the link-prediction
+    bound probe, r6). Falls back to the count() job for any layout
+    pyarrow can't read (non-parquet stores, hdfs/s3a paths)."""
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        import os
+
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            return sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return _t(spark, sf_dir, name).count()
+
+
 # ── TPC-H-ish relational family (SURVEY §2.7 A1-A2, §2.3 F-family) ──
 
 
@@ -428,7 +451,13 @@ def q_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    cand = e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    # spread the single-split candidate scan: the per-pair dots execute
+    # inside its tasks under the broadcast cross join (guide §2.2)
+    from hinbox_spark.partitioning import spread_for_compute
+
+    cand = spread_for_compute(e, ["vec_id"]).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
     dot = F.expr(
         "aggregate(zip_with(qvec, embedding, (a, b) ->"
         " CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
@@ -4147,7 +4176,11 @@ def q_emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("qlabel"),
         F.col("embedding").alias("qvec"),
     )
-    cand = e.select(
+    # spread the single-split candidate scan: the per-pair dots execute
+    # inside its tasks under the broadcast cross join (guide §2.2)
+    from hinbox_spark.partitioning import spread_for_compute
+
+    cand = spread_for_compute(e, ["vec_id"]).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("clabel"),
         "embedding",
@@ -4246,11 +4279,12 @@ def q_copurchase_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |keys| <= |customer|, |items| <= |supplier| — three metadata-cheap
     # counts that, when under the caps, prove the dense path safe without
     # the full-pass 3-way count-distinct probe over the joined edge list
-    # (guide §1.2: don't compute what a cheaper bound already answers)
+    # (guide §1.2: don't compute what a cheaper bound already answers);
+    # read from parquet footers (no job) with a count() fallback
     bounds = (
-        _t(spark, sf_dir, "lineitem").count(),
-        _t(spark, sf_dir, "customer").count(),
-        _t(spark, sf_dir, "supplier").count(),
+        _t_rowcount(spark, sf_dir, "lineitem"),
+        _t_rowcount(spark, sf_dir, "customer"),
+        _t_rowcount(spark, sf_dir, "supplier"),
     )
     top = neighbor_jaccard_topk(
         _purchase_edges(spark, sf_dir), "custkey", "suppkey", k=15,
@@ -4537,7 +4571,16 @@ def q_copurchase_link_prediction_minhash(
     # fits keeps the inflated rows inside their tasks — the partial
     # aggregation collapses them to <=|cand| rows before the only
     # exchange. Over the cap (web scale) the shuffle walk stands.
-    n_e = e.count()
+    # |edges| <= |lineitem|, read from the parquet footer (no job): when
+    # the BOUND clears the cap the broadcast is provably safe and the
+    # count job is skipped outright — the lazy checkpoint then
+    # materializes inside the signature job instead of a dedicated count
+    # pass (one fewer full o⋈l derivation job, ~0.5-0.9 s at sf0.1).
+    # An over-bound input still runs the exact count (bounds only
+    # over-estimate; never straight to the shuffle walk).
+    n_e = _t_rowcount(spark, sf_dir, "lineitem")
+    if n_e > 2_000_000:
+        n_e = e.count()
     ea = e.select(F.col("custkey").alias("key_a"), "suppkey")
     eb = e.select(F.col("custkey").alias("key_b"), "suppkey")
     if n_e <= 2_000_000:
@@ -7076,8 +7119,14 @@ def q_emb_neighbor_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("node"), F.col("embedding").alias("qvec"))
         .withColumn("nq", nq)
     )
+    # the |q|×|cand| dot products execute INSIDE the candidate-scan tasks
+    # (broadcast cross join streams cand) — spread the single-split scan
+    # so the interpreted-dot work parallelizes (guide §2.2); no-op at
+    # scale where the scan already splits
+    from hinbox_spark.partitioning import spread_for_compute
+
     cand = (
-        e.filter(nrm > 0)
+        spread_for_compute(e.filter(nrm > 0), ["vec_id"])
         .select(F.col("vec_id").alias("nb"), "embedding")
         .withColumn("nc", nc)
     )

@@ -271,3 +271,41 @@ def test_pq_paths_accept_string_ids(spark):
         ids = {r["neighbor_id"] for r in out}
         assert all(isinstance(i, str) and i.startswith("v") for i in ids)
         assert all(r["query_id"].startswith("v") for r in out)
+
+
+def test_dot_seq_udf_bit_identical_to_aggregate_fold(spark):
+    """dot_seq_udf must reproduce the interpreted
+    aggregate(zip_with(...)) strict left fold BIT-FOR-BIT (== on doubles,
+    no tolerance): the LSH verify stage and the brute-kNN family rank and
+    threshold on these values, so any last-ulp drift could flip a
+    rounding/ordering boundary. Random float32 vectors exercise the
+    float32→float64 cast path; a null row pins NULL-propagation parity."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from hinbox_spark.functions.embeddings import dot_seq_udf
+
+    rng = np.random.RandomState(11)
+    rows = [
+        (i, rng.standard_normal(33).astype("float32").tolist(),
+         rng.standard_normal(33).astype("float32").tolist())
+        for i in range(500)
+    ]
+    rows.append((500, None, rng.standard_normal(33).astype("float32").tolist()))
+    df = spark.createDataFrame(
+        rows, "id long, ea array<float>, eb array<float>"
+    )
+    ref = F.expr(
+        "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE)"
+        "*CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+    )
+    got = (
+        df.select("id", ref.alias("want"), dot_seq_udf()(F.col("ea"), F.col("eb")).alias("have"))
+        .collect()
+    )
+    assert len(got) == 501
+    for r in got:
+        if r["want"] is None:
+            assert r["have"] is None or r["have"] != r["have"]  # NULL/NaN
+        else:
+            assert r["have"] == r["want"], (r["id"], r["have"], r["want"])
