@@ -687,9 +687,13 @@ def test_round5_training_ops_have_scale_shaped_plans(spark):
 
     pii = _plan(q_doc_pii_redaction(spark, sf))
     assert "BatchEvalPython" not in pii and "ArrowEvalPython" not in pii
-    # the scrub itself is one projection over the scan: the only
-    # exchange is the rangepartitioning for the final orderBy
-    assert pii.count("Exchange") == 1 and "rangepartitioning" in pii
+    # the scrub itself is one projection: exactly two exchanges — the
+    # deliberate compute-spread of the single-split scan (r6,
+    # partitioning.spread_for_compute: REPARTITION_BY_NUM so AQE can't
+    # re-coalesce the CPU-heavy regex partitions) and the
+    # rangepartitioning for the final orderBy; nothing else shuffles
+    assert pii.count("Exchange") == 2 and "rangepartitioning" in pii
+    assert "REPARTITION_BY_NUM" in pii
 
     rarity = _plan(q_doc_unigram_rarity(spark, sf))
     assert "BroadcastHashJoin" in rarity and "SortMergeJoin" not in rarity
