@@ -3807,10 +3807,24 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    cost = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
-    )
     parts = p.filter((F.col("p_type") == "SMALL") & (F.col("p_size") <= 15))
+    # pre-filter the fact side with a broadcast semi-join on the SMALL
+    # part keys BEFORE the (part, supplier) aggregate — only ~1/10 of
+    # lineitem rows survive the part filter, so the query's single
+    # shuffle carries a tenth of the groups (guide §3.4; same rows out)
+    cost = (
+        li.join(
+            F.broadcast(parts.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(
+                F.col("l_extendedprice") / F.col("l_quantity")
+            ).alias("unit_cost")
+        )
+    )
     w = Window.partitionBy("p_partkey").orderBy(
         F.asc("unit_cost"), F.asc("s_suppkey")
     )
