@@ -1754,10 +1754,13 @@ def q_copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes match exactly)."""
     from hinbox_spark.operators.clustering import connected_components
 
+    # lazy checkpoint: the o⋈l edge derivation otherwise re-executes for
+    # both nodes branches and the CC probe/collect (doc_dedup_keepers
+    # discipline)
     e = _purchase_edges(spark, sf_dir).select(
         F.concat(F.lit("c:"), F.col("custkey")).alias("src"),
         F.concat(F.lit("s:"), F.col("suppkey")).alias("dst"),
-    )
+    ).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node_id"))
         .unionByName(e.select(F.col("dst").alias("node_id")))
@@ -2613,7 +2616,12 @@ def q_doc_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     pairs = minhash_near_duplicates(docs, jaccard_threshold=0.7)
     pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
-    edges = pairs.select(pad("doc_a").alias("src"), pad("doc_b").alias("dst"))
+    # lazy checkpoint (the emb_dedup_keepers discipline): the MinHash
+    # pair DAG otherwise re-executes for BOTH nodes branches and both
+    # union-find consumers — A/B 3.3 → 2.5 s, identical output (r6 s2)
+    edges = pairs.select(
+        pad("doc_a").alias("src"), pad("doc_b").alias("dst")
+    ).localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node_id"))
         .unionByName(edges.select(F.col("dst").alias("node_id")))
