@@ -274,9 +274,23 @@ def neighbor_jaccard_topk(
     import uuid as _uuid
 
     cache_token = _uuid.uuid4().hex  # one per broadcast, rides the closure
-    blocks = n_blocks or min(
-        max(spark.sparkContext.defaultParallelism * 2, 1), max(n_keys, 1)
-    )
+    if n_blocks:
+        blocks = n_blocks
+    else:
+        # two bounds on the block row count: parallelism (2 blocks/core)
+        # AND a per-task MEMORY cap — each block materializes
+        # (block_rows × n_keys) float64 score/mask arrays, and at the
+        # default 2·cores blocks the ~3.5M-cell (~110 MB/task) arrays
+        # churned the Python allocator into a within-session degradation
+        # (A/B r6: 64 blocks read 5.8→11.7 s across rounds, 128 blocks
+        # stable 3.7-4.3 s, identical output). ≤2M cells ≈ 64 MB peak
+        # per task keeps the block pool allocator-friendly at any scale.
+        bs_par = -(-n_keys // min(
+            max(spark.sparkContext.defaultParallelism * 2, 1),
+            max(n_keys, 1),
+        ))
+        bs_mem = max(1, 2_000_000 // max(n_keys, 1))
+        blocks = -(-n_keys // max(1, min(bs_par, bs_mem)))
     bs = -(-n_keys // blocks)
 
     def block_topk(batches):
